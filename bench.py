@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query seconds.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect) — the same way a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def force(df) -> None:
+    """Fully execute a DataFrame without materializing it on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from thesis_iceberg_spark import get_spark
+    from thesis_iceberg_spark.queries import REGISTRY, queries
+
+    queries()  # force registration
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "agg_pricing_summary",
+        "star_join_revenue_by_nation",
+        "join_inner_cust_orders",
+        "window_rank_orders",
+        "topk_orders",
+        "agg_count_distinct",
+        "set_ops_customer_segments",
+    ]
+    # Include any later-registered headline ops if present.
+    for extra in (
+        "dedup_exact_hash",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_quality_scores",
+    ):
+        if extra in REGISTRY:
+            headline.append(extra)
+
+    # Warm-up: trivial action so JVM/codegen startup isn't billed to q1.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,3 @@
+"""Similarity-search operators over `embeddings` (north-star §2B). Filled in incrementally."""
+
+from __future__ import annotations
