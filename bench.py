@@ -45,7 +45,7 @@ def main() -> None:
     # Include any later-registered headline ops if present.
     for extra in (
         "dedup_exact_hash",
-        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_pairs",
         "ann_cosine_topk",
         "text_quality_scores",
     ):

@@ -50,8 +50,10 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from thesis_iceberg_spark.queries import (  # noqa: F401
         dedup,
+        multimodal_q,
         relational,
         similarity,
+        streaming_q,
         tablefmt_checks,
         text,
     )

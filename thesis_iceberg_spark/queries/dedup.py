@@ -1,3 +1,346 @@
-"""Deduplication operators over `documents` (north-star §2B). Filled in incrementally."""
+"""Deduplication operators over `documents` / `embeddings` (north-star §2B).
+
+Five dedup families a training-data pipeline needs, each Spark-first:
+
+  * exact        — hash-groupBy on a normalized fingerprint (one shuffle).
+  * n-gram Jaccard — shingle -> explode -> self-join on shingle -> count
+                   ratio; the exact-verification primitive.
+  * MinHash+LSH  — keyed-md5 minhash signatures, banded into buckets; only
+                   bucket-colliding pairs are verified. THE scale path: at
+                   100 TB the shingle self-join above is infeasible, LSH
+                   bounds candidate pairs to near-dups.
+  * SimHash      — 16-bit sign-of-weighted-sum sketch; equal-sketch bucketing.
+  * embedding cosine — near-dup by semantic similarity over the embedding
+                   column (exact doubles; see similarity.py for the ANN path).
+
+Portability trick for the DuckDB oracles: all hashing is md5-based.  A
+"permutation" h_i(s) = md5(i || ':' || s) compared lexicographically is a
+random permutation of shingle space both engines compute identically (no
+engine-specific hash functions anywhere).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.sources.registry import load_table
+
+N_MINHASH = 12  # minhash permutations
+N_BANDS = 4  # LSH bands (3 rows per band)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.5  # verification threshold for near-dup pairs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _norm_sql(col: str = "text") -> str:
+    return f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+
+
+def _norm(col: str = "text"):
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+# --- shingling (3-token shingles over whitespace tokens) -------------------
+
+
+def _shingles():
+    """Distinct 3-token shingles as an array column (Spark side).
+
+    Built with slice + zip_with rather than indexed transform: ``t[i]``
+    inside a lambda re-evaluates the token-array expression PER ELEMENT
+    (O(tokens^2) splits per document); three shifted slices evaluate it
+    three times per row total.
+    """
+    t = F.split(_norm(), " ")
+    n = F.greatest(F.size(t) - 2, F.lit(0))
+    a1 = F.slice(t, 1, n)
+    a2 = F.slice(t, 2, n)
+    a3 = F.slice(t, 3, n)
+    return F.array_distinct(
+        F.zip_with(
+            F.zip_with(a1, a2, lambda x, y: F.concat_ws(" ", x, y)),
+            a3,
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    )
+
+
+_SQL_TOKS = f"regexp_split_to_array({_norm_sql()}, ' ')"
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_SQL_TOKS}) - 1), "
+    f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))"
+)
+
+
+@register(
+    "dedup_exact_hash",
+    oracle=f"""
+SELECT md5({_norm_sql()}) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: group documents by normalized-text md5, keep the "
+    "lowest doc_id as canonical. One hash shuffle on the fingerprint; "
+    "at 100 TB this is a single groupBy with map-side combine.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(_norm().cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
+  FROM documents WHERE len({_SQL_TOKS}) >= 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+FROM common
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+""",
+    doc="N-gram Jaccard near-dup pairs: 3-token shingles, exploded and "
+    "self-joined on shingle (inverted-index join — only docs SHARING a "
+    "shingle ever meet, never a cartesian), Jaccard from integer counts. "
+    "Scale: the shingle join explodes on very common shingles; the LSH "
+    "variant below is the 100 TB path.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", _shingles().alias("sh")).filter(
+        F.size("sh") >= 1
+    )
+    sh = docs.select("doc_id", F.explode("sh").alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    # per-doc count tables scale with the corpus — shuffle join, not broadcast
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _sql_minhash(i: int) -> str:
+    return (
+        f"list_min(list_transform({_SQL_SHINGLES}, s -> md5('{i}:' || s)))"
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         {", ".join(f"{_sql_minhash(i)} AS mh{i}" for i in range(N_MINHASH))}
+  FROM documents WHERE len({_SQL_TOKS}) >= 3),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(
+               f"WHEN {b} THEN md5(" + " || '|' || ".join(
+                   f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+               ) + ")"
+               for b in range(N_BANDS)
+           )}
+         END AS band_key
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS band_id)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
+       FROM documents WHERE len({_SQL_TOKS}) >= 3),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, COUNT(*) AS c
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_a
+  JOIN sh b ON b.doc_id = cand.doc_b AND a.s = b.s
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+""",
+    doc=f"MinHash+LSH near-dup pairs: {N_MINHASH} keyed-md5 minhashes, "
+    f"{N_BANDS} bands x {ROWS_PER_BAND} rows; docs colliding in any band "
+    "become candidates, verified with exact Jaccard. This is the 100 TB "
+    "dedup path: candidate generation is a groupBy on band_key (shuffle "
+    "proportional to corpus size, not pairs); verification touches only "
+    "near-dup candidates.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.size(F.split(_norm(), " ")) >= 3)
+
+    # Explode shingles ONCE, then compute all N_MINHASH minhashes as min()
+    # aggregates in a single pass — one shuffle, no per-permutation
+    # recomputation of the shingle array (the naive nested-expression form
+    # re-evaluates split/transform per permutation and per band).
+    sh0 = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    sig = sh0.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+
+    # band rows: (doc_id, band_id, band_key = md5 of the band's minhashes),
+    # one explode over a literal array of structs — signature computed once.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).cast("binary")
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    band_rows = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_key").alias("band_key")
+    )
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification of candidates only
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("s").alias("sb"))
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_SQL_TOKS}) AS t FROM documents),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(1, {N_SIMHASH_BITS} + 1),
+           j -> CASE WHEN list_sum(list_transform(t,
+                  w -> CASE WHEN substr(md5(w), j, 1) IN
+                       ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
+                THEN '1' ELSE '0' END) AS bl
+  FROM toks)
+SELECT doc_id, list_aggregate(bl, 'string_agg', '') AS simhash
+FROM bits
+""",
+    doc=f"SimHash sketch: {N_SIMHASH_BITS}-bit sign-of-sum over per-token "
+    "md5 bit contributions (+1/-1 per token per bit). Equal or near-equal "
+    "sketches bucket near-dups; narrow per-row computation, no shuffle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.array_distinct(F.split(_norm(), " "))
+    hexd = F.array(*[F.lit(c) for c in "89abcdef"])
+    bit_j = lambda j: F.when(  # noqa: E731
+        F.aggregate(
+            t,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(
+                F.array_contains(hexd, F.substring(F.md5(w.cast("binary")), j, 1)), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        >= 0,
+        F.lit("1"),
+    ).otherwise(F.lit("0"))
+    simhash = F.concat(*[bit_j(j) for j in range(1, N_SIMHASH_BITS + 1)])
+    return _docs(spark, sf_dir).select("doc_id", simhash.alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.v, b.v) / (a.nm * b.nm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
+""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.45 on this synthetic "
+    "corpus). Exact double arithmetic matches DuckDB bit-for-bit (verified). "
+    "Brute-force O(n^2) — correct baseline; similarity.py's IVF variant is "
+    "the scale path.",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
+    )
+    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
+    # the corpus arrives as one file split; spread the O(n^2) pair work
+    # across all cores (stream side of the nested-loop join)
+    a = n.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )

