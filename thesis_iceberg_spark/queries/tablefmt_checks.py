@@ -1,7 +1,197 @@
-"""Self-check queries for the versioned-table layer (SURVEY.md §2A T1-T8).
+"""Registered checks for the versioned-table layer (SURVEY.md §2A S7-S9,
+M1-M3, T1-T7, D7-D9 — the reference's Iceberg lifecycle, re-verified here
+with FULL DuckDB value oracles).
 
-Time travel / snapshots / changelog have no DuckDB analogue, so these
-register rows-only checks. Filled in with the tablefmt layer.
+Each query deterministically rebuilds a VersionedTable under /tmp from the
+driver's parquet tables (fixed snapshot timestamps), runs the reference's
+evolution scripts (FIXTURES.md F1-F5 patterns), and returns a result whose
+expected value is expressible as plain SQL over the ORIGINAL tables — so
+time travel, schema evolution, DML and changelog get exact value checks,
+not rows-only smoke.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.sources.registry import load_table
+from thesis_iceberg_spark.tablefmt import VersionedTable
+
+BASE = "/tmp/tisw_checks"
+DEC = "decimal(18,4)"
+
+# fixed snapshot timestamps (ms) so time travel by timestamp is deterministic
+T1, T2, T3, T4, T5, T6 = (1_000_000 * i for i in range(1, 7))
+
+
+def _loc(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(BASE, tag, name)
+
+
+def _fresh(sf_dir: str, name: str) -> str:
+    loc = _loc(sf_dir, name)
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(os.path.dirname(loc), exist_ok=True)
+    return loc
+
+
+def _build_orders_table(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """The F2-style lifecycle script over `orders`:
+    CTAS (<=1996) -> append (1997-98) -> append (>=1999) -> DELETE status P
+    -> UPDATE double price of status O -> MERGE the deleted P rows back."""
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    loc = _fresh(sf_dir, "orders_vt")
+    vt = VersionedTable.create(
+        spark, loc, df=orders.filter(year <= 1996), now_ms=T1
+    )
+    vt.append(orders.filter((year >= 1997) & (year <= 1998)), now_ms=T2)
+    vt.append(orders.filter(year >= 1999), now_ms=T3)
+    vt.delete(F.col("o_orderstatus") == "P", now_ms=T4)
+    vt.update(
+        {"o_totalprice": F.col("o_totalprice") * 2},
+        F.col("o_orderstatus") == "O",
+        now_ms=T5,
+    )
+    vt.merge(
+        orders.filter(F.col("o_orderstatus") == "P"),
+        on="o_orderkey",
+        when_not_matched_insert=True,
+        now_ms=T6,
+    )
+    return vt
+
+
+_ORDERS_OUT = """
+       o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority
+"""
+
+
+@register(
+    "tablefmt_lifecycle_final_state",
+    oracle=f"SELECT {_ORDERS_OUT} FROM orders",
+    doc="Versioned-table lifecycle (CTAS + 2 appends + DELETE + UPDATE + "
+    "MERGE-insert, 6 snapshots): the final state must equal a single SQL "
+    "expression over the source table — full value oracle for the DML "
+    "stack (ref: notebook cells 7-24 insert/delete/update flow).",
+)
+def tablefmt_lifecycle_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vt = _build_orders_table(spark, sf_dir)
+    df = vt.read()
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "tablefmt_time_travel",
+    oracle=f"""
+SELECT 1 AS snap, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE) AS total
+FROM orders WHERE year(o_orderdate) <= 1996
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE)
+FROM orders WHERE year(o_orderdate) <= 1998
+UNION ALL
+SELECT 3, COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 4, COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE)
+FROM orders WHERE year(o_orderdate) <= 1998
+""",
+    doc="Time travel by snapshot id (VERSION AS OF, snaps 1-3) and by "
+    "timestamp (FOR SYSTEM_TIME AS OF at snapshot 2's commit time, row 4): "
+    "each historical read must reproduce exactly the rows that existed then "
+    "(ref: api.py:151-168, #cell-45).",
+)
+def tablefmt_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vt = _build_orders_table(spark, sf_dir)
+
+    def stats(df: DataFrame, snap: int) -> DataFrame:
+        return df.agg(
+            F.lit(snap).alias("snap"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double").alias("total"),
+        ).select("snap", "n", "total")
+
+    out = stats(vt.read(snapshot_id=1), 1)
+    out = out.unionAll(stats(vt.read(snapshot_id=2), 2))
+    out = out.unionAll(stats(vt.read(snapshot_id=3), 3))
+    out = out.unionAll(stats(vt.read(as_of_ms=T2), 4))  # timestamp travel
+    return out
+
+
+@register(
+    "tablefmt_changelog",
+    oracle="""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       'INSERT' AS _change_type
+FROM orders WHERE year(o_orderdate) BETWEEN 1997 AND 1998
+""",
+    doc="Changelog view between snapshots 1 and 2: exactly the 1997-98 "
+    "rows, all tagged INSERT (ref: #cell-32/34 create_changelog_view + "
+    "_change_type filter).",
+)
+def tablefmt_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vt = _build_orders_table(spark, sf_dir)
+    ch = vt.changelog(from_snapshot=1, to_snapshot=2)
+    return ch.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "_change_type",
+    )
+
+
+@register(
+    "tablefmt_schema_evolution",
+    oracle="""
+SELECT c_custkey,
+       c_name AS customer_name,
+       CASE WHEN c_custkey % 2 = 1 THEN 'late' END AS note
+FROM customer
+""",
+    doc="Schema evolution with field-id resolution: CTAS even custkeys -> "
+    "RENAME c_name->customer_name -> ADD COLUMN note -> append odd custkeys "
+    "under the new schema. Old data files (written with the old column "
+    "name) must surface under the new name, with note null-filled — the "
+    "reference's core trick (ref: api.py:170-215; FIXTURES.md F4/F5).",
+)
+def tablefmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    loc = _fresh(sf_dir, "customer_vt")
+    vt = VersionedTable.create(
+        spark, loc, df=customer.filter(F.col("c_custkey") % 2 == 0), now_ms=T1
+    )
+    vt.rename_column("c_name", "customer_name")
+    vt.add_column("note", "string")
+    late = customer.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("late").alias("note"),
+    )
+    vt.append(late, now_ms=T2)
+    # historical name still resolves: the thesis's signature operator
+    assert vt.resolve_column("c_name") == "customer_name"
+    return vt.select_by_history("c_custkey", "c_name", "note").toDF(
+        "c_custkey", "customer_name", "note"
+    )
