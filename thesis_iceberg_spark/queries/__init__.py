@@ -50,6 +50,7 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from thesis_iceberg_spark.queries import (  # noqa: F401
         dedup,
+        extended,
         multimodal_q,
         relational,
         similarity,

@@ -195,3 +195,38 @@ def tablefmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.select_by_history("c_custkey", "c_name", "note").toDF(
         "c_custkey", "customer_name", "note"
     )
+
+
+@register(
+    "tablefmt_quoted_identifiers",
+    oracle="""
+SELECT c_custkey AS "Customer Id", c_name AS "Full Name",
+       c_acctbal AS "Account Balance"
+FROM customer WHERE c_acctbal > 1000
+""",
+    doc="Quoted identifiers with spaces round-trip every layer (ref: "
+    "api.py:368 `Phone number`, FIXTURES.md F1): catalog CREATE DATABASE/"
+    "TABLE with spaced column names, RENAME to another spaced name, then a "
+    "backticked spark.sql query through a registered view.",
+)
+def tablefmt_quoted_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.tablefmt.catalog import Catalog
+
+    customer = load_table(spark, sf_dir, "customer")
+    wh = _fresh(sf_dir, "quoted_wh")
+    os.makedirs(wh, exist_ok=True)
+    cat = Catalog(spark, wh)
+    cat.create_database("employee_db")
+    cat.use("employee_db")
+    df = customer.select(
+        F.col("c_custkey").alias("Customer Id"),
+        F.col("c_name").alias("Name"),
+        F.col("c_acctbal").alias("Account Balance"),
+    )
+    cat.create_table("people", df=df, now_ms=T1)
+    cat.table("people").rename_column("Name", "Full Name")
+    cat.register_view("people")
+    return spark.sql(
+        "SELECT `Customer Id`, `Full Name`, `Account Balance` FROM people "
+        "WHERE `Account Balance` > 1000"
+    )

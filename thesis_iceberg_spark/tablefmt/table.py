@@ -127,10 +127,12 @@ class VersionedTable:
         df: DataFrame | None = None,
         schema: T.StructType | None = None,
         partition_day: str | None = None,
+        properties: dict[str, str] | None = None,
         now_ms: int | None = None,
     ) -> VersionedTable:
         """CREATE TABLE (+ optional AS SELECT).  ``partition_day=col`` is the
-        hidden ``day(col)`` partition transform (ref: #cell-7)."""
+        hidden ``day(col)`` partition transform (ref: #cell-7);
+        ``properties`` are free-form TBLPROPERTIES (ref: #cell-21)."""
         if df is None and schema is None:
             raise ValueError("need df (CTAS) or schema (CREATE TABLE)")
         os.makedirs(os.path.join(location, "metadata"), exist_ok=False)
@@ -146,6 +148,7 @@ class VersionedTable:
             "partition_spec": (
                 [{"source_name": partition_day, "transform": "day"}] if partition_day else []
             ),
+            "properties": dict(properties or {}),
             "current_snapshot_id": None,
             "snapshots": [],
             "metadata_log": [],
@@ -417,6 +420,16 @@ class VersionedTable:
         meta["last_field_id"] = max(
             meta["last_field_id"], max((f.id for f in new_fields), default=0)
         )
+        self._commit(meta)
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self._meta.get("properties", {}))
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (ref: #cell-18 (json:557))."""
+        meta = json.loads(json.dumps(self._meta))
+        meta.setdefault("properties", {}).update(props)
         self._commit(meta)
 
     def add_column(self, name: str, ddl_type: str) -> None:
