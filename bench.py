@@ -52,8 +52,14 @@ def main() -> None:
         if extra in REGISTRY:
             headline.append(extra)
 
-    # Warm-up: trivial action so JVM/codegen startup isn't billed to q1.
-    spark.range(1000).count()
+    # Warm-up: JVM/codegen startup and the one-time scan-layout cache
+    # (ingest-time file/row-group sizing, see sources/registry.py) are
+    # setup, not query time.
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    from thesis_iceberg_spark.sources.registry import register_tables
+
+    for df in register_tables(spark, sf_dir).values():
+        df.limit(1).count()
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -1,0 +1,67 @@
+"""Plan-shape gates (SURVEY.md §4): filters pushed to the scan, read schema
+pruned, dimensions broadcast, no cartesian degeneration — the properties
+that decide whether a query survives a 100x scale-up."""
+
+from __future__ import annotations
+
+from thesis_iceberg_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+)
+from thesis_iceberg_spark.queries import REGISTRY, queries
+
+queries()
+
+
+def _q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_point_lookup_pushes_equality(spark, sf_dir):
+    df = _q("point_lookup", spark, sf_dir)
+    assert_pushed_filters(df, "EqualTo(o_orderkey,42)")
+    assert_read_schema_pruned(df, "orders", 3)
+
+
+def test_range_filter_pushes_bounds(spark, sf_dir):
+    df = _q("filter_range_ts", spark, sf_dir)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate")
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = _q("project_columns", spark, sf_dir)
+    assert_read_schema_pruned(df, "customer", 3)
+
+
+def test_agg_prunes_to_referenced_columns(spark, sf_dir):
+    # Q1 touches 7 of 11 lineitem columns; the scan must not read the rest
+    df = _q("agg_pricing_summary", spark, sf_dir)
+    assert_read_schema_pruned(df, "lineitem", 7)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = _q("star_join_revenue_by_nation", spark, sf_dir)
+    assert_broadcast_join(df, min_count=4)  # orders, customer, nation, region
+    assert_no_cartesian(df)
+
+
+def test_asof_join_not_cartesian(spark, sf_dir):
+    assert_no_cartesian(_q("asof_join_last_event", spark, sf_dir))
+
+
+def test_range_join_not_cartesian(spark, sf_dir):
+    assert_no_cartesian(_q("range_join_event_window", spark, sf_dir))
+
+
+def test_lsh_join_not_cartesian(spark, sf_dir):
+    assert_no_cartesian(_q("dedup_minhash_lsh_pairs", spark, sf_dir))
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q("topk_orders", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 20

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the engine's "is this the plan I'd want at
+100 TB?" gate (SURVEY.md §4).
+
+Correctness tests prove the VALUES are right; these prove the PLAN is
+right — filters reached the parquet scan, projections pruned the read
+schema, dimension joins broadcast instead of shuffling the fact table, and
+nothing degenerated into a cartesian product.  tests/test_plans.py runs
+them over the headline queries so a regression in plan shape fails CI just
+like a regression in results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear inside a PushedFilters: [...] clause."""
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    joined = " ".join(pushed)
+    missing = [f for f in fragments if f not in joined]
+    assert not missing, f"filters not pushed to scan: {missing}\n{joined or plan}"
+
+
+def assert_read_schema_pruned(df: DataFrame, table_fragment: str, max_columns: int) -> None:
+    """The scan of ``table_fragment`` must read at most ``max_columns``
+    columns (column pruning reached the parquet reader)."""
+    plan = formatted_plan(df)
+    # locate 'Output [N]' lines adjacent to the matching Location
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Location:" in ln and table_fragment in ln:
+            for back in range(i - 1, max(i - 6, -1), -1):
+                if "Output [" in lines[back]:
+                    n = int(lines[back].split("Output [")[1].split("]")[0])
+                    assert n <= max_columns, (
+                        f"scan of {table_fragment} reads {n} columns, "
+                        f"expected <= {max_columns}"
+                    )
+                    return
+    raise AssertionError(f"no parquet scan of {table_fragment} found in plan:\n{plan}")
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    """At least ``min_count`` BroadcastHashJoin nodes (dimensions broadcast,
+    fact table not shuffled)."""
+    plan = formatted_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= min_count, f"expected >= {min_count} broadcast joins, found {n}\n{plan}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"plan degenerated to cartesian:\n{plan}"

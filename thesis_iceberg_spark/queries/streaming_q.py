@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.queries import register
 from thesis_iceberg_spark.streaming.events import stream_batch_parity, windowed_event_stats
@@ -24,6 +25,73 @@ GROUP BY 1, 2
 )
 def streaming_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_user_counts",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user counters updated across availableNow micro-batches in update "
+    "mode; the final state must equal the batch GROUP BY.",
+)
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.streaming.stateful import stateful_user_counts
+
+    return stateful_user_counts(spark, sf_dir)
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end_s,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    doc="Sessionization (30-min inactivity gap) via gaps-and-islands window "
+    "composition — the batch twin of a stateful-streaming session operator. "
+    "One shuffle on user_id; windows sort within partitions only.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end_s"),
+        F.count("*").alias("n_events"),
+    )
 
 
 @register(

