@@ -65,3 +65,22 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
     plan = formatted_plan(_q("topk_orders", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 20
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    plan = formatted_plan(_q("join_bucketed_colocated", spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaces the shuffle
+    assert "SelectedBucketsCount" in plan
+
+
+def test_q6_pushes_all_predicates(spark, sf_dir):
+    df = _q("agg_q6_revenue", spark, sf_dir)
+    assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThan(l_quantity,24.0)",
+    )

@@ -17,6 +17,31 @@ from pyspark.sql.window import Window
 from thesis_iceberg_spark.queries import register
 from thesis_iceberg_spark.sources.registry import load_table
 
+# --- CSV fixture for the S4 ingest query (written with stdlib at import
+# time so it exists before either engine runs; deterministic contents) ----
+
+CSV_FIXTURE = "/tmp/tisw_csv_fixture/people.csv"
+
+
+def _ensure_csv_fixture() -> None:
+    import os
+
+    os.makedirs(os.path.dirname(CSV_FIXTURE), exist_ok=True)
+    rows = ["Index,First Name,Date of birth,Job Title"]
+    jobs = ['"Editor, commissioning"', "Engineer", "Analyst", '"Scientist, data"']
+    for i in range(1, 201):
+        yy = (i * 7) % 100
+        dd = (i % 28) + 1
+        mm = (i % 12) + 1
+        rows.append(f"{i},Person{i},{dd:02d}-{mm:02d}-{yy:02d},{jobs[i % 4]}")
+    content = "\n".join(rows) + "\n"
+    if not (os.path.exists(CSV_FIXTURE) and open(CSV_FIXTURE).read() == content):
+        with open(CSV_FIXTURE, "w") as f:
+            f.write(content)
+
+
+_ensure_csv_fixture()
+
 
 @register(
     "asof_join_last_event",
@@ -148,4 +173,184 @@ def pandas_udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         median_udaf("o_totalprice").alias("median_price"),
         count_udaf("o_totalprice").alias("n"),
+    )
+
+
+@register(
+    "csv_ingest_repair",
+    oracle=f"""
+WITH raw AS (
+  SELECT "Index" AS idx, "First Name" AS first_name,
+         strptime("Date of birth", '%d-%m-%y') AS dob_raw,
+         "Job Title" AS job_title
+  FROM read_csv('{CSV_FIXTURE}', header = true,
+                columns = {{'Index': 'BIGINT', 'First Name': 'VARCHAR',
+                           'Date of birth': 'VARCHAR', 'Job Title': 'VARCHAR'}}))
+SELECT idx, first_name,
+       strftime(CASE WHEN dob_raw > current_date
+                     THEN dob_raw - INTERVAL 100 YEAR ELSE dob_raw END,
+                '%Y-%m-%d') AS dob_s,
+       job_title
+FROM raw
+""",
+    doc="S4 CSV ingestion with date repair (ref: #cell-66): dd-MM-yy "
+    "parsing, future-year-minus-100 fix, quoted commas — distributed Spark "
+    "CSV reader vs DuckDB read_csv applying the identical repair rule.",
+)
+def csv_ingest_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.csv import read_csv
+
+    _ensure_csv_fixture()
+    df = read_csv(spark, CSV_FIXTURE, date_columns={"Date of birth": "dd-MM-yy"})
+    return df.select(
+        F.col("Index").alias("idx"),
+        F.col("First Name").alias("first_name"),
+        F.date_format("Date of birth", "yyyy-MM-dd").alias("dob_s"),
+        F.col("Job Title").alias("job_title"),
+    )
+
+
+@register(
+    "agg_q6_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 analog: single-pass filtered scalar aggregate. All three "
+    "predicates push to the parquet scan; the whole query is one codegen "
+    "stage with a scalar combine — the cheapest possible shape at 100 TB.",
+)
+def agg_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("string")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+""",
+    doc="Two-phase SALTED aggregation for skewed keys (§2B scale posture): "
+    "phase 1 groups by (key, salt=event_id%16) so a hot key spreads over 16 "
+    "reducers; phase 2 combines the 16 partials per key. Result is exactly "
+    "the direct groupBy (the oracle); the plan trades one tiny extra "
+    "shuffle for skew immunity. AQE's skew-join handles joins; this is the "
+    "aggregation-side equivalent.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("_salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("pt"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pt").cast("string").cast("double").alias("total"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_orderstatus
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 0
+""",
+    doc="Write-time BUCKETED join (§2B co-located joins): both sides are "
+    "persisted bucketed+sorted by the join key, so the sort-merge join "
+    "needs NO exchange and NO sort — the 100 TB pattern for repeated "
+    "fact-fact joins (bucket layout amortizes the shuffle across every "
+    "future join). Plan-asserted shuffle-free in tests/test_plans.py.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n_buckets = 8
+    names = {}
+    for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"bkt_{tag.replace('.', '_')}_{t}"
+        names[t] = tbl
+        if not spark.catalog.tableExists(tbl):
+            # the in-memory catalog forgets tables across sessions but the
+            # warehouse directory persists — clear any stale location
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl),
+                ignore_errors=True,
+            )
+            (
+                load_table(spark, sf_dir, t)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"]).filter(F.col("c_acctbal") > 0)
+    # disable broadcast so the bucketed sort-merge path is exercised
+    j = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    return j.select("o_orderkey", "c_custkey", "c_mktsegment", "o_orderstatus")
+
+
+@register(
+    "udtf_tokenize_positions",
+    oracle="""
+SELECT doc_id,
+       unnest(regexp_split_to_array(trim(text), '\\s+')) AS token,
+       CAST(generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS INT) AS pos
+FROM documents WHERE doc_id <= 50
+""",
+    doc="Python UDTF (table function): one input document row expands to "
+    "one row per token with its 1-based position. Demonstrates the UDTF "
+    "registration + lateral-join path; bounded to 50 docs because per-row "
+    "Python is the slow path (posexplode does this JVM-side — see "
+    "text_top_bigrams_by_lang for the idiomatic variant).",
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.strip().split(), start=1):
+                yield tok, i
+
+    spark.udtf.register(
+        "tokenize_udtf", udtf(Tokenize, returnType="token string, pos int")
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT doc_id, t.token, t.pos "
+        "FROM documents, LATERAL tokenize_udtf(text) AS t WHERE doc_id <= 50"
     )

@@ -75,6 +75,10 @@ def get_spark(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # managed tables (bucketed-join layouts) live outside the repo
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/tisw_spark_warehouse"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)
