@@ -35,12 +35,16 @@ def main() -> None:
 
     headline = [
         "agg_pricing_summary",
+        "agg_q6_revenue",
+        "q3_unshipped_topk",
         "star_join_revenue_by_nation",
         "join_inner_cust_orders",
         "window_rank_orders",
         "topk_orders",
         "agg_count_distinct",
         "set_ops_customer_segments",
+        "sessionize_events",
+        "asof_join_last_event",
     ]
     # Include any later-registered headline ops if present.
     for extra in (

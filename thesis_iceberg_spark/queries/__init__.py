@@ -51,7 +51,9 @@ def _load_all() -> None:
     from thesis_iceberg_spark.queries import (  # noqa: F401
         dedup,
         extended,
+        functions_q,
         multimodal_q,
+        pipeline_q,
         relational,
         similarity,
         streaming_q,

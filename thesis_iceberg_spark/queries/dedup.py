@@ -148,25 +148,30 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash(i: int) -> str:
-    return (
-        f"list_min(list_transform({_SQL_SHINGLES}, s -> md5('{i}:' || s)))"
-    )
-
-
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-WITH sig AS (
-  SELECT doc_id,
-         {", ".join(f"{_sql_minhash(i)} AS mh{i}" for i in range(N_MINHASH))}
+WITH sh0 AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
   FROM documents WHERE len({_SQL_TOKS}) >= 3),
+hashed AS (
+  -- ONE md5 per shingle; the i-th permutation is h1 + i*h2 (double
+  -- hashing); 14 hex digits (56 bits) per half so i*h2 never overflows
+  SELECT doc_id,
+         CAST('0x' || substr(md5(s), 1, 14) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(s), 15, 14) AS BIGINT) AS h2
+  FROM sh0),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH))}
+  FROM hashed GROUP BY doc_id),
 bands AS (
   SELECT doc_id, band_id,
          CASE band_id
            {" ".join(
                f"WHEN {b} THEN md5(" + " || '|' || ".join(
-                   f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                   f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                   for r in range(ROWS_PER_BAND)
                ) + ")"
                for b in range(N_BANDS)
            )}
@@ -189,24 +194,32 @@ SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
 FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
 """,
-    doc=f"MinHash+LSH near-dup pairs: {N_MINHASH} keyed-md5 minhashes, "
-    f"{N_BANDS} bands x {ROWS_PER_BAND} rows; docs colliding in any band "
-    "become candidates, verified with exact Jaccard. This is the 100 TB "
-    "dedup path: candidate generation is a groupBy on band_key (shuffle "
-    "proportional to corpus size, not pairs); verification touches only "
-    "near-dup candidates.",
+    doc=f"MinHash+LSH near-dup pairs: {N_MINHASH} double-hashed minhash "
+    f"permutations (one md5 per shingle), {N_BANDS} bands x {ROWS_PER_BAND} "
+    "rows; docs colliding in any band become candidates, verified with "
+    "exact Jaccard. This is the 100 TB dedup path: candidate generation is "
+    "a groupBy on band_key (shuffle proportional to corpus size, not "
+    "pairs); verification touches only near-dup candidates.",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.size(F.split(_norm(), " ")) >= 3)
 
-    # Explode shingles ONCE, then compute all N_MINHASH minhashes as min()
-    # aggregates in a single pass — one shuffle, no per-permutation
-    # recomputation of the shingle array (the naive nested-expression form
-    # re-evaluates split/transform per permutation and per band).
+    # Explode shingles ONCE and hash each shingle ONCE: the i-th minhash
+    # permutation is min(h1 + i*h2) (double hashing over the two md5
+    # halves), computed as N_MINHASH cheap integer min-aggregates in a
+    # single pass — one shuffle, one md5 per shingle. (The naive form —
+    # one keyed md5 per permutation inside nested array expressions —
+    # re-evaluates split/transform per permutation and per band.)
     sh0 = docs.select("doc_id", F.explode(_shingles()).alias("s"))
-    sig = sh0.groupBy("doc_id").agg(
+    md5h = F.md5(F.col("s").cast("binary"))
+    hashed = sh0.select(
+        "doc_id",
+        F.conv(F.substring(md5h, 1, 14), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md5h, 15, 14), 16, 10).cast("bigint").alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(f"mh{i}")
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
     )
@@ -218,7 +231,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(b).alias("band_id"),
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    "|",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
                 ).cast("binary")
             ).alias("band_key"),
         )

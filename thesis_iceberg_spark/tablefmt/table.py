@@ -532,8 +532,76 @@ class VersionedTable:
         )
 
     def refs(self) -> DataFrame:
-        rows = [(name, "branch", r["snapshot_id"]) for name, r in self._meta["refs"].items()]
+        rows = [
+            (name, r.get("type", "branch"), r["snapshot_id"])
+            for name, r in self._meta["refs"].items()
+        ]
         return self.spark.createDataFrame(rows, "name STRING, type STRING, snapshot_id BIGINT")
+
+    def create_ref(self, name: str, ref_type: str = "tag", snapshot_id: int | None = None) -> None:
+        """Create a named branch/tag pointing at a snapshot (ref: #cell-44
+        .refs metadata table)."""
+        sid = snapshot_id if snapshot_id is not None else self._meta["current_snapshot_id"]
+        if sid is None:
+            raise ValueError("table has no snapshots to reference")
+        self._select_snapshot(sid)  # validates existence
+        meta = json.loads(json.dumps(self._meta))
+        meta.setdefault("refs", {})[name] = {"snapshot_id": sid, "type": ref_type}
+        self._commit(meta)
+
+    def read_ref(self, name: str) -> DataFrame:
+        """Scan the snapshot a branch/tag points at."""
+        ref = self._meta["refs"].get(name)
+        if ref is None:
+            raise KeyError(f"ref {name} does not exist")
+        return self.read(snapshot_id=ref["snapshot_id"])
+
+    # ------------------------------------------------------------------
+    # table maintenance (the 100 TB operational story: Iceberg's
+    # rewrite_data_files / expire_snapshots as engine-native methods)
+    # ------------------------------------------------------------------
+
+    def compact(self, target_partitions: int | None = None, now_ms: int | None = None) -> None:
+        """Bin-pack the current snapshot's data files into ``target_partitions``
+        well-sized files (Iceberg's rewrite_data_files). Logically a no-op:
+        same rows, new layout, new 'replace' snapshot — historical snapshots
+        keep their old files for time travel."""
+        df = self.read()
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        self.overwrite(df, now_ms=now_ms, operation="replace")
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        directories no surviving snapshot references (Iceberg's
+        expire_snapshots). Returns the expired snapshot ids."""
+        import shutil
+
+        snaps = self._meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        keep = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        live_paths = {e["path"] for s in keep for e in s["manifest"]}
+        # named refs pin their snapshots' files too
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        kept_ids = {s["snapshot_id"] for s in keep}
+        for ref in self._meta.get("refs", {}).values():
+            snap = by_id.get(ref["snapshot_id"])
+            if snap is not None and ref["snapshot_id"] not in kept_ids:
+                keep = [snap] + keep
+                kept_ids.add(ref["snapshot_id"])
+                live_paths |= {e["path"] for e in snap["manifest"]}
+        expired = [s for s in snaps if s["snapshot_id"] not in kept_ids]
+        dead_paths = {
+            e["path"] for s in expired for e in s["manifest"]
+        } - live_paths
+        meta = json.loads(json.dumps(self._meta))
+        meta["snapshots"] = [s for s in snaps if s["snapshot_id"] in kept_ids]
+        self._commit(meta)
+        for rel in sorted(dead_paths):
+            shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
+        return sorted(s["snapshot_id"] for s in expired)
 
     # ------------------------------------------------------------------
     # changelog (ref: SURVEY.md §2A T7 create_changelog_view)
