@@ -156,3 +156,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # learned clustering: self-checked for recall + determinism
+    doc="Production IVF variant: centroids LEARNED with seeded KMeans "
+    "(pyspark.ml), corpus bucketed at index-build time, query probes its 4 "
+    "nearest of 8 buckets. No SQL oracle (clustering is model-driven); "
+    "tests/test_ann_properties.py checks recall >= 0.5 vs brute force and "
+    "run-to-run determinism.",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    from thesis_iceberg_spark.operators.ann import build_ivf_index, ivf_topk
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    qid = corpus.agg(FF.min("vec_id")).first()[0]
+    indexed, model = build_ivf_index(spark, corpus, k=N_CENTROIDS)
+    return ivf_topk(spark, indexed, model, qid, top_k=TOP_K, nprobe=4)

@@ -1,0 +1,48 @@
+"""Streaming ingestion into VersionedTable via foreachBatch.
+
+Connects the two halves of the engine: a Structured Streaming source lands
+in a snapshot-versioned table, one snapshot per micro-batch — which is
+exactly how Iceberg streaming writes work (each epoch commits a snapshot),
+so downstream readers get time travel and changelog over the ingested
+stream for free.
+
+Scale notes: foreachBatch hands the micro-batch DataFrame to the normal
+distributed append path (executors write the files); the commit itself is
+metadata-only. Exactly-once here relies on the single-writer commit
+protocol + the source's replayable offsets, like any foreachBatch sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from thesis_iceberg_spark.tablefmt import VersionedTable
+
+
+def stream_into_table(
+    spark: SparkSession,
+    stream: DataFrame,
+    location: str,
+    now_ms_base: int | None = None,
+) -> VersionedTable:
+    """Run a (bounded, availableNow) stream to completion, appending each
+    micro-batch to a VersionedTable at ``location`` (created from the
+    stream schema on first batch). Returns the table."""
+    state: dict[str, VersionedTable] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        now = (now_ms_base + batch_id) if now_ms_base is not None else None
+        if "t" not in state:
+            if VersionedTable.exists(location):
+                state["t"] = VersionedTable(spark, location)
+                state["t"].append(batch_df, now_ms=now)
+            else:
+                state["t"] = VersionedTable.create(spark, location, df=batch_df, now_ms=now)
+        else:
+            state["t"].append(batch_df, now_ms=now)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    if "t" not in state:  # empty source: still create the (empty) table
+        raise ValueError("stream produced no micro-batches")
+    return state["t"]
