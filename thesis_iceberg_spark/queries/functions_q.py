@@ -156,6 +156,90 @@ def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_year",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders GROUP BY 1
+""",
+    doc="Pivot (long->wide): order counts per year pivoted on status. "
+    "Spark's pivot with an EXPLICIT value list is a single-pass conditional "
+    "aggregation (no extra distinct-values job, fixed output schema — the "
+    "scale-safe form); the oracle states the same as FILTERed counts.",
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "time_funcs_profile",
+    oracle="""
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d,
+       CAST(hour(ts) AS INT) AS h,
+       CAST(dayofweek(ts) AS INT) + 1 AS dow,
+       strftime(ts + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS days_since_epoch0
+FROM events WHERE event_id <= 2000
+""",
+    doc="Date/time-function family: extract (year..hour, dayofweek), "
+    "interval arithmetic, date_trunc, datediff. DuckDB dayofweek is "
+    "0=Sunday vs Spark 1=Sunday — the oracle shifts by one; all outputs "
+    "are ints or formatted strings so equality is exact.",
+)
+def time_funcs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias("plus_90d"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        F.datediff(
+            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+        ).cast("bigint").alias("days_since_epoch0"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="Exact percentiles (linear interpolation): Spark percentile() and "
+    "DuckDB quantile_cont use the same interpolation and reproduce "
+    "bit-identical doubles (verified). The approx sketch variant for "
+    "100 TB is approx_percentile — see agg_approx_count_distinct for the "
+    "same exact-vs-sketch trade-off.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register(
     "q3_unshipped_topk",
     oracle="""
 SELECT l.l_orderkey,
