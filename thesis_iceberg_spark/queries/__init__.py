@@ -56,6 +56,7 @@ def _load_all() -> None:
         pipeline_q,
         relational,
         similarity,
+        sql_shapes,
         streaming_q,
         tablefmt_checks,
         text,

@@ -1,0 +1,121 @@
+"""SQL shape coverage: correlated subqueries, IN/EXISTS predicates, VALUES
+inline tables, unpivot/melt (§2B SQL completeness).
+
+These exercise Catalyst's subquery decorrelation — the rewrites that turn
+correlated scalar subqueries and EXISTS/IN into joins — which is exactly
+what makes such queries survive at 100 TB (a naive per-row subquery would
+be O(n) scans; decorrelation makes it one aggregate + one join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.sources.registry import load_table, register_tables
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+    doc="Correlated scalar subquery: orders 50% above their customer's "
+    "average. Catalyst decorrelates to aggregate-then-join (one shuffle), "
+    "not a per-row rescan.",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+    )
+
+
+@register(
+    "in_exists_subqueries",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    doc="IN + correlated EXISTS in one predicate (SQL-text path): both "
+    "rewrite to semi joins; the IN side is a broadcastable dim filter.",
+)
+def in_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("customer", "nation", "orders"))
+    return spark.sql(
+        """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+    )
+
+
+@register(
+    "values_inline_dim_join",
+    oracle="""
+WITH w(o_orderpriority, weight) AS (
+  VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+         ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+SELECT w.weight, COUNT(*) AS n_orders
+FROM orders o JOIN w ON o.o_orderpriority = w.o_orderpriority
+GROUP BY w.weight
+""",
+    doc="VALUES inline table as a broadcast dimension (the SQL-native "
+    "lookup-table pattern; ref S9 uses VALUES for inserts, this uses it "
+    "relationally).",
+)
+def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+WITH w AS (
+  SELECT * FROM VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                       ('4-NOT SPECIFIED', 2), ('5-LOW', 1)
+  AS w(o_orderpriority, weight))
+SELECT w.weight, COUNT(*) AS n_orders
+FROM orders o JOIN w ON o.o_orderpriority = w.o_orderpriority
+GROUP BY w.weight
+"""
+    )
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+SELECT o_orderkey, measure, value FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+) WHERE o_orderkey <= 500
+""",
+    doc="Unpivot / melt (wide->long): DataFrame unpivot() generates the "
+    "Expand node (one pass, rows x measures) — the oracle states it as the "
+    "equivalent UNION ALL.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return o.unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "value")
