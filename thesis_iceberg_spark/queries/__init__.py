@@ -60,6 +60,7 @@ def _load_all() -> None:
         streaming_q,
         tablefmt_checks,
         text,
+        timeseries_q,
     )
 
 
