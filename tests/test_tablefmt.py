@@ -76,6 +76,12 @@ def test_delete_update_merge(spark, loc):
     assert rows == {3: "CAROL", 4: "dave"}
     ops = [s.operation for s in vt.snapshots().collect()]
     assert ops == ["append", "delete", "update", "merge"]
+    # SQL-standard MERGE: duplicate source keys are an error, not silent fanout
+    dup_src = spark.createDataFrame(
+        [(3, "x", None), (3, "y", None)], vt.spark_schema()
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        vt.merge(dup_src, on="id")
 
 
 def test_rename_resolves_old_name(spark, loc):

@@ -16,7 +16,19 @@ Design principles (SURVEY.md §7):
 
 from thesis_iceberg_spark.session import get_spark
 from thesis_iceberg_spark.sources.registry import TABLES, load_table, register_tables
+from thesis_iceberg_spark.tablefmt import VersionedTable
+from thesis_iceberg_spark.tablefmt.catalog import Catalog
+from thesis_iceberg_spark.views import ApiView, ViewRegistry
 
-__all__ = ["get_spark", "TABLES", "load_table", "register_tables"]
+__all__ = [
+    "get_spark",
+    "TABLES",
+    "load_table",
+    "register_tables",
+    "VersionedTable",
+    "Catalog",
+    "ApiView",
+    "ViewRegistry",
+]
 
 __version__ = "0.1.0"

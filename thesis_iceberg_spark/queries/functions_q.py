@@ -145,7 +145,6 @@ FROM events GROUP BY event_type
 )
 def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    m = F.create_map(F.lit("type"), F.col("event_type"))
     return e.groupBy("event_type").agg(
         F.count("*").alias("n")
     ).select(

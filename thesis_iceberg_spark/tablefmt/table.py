@@ -377,6 +377,14 @@ class VersionedTable:
         target = self.read()
         cols = self.columns
         src = source.select(*cols)
+        # SQL-standard MERGE semantics: more than one source row matching a
+        # target row is an error (Iceberg raises the same), otherwise the
+        # full-outer join below would silently duplicate target rows
+        dup = src.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"MERGE source has multiple rows for key {on}={dup[0][0]!r}"
+            )
         t = target.alias("t")
         s = src.alias("s")
         joined = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
