@@ -95,6 +95,71 @@ GROUP BY w.weight
 
 
 @register(
+    "window_funcs_extended",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_order,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Extended window functions: ntile / percent_rank / cume_dist / "
+    "first_value / row_number over one named partition-ordered window — "
+    "single shuffle, single partition-local sort for all five.",
+)
+def window_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@register(
+    "conditional_funcs_profile",
+    oracle="""
+SELECT c_custkey,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 5000.0) AS bal_cap5k,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_band,
+       c_acctbal BETWEEN 100 AND 200 AS in_band
+FROM customer
+""",
+    doc="Conditional-function family: greatest/least/nullif/coalesce/"
+    "CASE/BETWEEN — identical three-valued-logic semantics on both engines.",
+)
+def conditional_funcs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "seg_defaulted"
+        ),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.col("c_acctbal").between(100, 200).alias("in_band"),
+    )
+
+
+@register(
     "unpivot_order_measures",
     oracle="""
 SELECT o_orderkey, measure, value FROM (
