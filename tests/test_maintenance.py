@@ -52,6 +52,60 @@ def test_expire_snapshots_deletes_dead_files(spark, loc):
         vt.read(snapshot_id=1)
 
 
+def test_file_pruned_cow_delete_keeps_untouched_files(spark, loc):
+    """DML must rewrite ONLY files that can contain matches: after deleting
+    rows that live entirely in the second append, the first append's data
+    directory is still referenced by the new snapshot."""
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 100))
+    vt.append(_df(spark, 100, 200))
+    vt.delete("id >= 150")
+    paths = [e["path"] for e in vt._current_manifest()]
+    assert any(p.startswith("data/snap-1-") for p in paths)  # untouched file carried by reference
+    assert not any(p.startswith("data/snap-2-") for p in paths)  # touched file was rewritten
+    assert vt.read().count() == 150
+    # a predicate matching nothing commits no snapshot (Iceberg semantics)
+    n_snaps = len(vt._meta["snapshots"])
+    vt.delete("id > 10000")
+    assert len(vt._meta["snapshots"]) == n_snaps
+
+
+def test_update_uses_original_row_values(spark, loc):
+    """All UPDATE assignments evaluate against the pre-update row (SQL
+    semantics), even when one assigned column feeds another's RHS."""
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 1, 4))  # v = 2*id
+    vt.update({"id": "v", "v": "id"}, "id >= 2")  # swap
+    rows = {r.id: r.v for r in vt.read().collect()}
+    assert rows == {1: 2, 4: 2, 6: 3}  # swapped, not chained
+
+
+def test_commit_conflict_detected(spark, loc):
+    from thesis_iceberg_spark.tablefmt.table import CommitConflict, VersionedTable as VT
+
+    vt1 = VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
+    vt2 = VT(spark, loc)  # second writer handle
+    vt1.append(_df(spark, 10, 20))  # writer 1 commits
+    with pytest.raises(CommitConflict):
+        vt2.append(_df(spark, 20, 30))  # stale handle must NOT clobber
+    # reload-and-retry succeeds
+    VT(spark, loc).append(_df(spark, 20, 30))
+    assert VT(spark, loc).read().count() == 30
+
+
+def test_remove_orphan_files(spark, loc):
+    import os
+    import shutil
+
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
+    # simulate a failed write: an unreferenced data dir appears
+    orphan = os.path.join(loc, "data", "snap-999")
+    os.makedirs(orphan)
+    removed = vt.remove_orphan_files()
+    assert removed == ["data/snap-999"]
+    assert not os.path.exists(orphan)
+    assert vt.read().count() == 10  # referenced data untouched
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_refs_pin_snapshots_through_expiry(spark, loc):
     vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 100))
     vt.create_ref("v1", ref_type="tag")  # tag snapshot 1

@@ -124,7 +124,7 @@ def test_partition_pruning_layout(spark, loc):
     import os
 
     vt = VersionedTable.create(spark, loc, df=_toy(spark), partition_day="added_at")
-    dirs = glob.glob(os.path.join(loc, "data", "snap-1", "_p_day=*"))
+    dirs = glob.glob(os.path.join(loc, "data", "snap-1-*", "_p_day=*"))
     assert sorted(os.path.basename(d) for d in dirs) == [
         "_p_day=2025-02-20",
         "_p_day=2025-02-21",

@@ -95,6 +95,40 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_dim_join",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    doc="Stream-static join: the event stream enriched against the static "
+    "customer dimension (broadcast per micro-batch — the streaming lookup-"
+    "table pattern), aggregated in complete mode. Oracle is the batch "
+    "equivalent.",
+)
+def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from thesis_iceberg_spark.sources.registry import load_table
+    from thesis_iceberg_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(F.count("*").alias("n"))
+    sink = f"ssd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
     "streaming_batch_parity",
     oracle="SELECT '' AS day, '' AS event_type, "
     "CAST(0 AS BIGINT) AS n_events, CAST(0.0 AS DOUBLE) AS total_value WHERE 1=0",

@@ -47,6 +47,10 @@ from pyspark.sql import types as T
 _PARTITION_COL = "_p_day"  # materialized hidden-partition column
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed since this handle loaded its metadata."""
+
+
 @dataclass
 class _Field:
     id: int
@@ -93,7 +97,18 @@ class VersionedTable:
 
     def _commit(self, meta: dict) -> None:
         """Write v{N+1}.metadata.json then flip version-hint (atomic rename),
-        the same two-step commit the Hadoop catalog uses."""
+        the same two-step commit the Hadoop catalog uses. Optimistic
+        concurrency: if another writer committed since this handle loaded
+        its metadata, the commit is rejected (Iceberg's
+        CommitFailedException) — callers re-load and retry."""
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        with open(hint) as f:
+            on_disk = int(f.read().strip())
+        if on_disk != self._meta["version"]:
+            raise CommitConflict(
+                f"table advanced to v{on_disk} since this handle loaded "
+                f"v{self._meta['version']}; reload and retry"
+            )
         version = meta["version"] = self._meta["version"] + 1
         meta["metadata_log"] = self._meta.get("metadata_log", []) + [
             {
@@ -204,7 +219,11 @@ class VersionedTable:
         if missing:
             raise ValueError(f"write is missing columns {missing}")
         out = df.select(*cols)
-        rel = f"data/snap-{snapshot_id}"
+        # unique suffix per write attempt: concurrent/failed writers can
+        # never collide on a path; losers become orphans for
+        # remove_orphan_files (Iceberg writes UUID filenames for the same
+        # reason)
+        rel = f"data/snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.location, rel)
         spec = self._meta["partition_spec"]
         writer = out.write.mode("errorifexists")
@@ -286,30 +305,31 @@ class VersionedTable:
         snap = self._select_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return self.spark.createDataFrame([], self.spark_schema())
-        current = self.current_schema
         entries = [e for e in snap["manifest"] if e["rows"] > 0]
         if not entries:
             return self.spark.createDataFrame([], self.spark_schema())
         # each manifest entry is its own directory root (possibly with
         # partition subdirs), so read per-entry and union — mixing roots in
         # one read() call trips CONFLICTING_DIRECTORY_STRUCTURES
-        parts: list[DataFrame] = []
-        for entry in entries:
-            df = self.spark.read.parquet(os.path.join(self.location, entry["path"]))
-            written = {f.id: f for f in self._schema_by_id(entry["schema_id"])}
-            cols = []
-            for f in current:
-                if f.id in written and written[f.id].name in df.columns:
-                    cols.append(F.col(written[f.id].name).cast(f.type).alias(f.name))
-                else:
-                    # column added after these files were written (or re-added
-                    # under a new field id): null-fill, exactly like Iceberg
-                    cols.append(F.lit(None).cast(f.type).alias(f.name))
-            parts.append(df.select(*cols))
+        parts = [self._read_entry(e) for e in entries]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_entry(self, entry: dict) -> DataFrame:
+        """Scan one manifest entry mapped to the CURRENT schema by field id."""
+        df = self.spark.read.parquet(os.path.join(self.location, entry["path"]))
+        written = {f.id: f for f in self._schema_by_id(entry["schema_id"])}
+        cols = []
+        for f in self.current_schema:
+            if f.id in written and written[f.id].name in df.columns:
+                cols.append(F.col(written[f.id].name).cast(f.type).alias(f.name))
+            else:
+                # column added after these files were written (or re-added
+                # under a new field id): null-fill, exactly like Iceberg
+                cols.append(F.lit(None).cast(f.type).alias(f.name))
+        return df.select(*cols)
 
     def _select_snapshot(
         self, snapshot_id: int | None = None, as_of_ms: int | None = None
@@ -332,13 +352,50 @@ class VersionedTable:
     # row-level DML (copy-on-write)
     # ------------------------------------------------------------------
 
+    def _cow_rewrite(
+        self,
+        condition: Column,
+        rewrite,
+        operation: str,
+        now_ms: int | None = None,
+    ) -> None:
+        """File-pruned copy-on-write: manifest entries with NO matching rows
+        are carried into the new snapshot untouched; only touched files are
+        rewritten (Iceberg's CoW file pruning). The probe per entry is a
+        pushdown-backed existence scan — row-group min/max skipping makes it
+        a metadata read when the predicate misses; a production build would
+        use manifest-level column stats instead of probing."""
+        snap = self._select_snapshot()
+        if snap is None:
+            return  # empty table: nothing to do
+        match = F.coalesce(condition, F.lit(False))
+        kept_entries: list[dict] = []
+        touched: list[dict] = []
+        for entry in snap["manifest"]:
+            if entry["rows"] == 0:
+                continue
+            if self._read_entry(entry).filter(match).limit(1).count() == 0:
+                kept_entries.append(entry)
+            else:
+                touched.append(entry)
+        if not touched:
+            return  # no rows match: no new snapshot (Iceberg does the same)
+        df = self._read_entry(touched[0])
+        for e in touched[1:]:
+            df = df.unionByName(self._read_entry(e))
+        sid = len(self._meta["snapshots"]) + 1
+        manifest = kept_entries + self._write_data_files(rewrite(df, match), sid)
+        self._commit_snapshot(operation, manifest, now_ms)
+
     def delete(self, condition: Column | str, now_ms: int | None = None) -> None:
-        """DELETE FROM t WHERE cond (ref: #cell-11). Copy-on-write: keeps
-        rows NOT matching; Iceberg's merge-on-read positional deletes are a
-        storage-level optimization with identical query semantics."""
+        """DELETE FROM t WHERE cond (ref: #cell-11). File-pruned copy-on-
+        write: untouched files survive by reference; Iceberg's merge-on-read
+        positional deletes are a storage-level optimization with identical
+        query semantics."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        kept = self.read().filter(~F.coalesce(cond, F.lit(False)))
-        self.overwrite(kept, now_ms=now_ms, operation="delete")
+        self._cow_rewrite(
+            cond, lambda df, match: df.filter(~match), "delete", now_ms
+        )
 
     def update(
         self,
@@ -346,17 +403,31 @@ class VersionedTable:
         condition: Column | str | None = None,
         now_ms: int | None = None,
     ) -> None:
-        """UPDATE t SET ... WHERE cond (ref: #cell-19/24)."""
+        """UPDATE t SET ... WHERE cond (ref: #cell-19/24); file-pruned CoW
+        like delete()."""
         cond = (
             F.expr(condition)
             if isinstance(condition, str)
             else (condition if condition is not None else F.lit(True))
         )
-        df = self.read()
-        for col, value in assignments.items():
-            val = F.expr(value) if isinstance(value, str) else value
-            df = df.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
-        self.overwrite(df, now_ms=now_ms, operation="update")
+        assigns = {
+            col: (F.expr(v) if isinstance(v, str) else v) for col, v in assignments.items()
+        }
+        out_cols = list(self.columns)
+
+        def rewrite(df: DataFrame, match: Column) -> DataFrame:
+            # one select so every RHS and the predicate see ORIGINAL row
+            # values (SQL UPDATE semantics), regardless of assignment order
+            return df.select(
+                *[
+                    F.when(match, assigns[c]).otherwise(F.col(c)).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in out_cols
+                ]
+            )
+
+        self._cow_rewrite(cond, rewrite, "update", now_ms)
 
     def merge(
         self,
@@ -610,6 +681,26 @@ class VersionedTable:
         for rel in sorted(dead_paths):
             shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
         return sorted(s["snapshot_id"] for s in expired)
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data directories no snapshot references (Iceberg's
+        remove_orphan_files): failed/partial writes and dirs left behind by
+        external tools. Never touches referenced data."""
+        import shutil
+
+        live = {
+            e["path"]
+            for s in self._meta["snapshots"]
+            for e in s["manifest"]
+        }
+        data_dir = os.path.join(self.location, "data")
+        removed = []
+        for d in sorted(os.listdir(data_dir)):
+            rel = f"data/{d}"
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed.append(rel)
+        return removed
 
     # ------------------------------------------------------------------
     # changelog (ref: SURVEY.md §2A T7 create_changelog_view)
