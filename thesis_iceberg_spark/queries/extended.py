@@ -325,6 +325,30 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skyline_price_size",
+    oracle="""
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+""",
+    doc="Skyline query (2D Pareto-dominance, minimize price and size; cf. "
+    "'Integration of Skyline Queries into Spark SQL', EDBT 2023): two-phase "
+    "local-then-global sweep via Arrow mapInPandas — exact, no O(n^2) join. "
+    "The oracle is the textbook NOT EXISTS dominance test.",
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size")
+
+
+@register(
     "udtf_tokenize_positions",
     oracle="""
 SELECT doc_id,
