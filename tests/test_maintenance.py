@@ -106,6 +106,25 @@ def test_remove_orphan_files(spark, loc):
     shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_sorted_write_orders_files_internally(spark, loc):
+    """sort_by produces internally-sorted data files (tight row-group
+    min/max stats for predicate skipping), preserved through appends."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = _df(spark, 0, 1000).orderBy(F.rand(seed=7))  # scrambled input
+    vt = VersionedTable.create(spark, loc, df=df.repartition(3), sort_by=["id"])
+    vt.append(_df(spark, 1000, 2000).orderBy(F.rand(seed=9)).repartition(2))
+    files = glob.glob(os.path.join(loc, "data", "snap-*", "*.parquet"))
+    assert len(files) >= 5
+    for f in files:
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids), f"file not internally sorted: {f}"
+    assert vt._meta["sort_order"] == ["id"]
+    assert vt.read().count() == 2000
+
+
 def test_refs_pin_snapshots_through_expiry(spark, loc):
     vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 100))
     vt.create_ref("v1", ref_type="tag")  # tag snapshot 1

@@ -40,6 +40,52 @@ WHERE q.quality_score >= {QUALITY_MIN}
 
 
 @register(
+    "pipeline_train_eval_split",
+    oracle="""
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id, n_chars,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents)
+GROUP BY split
+""",
+    doc="Deterministic hash-based train/eval split (90/10): the split of a "
+    "document depends only on its id (keyed md5 bucket), so it is stable "
+    "across runs, machines and engine versions — the property a training "
+    "pipeline needs so re-runs never leak eval docs into train. Verified "
+    "bucket-exact against DuckDB.",
+)
+def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("eval")
+    return (
+        docs.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "pipeline_clean_corpus",
     oracle=_PIPELINE_ORACLE,
     doc="Training-data cleaning pipeline: quality >= 0.5, detected language "

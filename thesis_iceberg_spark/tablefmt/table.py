@@ -143,11 +143,16 @@ class VersionedTable:
         schema: T.StructType | None = None,
         partition_day: str | None = None,
         properties: dict[str, str] | None = None,
+        sort_by: list[str] | None = None,
         now_ms: int | None = None,
     ) -> VersionedTable:
         """CREATE TABLE (+ optional AS SELECT).  ``partition_day=col`` is the
         hidden ``day(col)`` partition transform (ref: #cell-7);
-        ``properties`` are free-form TBLPROPERTIES (ref: #cell-21)."""
+        ``properties`` are free-form TBLPROPERTIES (ref: #cell-21);
+        ``sort_by`` is a write-time sort order (Iceberg SORTED BY): every
+        data file is internally sorted on these columns so parquet row-group
+        min/max stats become tight, selective range predicates skip whole
+        row groups, and the layout compresses better."""
         if df is None and schema is None:
             raise ValueError("need df (CTAS) or schema (CREATE TABLE)")
         os.makedirs(os.path.join(location, "metadata"), exist_ok=False)
@@ -163,6 +168,7 @@ class VersionedTable:
             "partition_spec": (
                 [{"source_name": partition_day, "transform": "day"}] if partition_day else []
             ),
+            "sort_order": list(sort_by or []),
             "properties": dict(properties or {}),
             "current_snapshot_id": None,
             "snapshots": [],
@@ -226,11 +232,16 @@ class VersionedTable:
         rel = f"data/snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.location, rel)
         spec = self._meta["partition_spec"]
-        writer = out.write.mode("errorifexists")
+        sort_order = self._meta.get("sort_order", [])
         if spec:
             src = spec[0]["source_name"]
             out = out.withColumn(_PARTITION_COL, F.date_format(F.col(src), "yyyy-MM-dd"))
-            writer = out.write.mode("errorifexists").partitionBy(_PARTITION_COL)
+        if sort_order:
+            # write-time sort: tight row-group min/max for predicate skipping
+            out = out.sortWithinPartitions(*sort_order)
+        writer = out.write.mode("errorifexists")
+        if spec:
+            writer = writer.partitionBy(_PARTITION_COL)
         writer.parquet(path)
         # row count from the written files' parquet footers (metadata-only
         # aggregate scan) — avoids recomputing the input lineage twice
