@@ -95,6 +95,40 @@ GROUP BY w.weight
 
 
 @register(
+    "set_ops_multiset",
+    oracle="""
+WITH a AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity < 10),
+     b AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_discount > 0.05)
+SELECT 'intersect_all' AS op, flag, COUNT(*) AS n
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY flag
+UNION ALL
+SELECT 'except_all', flag, COUNT(*)
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY flag
+""",
+    doc="Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate-"
+    "preserving bag semantics, the counterpart of the distinct set ops in "
+    "set_ops_customer_segments.",
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_returnflag").alias("flag"))
+    inter = (
+        a.intersectAll(b)
+        .groupBy("flag")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "flag", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("flag")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "flag", "n")
+    )
+    return inter.unionAll(exc)
+
+
+@register(
     "window_funcs_extended",
     oracle="""
 SELECT o_custkey, o_orderkey,
