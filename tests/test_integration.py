@@ -50,7 +50,7 @@ def test_thesis_reenactment(spark, tmp_path):
     emp.rename_column("Date of birth", "Birth Date")
 
     # 5. the view still answers, identically — the thesis success criterion
-    reg.views["employee_api"].table = cat.table("employee_db.employee")
+    # (no manual rebinding: ApiView reloads table metadata per execution)
     after = {r.id: (r.name, r.dob) for r in reg.dataframe("employee_api").collect()}
     assert before == after
     report = reg.report()[0]

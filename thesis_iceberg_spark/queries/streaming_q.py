@@ -41,6 +41,19 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_stateful_dedup",
+    oracle="SELECT user_id, MIN(event_id) AS canonical_event_id FROM events GROUP BY user_id",
+    doc="Streaming dedup via applyInPandasWithState: per-key state keeps "
+    "the canonical (lowest) event_id across micro-batches — arrival-order "
+    "independent, so the replay matches the batch MIN exactly.",
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.streaming.stateful import stateful_streaming_dedup
+
+    return stateful_streaming_dedup(spark, sf_dir)
+
+
+@register(
     "sessionize_events",
     oracle="""
 WITH marked AS (

@@ -58,3 +58,47 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def stateful_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: one canonical row per key survives the stream.
+
+    State per user is the lowest event_id seen so far (canonical-by-id, so
+    the result is independent of micro-batch arrival order — the property a
+    distributed replay needs); each batch emits the current canonical id in
+    update mode, and the final canonical set is the per-key minimum of the
+    updates. This is the streaming twin of dedup_exact_hash's
+    min(doc_id)-per-fingerprint rule."""
+
+    def keep_first(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (best,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            batch_min = int(pdf["event_id"].min())
+            best = batch_min if best is None else min(best, batch_min)
+        state.update((best,))
+        yield pd.DataFrame({"user_id": [key[0]], "canonical_event_id": [best]})
+
+    stream = events_stream(spark, sf_dir).select("user_id", "event_id")
+    canon = stream.groupBy("user_id").applyInPandasWithState(
+        keep_first,
+        outputStructType="user_id BIGINT, canonical_event_id BIGINT",
+        stateStructType="best BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stateful_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        canon.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.min("canonical_event_id").alias("canonical_event_id"))
+    )

@@ -31,13 +31,20 @@ class ApiView:
     table: VersionedTable
     logical_columns: dict[str, str]  # output alias -> column name as first defined
 
+    def _current_table(self) -> VersionedTable:
+        """A fresh handle per execution: schema changes committed by other
+        writers since this view was constructed must be visible (the whole
+        point of the layer)."""
+        return VersionedTable(self.table.spark, self.table.location)
+
     def resolve(self) -> dict[str, MatchResult]:
         """Re-resolve every logical column against the CURRENT schema:
         field-id history first (exact semantics), semantic matcher second."""
+        table = self._current_table()
         out: dict[str, MatchResult] = {}
-        cols = self.table.columns
+        cols = table.columns
         for alias, defined_name in self.logical_columns.items():
-            hist = self.table.resolve_column(defined_name)
+            hist = table.resolve_column(defined_name)
             if hist is not None:
                 out[alias] = MatchResult(MATCH, hist, 1.0)
             else:
@@ -51,7 +58,7 @@ class ApiView:
         bad = {a: r.status for a, r in resolved.items() if r.status != MATCH}
         if bad:
             raise KeyError(f"unresolvable view columns: {bad}")
-        df = self.table.read()
+        df = self._current_table().read()
         return df.select(
             *[df[r.column].alias(alias) for alias, r in resolved.items()]
         )
@@ -61,7 +68,7 @@ class ApiView:
         current schema version + how every logical column resolved."""
         return {
             "view": self.name,
-            "schema_id": self.table._meta["current_schema_id"],
+            "schema_id": self._current_table()._meta["current_schema_id"],
             "bindings": {
                 alias: {"defined_as": self.logical_columns[alias], "status": r.status,
                         "resolved_to": r.column, "score": round(r.score, 4)}
