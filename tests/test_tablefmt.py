@@ -115,6 +115,26 @@ def test_changelog(spark, loc):
     vt.delete("id = 1")
     ch = vt.changelog(from_snapshot=1, to_snapshot=2).collect()
     assert [(r.id, r._change_type) for r in ch] == [(1, "DELETE")]
+    # an UPDATE shows as DELETE(old) + INSERT(new), like Iceberg's CoW view
+    vt.update({"name": "'bobby'"}, "id = 2")
+    ch2 = sorted(
+        (r.id, r.name, r._change_type)
+        for r in vt.changelog(from_snapshot=2, to_snapshot=3).collect()
+    )
+    assert ch2 == [(2, "bob", "DELETE"), (2, "bobby", "INSERT")]
+
+
+def test_type_widening(spark, loc):
+    vt = VersionedTable.create(spark, loc, df=_toy(spark))  # id INT
+    vt.change_column_type("id", "bigint")
+    assert dict(vt.read().dtypes)["id"] == "bigint"
+    assert sorted(r.id for r in vt.read().collect()) == [1, 2, 3]  # old files widen
+    vt.append(_toy(spark).withColumn("id", (F.col("id") + 2**33).cast("bigint")))
+    assert vt.read().count() == 6  # values beyond int32 now storable
+    with pytest.raises(ValueError, match="unsafe"):
+        vt.change_column_type("id", "int")  # narrowing is rejected
+    with pytest.raises(ValueError, match="unsafe"):
+        vt.change_column_type("name", "bigint")
 
 
 def test_partition_pruning_layout(spark, loc):

@@ -538,6 +538,28 @@ class VersionedTable:
             raise ValueError(f"column {name} does not exist")
         self._evolve([f for f in self.current_schema if f.name != name])
 
+    # Iceberg's safe type promotions (spec v2): int->long, float->double,
+    # decimal scale-preserving precision widening (not modeled here).
+    _WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+    def change_column_type(self, name: str, new_type: str) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE — only Iceberg-safe widenings
+        (int->bigint, float->double): existing files keep their narrow
+        physical type and widen at read time via the per-entry cast."""
+        field = next((f for f in self.current_schema if f.name == name), None)
+        if field is None:
+            raise ValueError(f"column {name} does not exist")
+        if field.type != new_type and (field.type, new_type) not in self._WIDENINGS:
+            raise ValueError(
+                f"unsafe type change {field.type} -> {new_type}; allowed: "
+                f"{sorted(self._WIDENINGS)}"
+            )
+        fields = [
+            _Field(id=f.id, name=f.name, type=new_type if f.name == name else f.type)
+            for f in self.current_schema
+        ]
+        self._evolve(fields)
+
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN (ref: api.py:351-363): same field id,
         new name — historical data files keep working via id mapping."""
