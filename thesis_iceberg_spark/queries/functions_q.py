@@ -155,6 +155,33 @@ def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n_regionkey,
+       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+       CAST(regexp_extract(MIN(n_name), 'NATION_([0-9]+)', 1) AS BIGINT)
+           AS min_nation_num
+FROM nation GROUP BY n_regionkey
+""",
+    doc="Collection aggregates made deterministic: collect_list is "
+    "order-nondeterministic, so sort_array(collect_list(...)) is the "
+    "reproducible form (array + string_agg renderings); plus a "
+    "capture-group regexp_extract.",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    sorted_names = F.sort_array(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        sorted_names.alias("nations"),
+        F.array_join(sorted_names, ",").alias("nations_csv"),
+        F.regexp_extract(F.min("n_name"), r"NATION_([0-9]+)", 1)
+        .cast("bigint")
+        .alias("min_nation_num"),
+    )
+
+
+@register(
     "pivot_status_by_year",
     oracle="""
 SELECT CAST(year(o_orderdate) AS INT) AS order_year,
