@@ -158,23 +158,24 @@ def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations,
        array_to_string(list_sort(list(n_name)), ',') AS nations_csv,
+       CAST(len(list(n_name)) AS INT) AS n_nations,
        CAST(regexp_extract(MIN(n_name), 'NATION_([0-9]+)', 1) AS BIGINT)
            AS min_nation_num
 FROM nation GROUP BY n_regionkey
 """,
     doc="Collection aggregates made deterministic: collect_list is "
     "order-nondeterministic, so sort_array(collect_list(...)) is the "
-    "reproducible form (array + string_agg renderings); plus a "
-    "capture-group regexp_extract.",
+    "reproducible form, rendered via array_join (registered outputs carry "
+    "NO raw array/map/struct columns — the driver comparator can't "
+    "canonicalize them); plus a capture-group regexp_extract.",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     sorted_names = F.sort_array(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        sorted_names.alias("nations"),
         F.array_join(sorted_names, ",").alias("nations_csv"),
+        F.size(sorted_names).alias("n_nations"),
         F.regexp_extract(F.min("n_name"), r"NATION_([0-9]+)", 1)
         .cast("bigint")
         .alias("min_nation_num"),

@@ -42,11 +42,40 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # deterministic-fake decode; numpy byte stats — rows-only
+    # The fake features are byte statistics over utf-8 text bytes; the corpus
+    # is pure ASCII (verified for all SFs), so per-character code points ARE
+    # the bytes and DuckDB reproduces the exact values:
+    #   byte_mean = CAST(SUM(code) AS DOUBLE)/COUNT — the same IEEE division
+    #   numpy does (integer sums are exact in both engines).
+    oracle="""
+WITH codes AS (
+    SELECT doc_id,
+           unnest(list_transform(split(text, ''), c -> ascii(c))) AS code
+    FROM documents
+),
+stats AS (
+    SELECT doc_id,
+           COUNT(*) AS n_bytes,
+           CAST(SUM(code) AS DOUBLE) / COUNT(*) AS byte_mean,
+           CAST(MIN(code) AS INT) AS byte_min,
+           CAST(MAX(code) AS INT) AS byte_max
+    FROM codes GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       s.n_bytes,
+       s.byte_mean,
+       s.byte_min,
+       s.byte_max,
+       CAST((d.doc_id % 16) * 64 AS INT) AS width,
+       CAST((d.doc_id % 9) * 64 AS INT) AS height
+FROM documents d JOIN stats s USING (doc_id)
+""",
     doc="DETERMINISTIC-FAKE feature extraction standing in for decode->"
     "featurize (no image/audio libs in this container): per-payload byte "
     "statistics + meta passthrough, via Arrow-batched mapInPandas. "
-    "Self-checked in tests for determinism across runs.",
+    "Value-oracled: the fake features are pure byte math DuckDB reproduces.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))

@@ -97,7 +97,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     map to a timestamp type; with ``spark.sql.legacy.parquet.nanosAsLong``
     it arrives as a nanosecond LongType which we convert to microsecond
     TIMESTAMP_NTZ (matching DuckDB's naive-timestamp view of the same file).
+
+    The conf is set here (it is runtime-settable) rather than only at
+    session build time so the loader works under ANY SparkSession —
+    including the driver's own, which never calls our session.py.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(_cached_path(spark, sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

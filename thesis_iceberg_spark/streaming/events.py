@@ -28,6 +28,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet (schema from a static read;
     nanosecond-long ts normalized to TIMESTAMP_NTZ exactly like the batch
     loader)."""
+    # runtime-settable; required under ANY session (driver's included) because
+    # events.parquet stores TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(static.schema)
