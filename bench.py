@@ -50,6 +50,7 @@ def main() -> None:
     for extra in (
         "dedup_exact_hash",
         "dedup_minhash_lsh_pairs",
+        "dedup_embedding_lsh_pairs",
         "ann_cosine_topk",
         "text_quality_scores",
     ):

@@ -1,0 +1,150 @@
+"""Merge-on-read DML (position-delete files) and the snapshot-id /
+merge-NULL-key fixes: the storage behaviors the reference's churn tables
+exercise via TBLPROPERTIES write.delete.mode=merge-on-read."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.tablefmt import VersionedTable
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def _data_dirs(loc):
+    return sorted(
+        d for d in glob.glob(os.path.join(loc, "data", "snap-*")) if os.path.isdir(d)
+    )
+
+
+def test_mor_delete_never_rewrites_data_files(spark, loc):
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 100),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    vt.append(_df(spark, 100, 200))
+    dirs_before = _data_dirs(loc)
+    vt.delete(F.col("id") < 10)
+    # no data file rewritten or added — only a delete file appeared
+    assert _data_dirs(loc) == dirs_before
+    assert len(glob.glob(os.path.join(loc, "data", "delete-snap-*"))) == 1
+    assert vt.read().count() == 190
+    assert vt.read().filter(F.col("id") < 10).count() == 0
+    # time travel still sees the pre-delete rows
+    assert vt.read(snapshot_id=2).count() == 200
+    # a second MoR delete stacks, still no rewrite
+    vt.delete(F.col("id") >= 190)
+    assert _data_dirs(loc) == dirs_before
+    assert vt.read().count() == 180
+
+
+def test_mor_update_appends_only_updated_rows(spark, loc):
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 100),
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    dirs_before = _data_dirs(loc)
+    vt.update({"v": F.lit(-1).cast("bigint")}, F.col("id") < 5)
+    # original file untouched; one new data dir holds the 5 updated rows
+    assert dirs_before[0] in _data_dirs(loc)
+    new_dirs = [d for d in _data_dirs(loc) if d not in dirs_before]
+    assert len(new_dirs) == 1
+    assert spark.read.parquet(new_dirs[0]).count() == 5
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert len(got) == 100
+    assert all(got[i] == -1 for i in range(5))
+    assert all(got[i] == 2 * i for i in range(5, 100))
+
+
+def test_mor_delete_noop_when_nothing_matches(spark, loc):
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 10),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    v_before = vt._meta["version"]
+    vt.delete(F.col("id") > 1000)
+    assert vt._meta["version"] == v_before  # no snapshot committed
+    assert not glob.glob(os.path.join(loc, "data", "delete-snap-*"))
+
+
+def test_compact_folds_position_deletes(spark, loc):
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 100),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    vt.delete(F.col("id") % 2 == 0)
+    vt.compact(target_partitions=1)
+    snap = vt._current_snapshot_dict()
+    assert snap["delete_manifest"] == []  # deletes folded into data files
+    assert vt.read().count() == 50
+    assert vt.read().filter(F.col("id") % 2 == 0).count() == 0
+
+
+def test_cow_rewrite_respects_prior_mor_deletes(spark, loc):
+    """A CoW delete over a table carrying MoR delete files must not
+    resurrect the MoR-deleted rows it rewrites around."""
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 100))
+    vt.delete(F.col("id") < 10, mode="merge-on-read")
+    assert vt.read().count() == 90
+    vt.delete(F.col("id") >= 90, mode="copy-on-write")
+    got = sorted(r.id for r in vt.read().collect())
+    assert got == list(range(10, 90))
+
+
+def test_append_after_expiry_never_recycles_snapshot_ids(spark, loc):
+    """Snapshot ids are table-lifetime unique: after expiry shrinks the
+    snapshot list, new commits must NOT reuse surviving ids (len+1 would),
+    which corrupted snapshot selection and the parent chain."""
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 10))  # snap 1
+    vt.append(_df(spark, 10, 20))  # snap 2
+    vt.append(_df(spark, 20, 30))  # snap 3
+    vt.expire_snapshots(keep_last=1)  # only snap 3 survives
+    vt.append(_df(spark, 30, 40))  # must become snap 4, not 2
+    ids = [s["snapshot_id"] for s in vt._meta["snapshots"]]
+    assert ids == [3, 4]
+    assert len(set(ids)) == len(ids)
+    assert vt.read().count() == 40
+    # history() walks the parent chain without looping
+    hist = {r.snapshot_id: r.parent_id for r in vt.history().collect()}
+    assert hist[4] == 3
+
+
+def test_merge_preserves_null_key_target_rows(spark, loc):
+    """SQL MERGE leaves unmatched target rows unchanged — including rows
+    whose merge-key is NULL (they can never match); they must not be
+    rewritten to all-NULL or silently dropped."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 99)], "k INT, v INT"
+    )
+    vt = VersionedTable.create(spark, loc, df=base)
+    src = spark.createDataFrame([(2, 200), (3, 300)], "k INT, v INT")
+    vt.merge(src, on="k", when_matched_update={"v": "s.v"})
+    got = {(r.k, r.v) for r in vt.read().collect()}
+    assert got == {(1, 10), (2, 200), (None, 99), (3, 300)}
+    # and with inserts disabled, NULL-key target rows still survive
+    vt2 = VersionedTable.create(spark, loc + "2", df=base)
+    vt2.merge(src, on="k", when_matched_update={"v": "s.v"}, when_not_matched_insert=False)
+    got2 = {(r.k, r.v) for r in vt2.read().collect()}
+    assert got2 == {(1, 10), (2, 200), (None, 99)}
+
+
+def test_merge_allows_multiple_null_key_source_rows(spark, loc):
+    """NULL-key source rows can never match a target row, so several of
+    them are NOT duplicate keys; they insert as new rows."""
+    vt = VersionedTable.create(
+        spark, loc, df=spark.createDataFrame([(1, 10)], "k INT, v INT")
+    )
+    src = spark.createDataFrame([(None, 1), (None, 2)], "k INT, v INT")
+    vt.merge(src, on="k")  # must not raise
+    assert vt.read().count() == 3

@@ -60,6 +60,17 @@ def test_lsh_join_not_cartesian(spark, sf_dir):
     assert_no_cartesian(_q("dedup_minhash_lsh_pairs", spark, sf_dir))
 
 
+def test_embedding_lsh_join_not_cartesian(spark, sf_dir):
+    # candidate generation must be an equi-join on bucket; the only
+    # nested-loop allowed is the 8-row broadcast centroid fan-out
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    df = _q("dedup_embedding_lsh_pairs", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     from thesis_iceberg_spark.plans import formatted_plan
 

@@ -1,0 +1,79 @@
+"""TableSQL front-end: statement routing, time-travel rewrite, SET/WHERE
+parsing edge cases, and passthrough of non-table SQL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.tablefmt import TableSQL, VersionedTable
+from thesis_iceberg_spark.tablefmt.sql import _parse_as_of_ms, _split_assignments
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id INT, s STRING, v DOUBLE"
+    )
+    return VersionedTable.create(spark, str(tmp_path / "t"), df=df, now_ms=1_000)
+
+
+def _fe(spark, vt):
+    return TableSQL(spark, {"t": vt}.__getitem__)
+
+
+def test_version_as_of_select(spark, vt):
+    vt.append(
+        spark.createDataFrame([(4, "d", 40.0)], "id INT, s STRING, v DOUBLE"),
+        now_ms=2_000,
+    )
+    fe = _fe(spark, vt)
+    assert fe.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 1").first().n == 3
+    assert fe.sql("SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 2").first().n == 4
+    # timestamp travel, both epoch-ms and quoted-literal forms
+    assert fe.sql("SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME AS OF 1500").first().n == 3
+    assert (
+        fe.sql("SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF '1970-01-02'").first().n == 4
+    )
+
+
+def test_update_and_delete_sql(spark, vt):
+    fe = _fe(spark, vt)
+    # function call + comma inside an argument list must not split the SET
+    fe.sql("UPDATE t SET s = concat(s, '!'), v = v * 2 WHERE id IN (1, 2)")
+    got = {r.id: (r.s, r.v) for r in vt.read().collect()}
+    assert got == {1: ("a!", 20.0), 2: ("b!", 40.0), 3: ("c", 30.0)}
+    fe.sql("DELETE FROM t WHERE v >= 40.0")
+    assert sorted(r.id for r in vt.read().collect()) == [1, 3]
+    fe.sql("DELETE FROM t")  # no WHERE -> delete everything
+    assert vt.read().count() == 0
+
+
+def test_non_table_sql_passes_through(spark, vt):
+    fe = _fe(spark, vt)
+    spark.range(5).createOrReplaceTempView("plain_view")
+    assert fe.sql("SELECT COUNT(*) AS n FROM plain_view").first().n == 5
+
+
+def test_travel_clause_composes_with_joins(spark, vt):
+    vt.delete(F.col("id") == 1)
+    fe = _fe(spark, vt)
+    spark.createDataFrame([(1, "x"), (2, "y")], "id INT, tag STRING").createOrReplaceTempView(
+        "dims"
+    )
+    rows = fe.sql(
+        "SELECT d.tag FROM t FOR VERSION AS OF 1 JOIN dims d USING (id) ORDER BY d.tag"
+    ).collect()
+    assert [r.tag for r in rows] == ["x", "y"]  # snapshot 1 still has id=1
+
+
+def test_parse_helpers():
+    assert _parse_as_of_ms("12345") == 12345
+    assert _parse_as_of_ms("'1970-01-01 00:00:01'") == 1000
+    assert _split_assignments("a = f(x, y), b = 'lit, comma', c=1+2") == {
+        "a": "f(x, y)",
+        "b": "'lit, comma'",
+        "c": "1+2",
+    }
+    with pytest.raises(ValueError):
+        _split_assignments("a 1")

@@ -27,9 +27,9 @@ def _cosine(u: Column, w: Column) -> Column:
 
 def build_ivf_index(
     spark: SparkSession, embeddings: DataFrame, k: int = 8, seed: int = 42
-) -> DataFrame:
-    """Fit seeded KMeans on the embedding column and return the corpus with
-    a ``bucket`` column (the learned inverted-file assignment)."""
+) -> tuple[DataFrame, "KMeansModel"]:  # noqa: F821 — pyspark.ml imported lazily
+    """Fit seeded KMeans on the embedding column; returns (corpus with a
+    ``bucket`` column — the learned inverted-file assignment, fitted model)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

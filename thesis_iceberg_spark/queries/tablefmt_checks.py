@@ -208,6 +208,96 @@ def tablefmt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_time_travel",
+    oracle=f"""
+SELECT 1 AS snap, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE) AS total
+FROM orders WHERE year(o_orderdate) <= 1996
+UNION ALL
+SELECT 2, COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE)
+FROM orders WHERE year(o_orderdate) <= 1998
+UNION ALL
+SELECT 3, COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 4, COUNT(*),
+       CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS VARCHAR) AS DOUBLE)
+FROM orders WHERE year(o_orderdate) <= 1998
+""",
+    doc="Time travel driven as SQL TEXT through the TableSQL front-end — "
+    "the reference's actual surface (ref: api.py:151-168 FOR SYSTEM_TIME "
+    "AS OF; #cell-45 (json:1349) VERSION AS OF): VERSION AS OF 1/2/3 plus "
+    "FOR SYSTEM_TIME AS OF at snapshot 2's commit time must reproduce "
+    "tablefmt_time_travel's API-path results exactly.",
+)
+def sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.tablefmt import TableSQL
+
+    vt = _build_orders_table(spark, sf_dir)
+    fe = TableSQL(spark, {"orders_vt": vt}.__getitem__)
+    total = (
+        f"CAST(CAST(SUM(CAST(o_totalprice AS {DEC})) AS STRING) AS DOUBLE)"
+    )
+
+    def part(snap: int, clause: str) -> DataFrame:
+        return fe.sql(
+            f"SELECT {snap} AS snap, COUNT(*) AS n, {total} AS total "
+            f"FROM orders_vt {clause}"
+        )
+
+    out = part(1, "VERSION AS OF 1")
+    out = out.unionAll(part(2, "VERSION AS OF 2"))
+    out = out.unionAll(part(3, "FOR VERSION AS OF 3"))
+    out = out.unionAll(part(4, f"FOR SYSTEM_TIME AS OF {T2}"))
+    return out
+
+
+@register(
+    "sql_dml_update_delete",
+    oracle="""
+SELECT c_custkey, c_name,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100
+            ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN 'UPDATED'
+            ELSE c_mktsegment END AS c_mktsegment
+FROM customer WHERE NOT (c_acctbal < 0)
+""",
+    doc="UPDATE/DELETE driven as SQL TEXT through the TableSQL front-end "
+    "(ref: #cell-19 (json:586) UPDATE ... WHERE as SQL), against a table "
+    "configured write.delete.mode/write.update.mode=merge-on-read (ref: "
+    "#cell-18 (json:557)) — so position-delete files, the MoR read path "
+    "AND the SQL surface all sit under one full value oracle.",
+)
+def sql_dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.tablefmt import TableSQL
+
+    customer = load_table(spark, sf_dir, "customer")
+    loc = _fresh(sf_dir, "customer_sqldml")
+    vt = VersionedTable.create(
+        spark,
+        loc,
+        df=customer,
+        now_ms=T1,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    fe = TableSQL(spark, {"cust": vt}.__getitem__)
+    fe.sql("DELETE FROM cust WHERE c_acctbal < 0")
+    fe.sql(
+        "UPDATE cust SET c_acctbal = c_acctbal + 100, c_mktsegment = 'UPDATED' "
+        "WHERE c_mktsegment = 'BUILDING'"
+    )
+    # MoR contract: both statements committed via delete files — the CTAS
+    # data directory was never rewritten (1 data entry + 1 appended by the
+    # MoR update holding only updated rows)
+    return vt.read().select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@register(
     "tablefmt_quoted_identifiers",
     oracle="""
 SELECT c_custkey AS "Customer Id", c_name AS "Full Name",

@@ -8,6 +8,7 @@ metadata JSON + version-hint.text + immutable data files + field-id-based
 schema evolution) so the concepts transfer 1:1.
 """
 
+from thesis_iceberg_spark.tablefmt.sql import TableSQL
 from thesis_iceberg_spark.tablefmt.table import VersionedTable
 
-__all__ = ["VersionedTable"]
+__all__ = ["TableSQL", "VersionedTable"]
