@@ -11,9 +11,12 @@ notebook cells 7-65 exercise the features):
   * schema evolution via immutable FIELD IDS — add/drop/rename columns,
     old-name resolution by field id, drop/re-add gets a NEW id
     (ref: api.py:170-215; iceberg_db/test/metadata/v8.metadata.json)
-  * row-level DML: INSERT/UPDATE/DELETE/MERGE, copy-on-write
-    (ref: #cell-11/19/24; merge-on-read is an Iceberg storage optimization —
-    semantics here are identical, see class docstring)
+  * row-level DML: INSERT/UPDATE/DELETE/MERGE, copy-on-write AND
+    merge-on-read via position-delete files, selected by the Iceberg
+    table properties write.delete.mode / write.update.mode
+    (ref: #cell-11/19/24; #cell-18 (json:557) / #cell-21 (json:665)
+    TBLPROPERTIES write.delete.mode=merge-on-read; table2 has 11 MoR
+    snapshots per iceberg_db/table2/metadata/v14.metadata.json)
   * changelog between snapshots (ref: #cell-32/34/35 create_changelog_view)
   * hidden day() partitioning (ref: #cell-7 PARTITIONED BY (day(added_at)))
 
@@ -25,11 +28,12 @@ Storage layout (mirrors Iceberg's Hadoop catalog protocol):
 
 Scale notes: data files are written by Spark executors (never collected);
 reads are parquet scans; only the metadata JSON (KBs) is driver-side,
-exactly as in Iceberg. DML is copy-on-write over the current snapshot (one
-distributed read -> filter/when -> write); file-level pruning of untouched
-partitions and merge-on-read deletes are storage optimizations Iceberg
-adds on top — query semantics here are identical. Single-writer semantics
-(no commit lock) — the reference's notebook flow is single-writer too.
+exactly as in Iceberg. Copy-on-write DML is file-pruned (untouched files
+survive by reference); merge-on-read DML writes position-delete files
+(file_path/pos keyed off the parquet reader's _metadata column) applied as
+one anti-join at read time, so delete-heavy churn never rewrites data —
+compact() folds delete files back in. Commits take a short exclusive lock
+on metadata/commit.lock around the version check-and-flip (see _commit).
 """
 
 from __future__ import annotations
@@ -100,34 +104,50 @@ class VersionedTable:
         the same two-step commit the Hadoop catalog uses. Optimistic
         concurrency: if another writer committed since this handle loaded
         its metadata, the commit is rejected (Iceberg's
-        CommitFailedException) — callers re-load and retry."""
-        hint = os.path.join(self._meta_dir, "version-hint.text")
-        with open(hint) as f:
-            on_disk = int(f.read().strip())
-        if on_disk != self._meta["version"]:
-            raise CommitConflict(
-                f"table advanced to v{on_disk} since this handle loaded "
-                f"v{self._meta['version']}; reload and retry"
-            )
-        version = meta["version"] = self._meta["version"] + 1
-        meta["metadata_log"] = self._meta.get("metadata_log", []) + [
-            {
-                "version": self._meta["version"],
-                "file": f"v{self._meta['version']}.metadata.json",
-                "timestamp_ms": self._meta["timestamp_ms"],
-            }
-        ]
-        meta["timestamp_ms"] = _now_ms()
-        path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-        os.rename(tmp, path)
-        hint = os.path.join(self._meta_dir, "version-hint.text")
-        tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.rename(tmp, hint)
+        CommitFailedException) — callers re-load and retry.
+
+        The check-and-flip runs under an exclusive fcntl lock on
+        metadata/commit.lock, so two same-host writers cannot both pass the
+        version check and silently drop a snapshot (the TOCTOU window a bare
+        read-compare-write would leave open). The lock covers ONLY the
+        metadata swap — data files are written before, under unique paths —
+        so it is held for microseconds. On a shared filesystem without fcntl
+        semantics a real deployment swaps this for a catalog with atomic
+        compare-and-swap, exactly as Iceberg requires of its catalogs."""
+        import fcntl
+
+        lock_path = os.path.join(self._meta_dir, "commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                hint = os.path.join(self._meta_dir, "version-hint.text")
+                with open(hint) as f:
+                    on_disk = int(f.read().strip())
+                if on_disk != self._meta["version"]:
+                    raise CommitConflict(
+                        f"table advanced to v{on_disk} since this handle loaded "
+                        f"v{self._meta['version']}; reload and retry"
+                    )
+                version = meta["version"] = self._meta["version"] + 1
+                meta["metadata_log"] = self._meta.get("metadata_log", []) + [
+                    {
+                        "version": self._meta["version"],
+                        "file": f"v{self._meta['version']}.metadata.json",
+                        "timestamp_ms": self._meta["timestamp_ms"],
+                    }
+                ]
+                meta["timestamp_ms"] = _now_ms()
+                path = os.path.join(self._meta_dir, f"v{version}.metadata.json")
+                tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f, indent=1)
+                os.rename(tmp, path)
+                tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    f.write(str(version))
+                os.rename(tmp, hint)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         self._meta = meta
 
     # ------------------------------------------------------------------
@@ -171,6 +191,7 @@ class VersionedTable:
             "sort_order": list(sort_by or []),
             "properties": dict(properties or {}),
             "current_snapshot_id": None,
+            "last_snapshot_id": 0,
             "snapshots": [],
             "metadata_log": [],
             "refs": {},
@@ -254,10 +275,29 @@ class VersionedTable:
             }
         ]
 
+    def _next_snapshot_id(self) -> int:
+        """Monotonic snapshot ids: max(existing, persisted last_snapshot_id)+1.
+        ``len(snapshots)+1`` would RECYCLE ids after expire_snapshots()
+        shrinks the list (e.g. surviving [1,3] -> next id 3 again), corrupting
+        snapshot selection and the parent chain; the persisted high-water mark
+        makes expiry unable to free an id (Iceberg ids are likewise unique
+        for the table's lifetime)."""
+        return (
+            max(
+                max((s["snapshot_id"] for s in self._meta["snapshots"]), default=0),
+                self._meta.get("last_snapshot_id", 0),
+            )
+            + 1
+        )
+
     def _new_snapshot(
-        self, operation: str, manifest: list[dict], now_ms: int | None = None
+        self,
+        operation: str,
+        manifest: list[dict],
+        now_ms: int | None = None,
+        delete_manifest: list[dict] | None = None,
     ) -> dict:
-        sid = len(self._meta["snapshots"]) + 1
+        sid = self._next_snapshot_id()
         parent = self._meta["current_snapshot_id"]
         return {
             "snapshot_id": sid,
@@ -265,43 +305,63 @@ class VersionedTable:
             "timestamp_ms": now_ms or _now_ms(),
             "operation": operation,
             "manifest": manifest,
+            "delete_manifest": list(delete_manifest or []),
             "summary": {
                 "added-files": len(manifest),
                 "total-records": sum(m["rows"] for m in manifest),
+                "delete-files": len(delete_manifest or []),
             },
         }
 
     def append(self, df: DataFrame, now_ms: int | None = None) -> None:
-        """INSERT INTO semantics (ref: #cell-11 INSERT VALUES)."""
-        sid = len(self._meta["snapshots"]) + 1
+        """INSERT INTO semantics (ref: #cell-11 INSERT VALUES). Existing
+        position-delete files still apply to the carried-over data files."""
+        sid = self._next_snapshot_id()
         manifest = self._current_manifest() + self._write_data_files(df, sid)
-        self._commit_snapshot("append", manifest, now_ms)
+        self._commit_snapshot(
+            "append", manifest, now_ms, delete_manifest=self._current_delete_manifest()
+        )
 
     def overwrite(
         self, df: DataFrame, now_ms: int | None = None, operation: str = "overwrite"
     ) -> None:
-        """REPLACE TABLE ... AS SELECT semantics (ref: #cell-13 RTAS)."""
-        sid = len(self._meta["snapshots"]) + 1
+        """REPLACE TABLE ... AS SELECT semantics (ref: #cell-13 RTAS).
+        A full rewrite folds any position-delete files in (fresh manifest,
+        empty delete manifest) — this is how compact() compacts MoR state."""
+        sid = self._next_snapshot_id()
         manifest = self._write_data_files(df, sid)
         self._commit_snapshot(operation, manifest, now_ms)
 
     def _commit_snapshot(
-        self, operation: str, manifest: list[dict], now_ms: int | None = None
+        self,
+        operation: str,
+        manifest: list[dict],
+        now_ms: int | None = None,
+        delete_manifest: list[dict] | None = None,
     ) -> None:
-        snap = self._new_snapshot(operation, manifest, now_ms)
+        snap = self._new_snapshot(operation, manifest, now_ms, delete_manifest)
         meta = json.loads(json.dumps(self._meta))
         meta["snapshots"].append(snap)
         meta["current_snapshot_id"] = snap["snapshot_id"]
+        meta["last_snapshot_id"] = snap["snapshot_id"]  # expiry-proof high-water
         meta.setdefault("refs", {})["main"] = {"snapshot_id": snap["snapshot_id"]}
         self._commit(meta)
 
     def _current_manifest(self) -> list[dict]:
+        snap = self._current_snapshot_dict()
+        return list(snap["manifest"]) if snap else []
+
+    def _current_delete_manifest(self) -> list[dict]:
+        snap = self._current_snapshot_dict()
+        return list(snap.get("delete_manifest", [])) if snap else []
+
+    def _current_snapshot_dict(self) -> dict | None:
         sid = self._meta["current_snapshot_id"]
         if sid is None:
-            return []
+            return None
         for s in self._meta["snapshots"]:
             if s["snapshot_id"] == sid:
-                return list(s["manifest"])
+                return s
         raise KeyError(f"snapshot {sid} not found")
 
     # ------------------------------------------------------------------
@@ -312,24 +372,51 @@ class VersionedTable:
         self, snapshot_id: int | None = None, as_of_ms: int | None = None
     ) -> DataFrame:
         """Scan the table; time travel via snapshot_id (VERSION AS OF) or
-        as_of_ms (FOR SYSTEM_TIME AS OF) — ref: api.py:151-168, #cell-45."""
+        as_of_ms (FOR SYSTEM_TIME AS OF) — ref: api.py:151-168, #cell-45.
+        Position-delete files (merge-on-read DML) are applied here."""
         snap = self._select_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return self.spark.createDataFrame([], self.spark_schema())
+        return self._scan_snapshot(snap, with_pos=False)
+
+    def _scan_snapshot(self, snap: dict, with_pos: bool) -> DataFrame:
+        """Union all manifest entries of ``snap`` and anti-join away
+        position-deleted rows. ``with_pos=True`` keeps the (_del_file,
+        _del_pos) row-identity columns for DML that writes delete files."""
         entries = [e for e in snap["manifest"] if e["rows"] > 0]
+        deletes = snap.get("delete_manifest", [])
+        need_pos = with_pos or bool(deletes)
         if not entries:
-            return self.spark.createDataFrame([], self.spark_schema())
+            empty = self.spark.createDataFrame([], self.spark_schema())
+            if with_pos:
+                empty = empty.withColumn("_del_file", F.lit(None).cast("string"))
+                empty = empty.withColumn("_del_pos", F.lit(None).cast("bigint"))
+            return empty
         # each manifest entry is its own directory root (possibly with
         # partition subdirs), so read per-entry and union — mixing roots in
         # one read() call trips CONFLICTING_DIRECTORY_STRUCTURES
-        parts = [self._read_entry(e) for e in entries]
+        parts = [self._read_entry(e, with_pos=need_pos) for e in entries]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if deletes:
+            # merge-on-read: subtract (file, position) pairs recorded by
+            # delete snapshots — one anti-join; the delete set is tiny
+            # relative to data (it holds deleted row ids only), so at scale
+            # AQE broadcasts it
+            paths = [os.path.join(self.location, d["path"]) for d in deletes]
+            dels = self.spark.read.parquet(*paths)
+            out = out.join(dels, ["_del_file", "_del_pos"], "left_anti")
+        if need_pos and not with_pos:
+            out = out.drop("_del_file", "_del_pos")
         return out
 
-    def _read_entry(self, entry: dict) -> DataFrame:
-        """Scan one manifest entry mapped to the CURRENT schema by field id."""
+    def _read_entry(self, entry: dict, with_pos: bool = False) -> DataFrame:
+        """Scan one manifest entry mapped to the CURRENT schema by field id.
+        ``with_pos`` appends the physical row identity (_del_file, _del_pos)
+        from the parquet reader's hidden _metadata column — the position-
+        delete key (Iceberg's file_path/pos), stable because row_index is
+        defined by the file itself, not the scan."""
         df = self.spark.read.parquet(os.path.join(self.location, entry["path"]))
         written = {f.id: f for f in self._schema_by_id(entry["schema_id"])}
         cols = []
@@ -340,6 +427,9 @@ class VersionedTable:
                 # column added after these files were written (or re-added
                 # under a new field id): null-fill, exactly like Iceberg
                 cols.append(F.lit(None).cast(f.type).alias(f.name))
+        if with_pos:
+            cols.append(F.col("_metadata.file_path").alias("_del_file"))
+            cols.append(F.col("_metadata.row_index").alias("_del_pos"))
         return df.select(*cols)
 
     def _select_snapshot(
@@ -380,32 +470,104 @@ class VersionedTable:
         if snap is None:
             return  # empty table: nothing to do
         match = F.coalesce(condition, F.lit(False))
+        deletes = snap.get("delete_manifest", [])
+
+        def live(entry: dict) -> DataFrame:
+            """One entry with any position deletes already applied — a CoW
+            rewrite over MoR state must not resurrect MoR-deleted rows."""
+            df = self._read_entry(entry, with_pos=bool(deletes))
+            if deletes:
+                paths = [os.path.join(self.location, d["path"]) for d in deletes]
+                dels = self.spark.read.parquet(*paths)
+                df = df.join(dels, ["_del_file", "_del_pos"], "left_anti").drop(
+                    "_del_file", "_del_pos"
+                )
+            return df
+
         kept_entries: list[dict] = []
         touched: list[dict] = []
         for entry in snap["manifest"]:
             if entry["rows"] == 0:
                 continue
-            if self._read_entry(entry).filter(match).limit(1).count() == 0:
+            if live(entry).filter(match).limit(1).count() == 0:
                 kept_entries.append(entry)
             else:
                 touched.append(entry)
         if not touched:
             return  # no rows match: no new snapshot (Iceberg does the same)
-        df = self._read_entry(touched[0])
+        df = live(touched[0])
         for e in touched[1:]:
-            df = df.unionByName(self._read_entry(e))
-        sid = len(self._meta["snapshots"]) + 1
+            df = df.unionByName(live(e))
+        sid = self._next_snapshot_id()
         manifest = kept_entries + self._write_data_files(rewrite(df, match), sid)
-        self._commit_snapshot(operation, manifest, now_ms)
+        # carried delete files still mask rows in kept entries; their rows
+        # pointing at rewritten (now-unreferenced) files simply never match
+        self._commit_snapshot(
+            operation, manifest, now_ms, delete_manifest=deletes if kept_entries else []
+        )
 
-    def delete(self, condition: Column | str, now_ms: int | None = None) -> None:
-        """DELETE FROM t WHERE cond (ref: #cell-11). File-pruned copy-on-
-        write: untouched files survive by reference; Iceberg's merge-on-read
-        positional deletes are a storage-level optimization with identical
-        query semantics."""
+    def _write_delete_files(self, matches: DataFrame, snapshot_id: int) -> list[dict]:
+        """Write (_del_file, _del_pos) pairs as a position-delete parquet
+        (Iceberg's file_path/pos delete files). Returns [] when no rows
+        matched — the caller then skips the commit."""
+        import shutil
+
+        rel = f"data/delete-snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.location, rel)
+        matches.select("_del_file", "_del_pos").write.mode("errorifexists").parquet(path)
+        n_rows = self.spark.read.parquet(path).count()
+        if n_rows == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            return []
+        return [{"path": rel, "rows": n_rows}]
+
+    def _dml_mode(self, which: str, override: str | None) -> str:
+        """'copy-on-write' (default) or 'merge-on-read', from the Iceberg
+        table properties write.delete.mode / write.update.mode
+        (ref: Pyspark_Notebook.ipynb#cell-18 (json:557), #cell-21 (json:665)
+        TBLPROPERTIES write.delete.mode=merge-on-read)."""
+        mode = override or self.properties.get(f"write.{which}.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown write.{which}.mode: {mode}")
+        return mode
+
+    def delete(
+        self,
+        condition: Column | str,
+        now_ms: int | None = None,
+        mode: str | None = None,
+    ) -> None:
+        """DELETE FROM t WHERE cond (ref: #cell-11).
+
+        copy-on-write (default): file-pruned rewrite — untouched files
+        survive by reference, touched files are rewritten without the rows.
+        merge-on-read (write.delete.mode property, or mode=): a delete-heavy
+        workload never rewrites data files — matched row positions are
+        written to a small position-delete file consulted at read time;
+        compact() folds the deletes back into data files."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if self._dml_mode("delete", mode) == "merge-on-read":
+            self._mor_delete(cond, now_ms)
+            return
         self._cow_rewrite(
             cond, lambda df, match: df.filter(~match), "delete", now_ms
+        )
+
+    def _mor_delete(self, condition: Column, now_ms: int | None = None) -> None:
+        snap = self._select_snapshot()
+        if snap is None:
+            return
+        match = F.coalesce(condition, F.lit(False))
+        scan = self._scan_snapshot(snap, with_pos=True)  # live rows only
+        sid = self._next_snapshot_id()
+        del_entries = self._write_delete_files(scan.filter(match), sid)
+        if not del_entries:
+            return  # no rows match: no new snapshot
+        self._commit_snapshot(
+            "delete",
+            list(snap["manifest"]),
+            now_ms,
+            delete_manifest=snap.get("delete_manifest", []) + del_entries,
         )
 
     def update(
@@ -413,9 +575,11 @@ class VersionedTable:
         assignments: dict[str, Column | str],
         condition: Column | str | None = None,
         now_ms: int | None = None,
+        mode: str | None = None,
     ) -> None:
         """UPDATE t SET ... WHERE cond (ref: #cell-19/24); file-pruned CoW
-        like delete()."""
+        like delete(), or merge-on-read (write.update.mode): position-delete
+        the old rows and append a data file holding only the updated ones."""
         cond = (
             F.expr(condition)
             if isinstance(condition, str)
@@ -438,7 +602,39 @@ class VersionedTable:
                 ]
             )
 
+        if self._dml_mode("update", mode) == "merge-on-read":
+            self._mor_update(cond, assigns, now_ms)
+            return
         self._cow_rewrite(cond, rewrite, "update", now_ms)
+
+    def _mor_update(
+        self, condition: Column, assigns: dict[str, Column], now_ms: int | None
+    ) -> None:
+        """Merge-on-read UPDATE: position-delete every matched row, append a
+        new data file containing only the updated versions. Untouched data
+        files are never rewritten."""
+        snap = self._select_snapshot()
+        if snap is None:
+            return
+        match = F.coalesce(condition, F.lit(False))
+        matched = self._scan_snapshot(snap, with_pos=True).filter(match)
+        sid = self._next_snapshot_id()
+        del_entries = self._write_delete_files(matched, sid)
+        if not del_entries:
+            return  # no rows match: no new snapshot
+        updated = matched.drop("_del_file", "_del_pos").select(
+            *[
+                assigns[c].alias(c) if c in assigns else F.col(c)
+                for c in self.columns
+            ]
+        )
+        manifest = list(snap["manifest"]) + self._write_data_files(updated, sid)
+        self._commit_snapshot(
+            "update",
+            manifest,
+            now_ms,
+            delete_manifest=snap.get("delete_manifest", []) + del_entries,
+        )
 
     def merge(
         self,
@@ -461,16 +657,32 @@ class VersionedTable:
         src = source.select(*cols)
         # SQL-standard MERGE semantics: more than one source row matching a
         # target row is an error (Iceberg raises the same), otherwise the
-        # full-outer join below would silently duplicate target rows
-        dup = src.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+        # full-outer join below would silently duplicate target rows.
+        # NULL-key source rows are excluded: they can never match any target
+        # row (NULL = NULL is not true), so they are not duplicates.
+        dup = (
+            src.filter(F.col(on).isNotNull())
+            .groupBy(on)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
         if dup:
             raise ValueError(
                 f"MERGE source has multiple rows for key {on}={dup[0][0]!r}"
             )
-        t = target.alias("t")
-        s = src.alias("s")
+        # Side provenance via non-null marker columns, NOT key nullability:
+        # a target row whose merge-key is NULL never joins, and must survive
+        # unchanged as a target-only row — keying the matched/target-only
+        # tests on t.<on> IS NOT NULL would rewrite it to all-NULLs (or
+        # silently delete it when when_not_matched_insert=False).
+        t = target.withColumn("_t_exists", F.lit(True)).alias("t")
+        s = src.withColumn("_s_exists", F.lit(True)).alias("s")
         joined = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "full_outer")
-        matched = F.col(f"t.{on}").isNotNull() & F.col(f"s.{on}").isNotNull()
+        t_exists = F.col("t._t_exists").isNotNull()
+        s_exists = F.col("s._s_exists").isNotNull()
+        matched = t_exists & s_exists
         out_cols = []
         delete_cond = (
             F.expr(when_matched_delete)
@@ -485,7 +697,7 @@ class VersionedTable:
                 upd = tcol
             expr = (
                 F.when(matched, upd)
-                .when(F.col(f"t.{on}").isNotNull(), tcol)  # target-only row
+                .when(t_exists, tcol)  # target-only row (NULL-key included)
                 .otherwise(scol)  # source-only row -> insert
             )
             out_cols.append(expr.alias(c))
@@ -493,7 +705,7 @@ class VersionedTable:
         if delete_cond is not None:
             base = base.filter(~(matched & F.coalesce(delete_cond, F.lit(False))))
         if not when_not_matched_insert:
-            base = base.filter(F.col(f"t.{on}").isNotNull())
+            base = base.filter(t_exists)
         self.overwrite(base.select(*out_cols), now_ms=now_ms, operation="merge")
 
     # ------------------------------------------------------------------
@@ -621,9 +833,9 @@ class VersionedTable:
         ancestors = set()
         by_id = {s["snapshot_id"]: s for s in self._meta["snapshots"]}
         sid = cur
-        while sid is not None:
+        while sid is not None and sid in by_id:
             ancestors.add(sid)
-            sid = by_id[sid]["parent_id"]
+            sid = by_id[sid]["parent_id"]  # chain may end at an EXPIRED parent
         rows = [
             (s["timestamp_ms"], s["snapshot_id"], s["parent_id"], s["snapshot_id"] in ancestors)
             for s in self._meta["snapshots"]
@@ -692,9 +904,15 @@ class VersionedTable:
         snaps = self._meta["snapshots"]
         if len(snaps) <= keep_last:
             return []
+
+        def paths_of(s: dict) -> set[str]:
+            return {e["path"] for e in s["manifest"]} | {
+                d["path"] for d in s.get("delete_manifest", [])
+            }
+
         keep = snaps[-keep_last:]
         expired = snaps[:-keep_last]
-        live_paths = {e["path"] for s in keep for e in s["manifest"]}
+        live_paths = {p for s in keep for p in paths_of(s)}
         # named refs pin their snapshots' files too
         by_id = {s["snapshot_id"]: s for s in snaps}
         kept_ids = {s["snapshot_id"] for s in keep}
@@ -703,11 +921,9 @@ class VersionedTable:
             if snap is not None and ref["snapshot_id"] not in kept_ids:
                 keep = [snap] + keep
                 kept_ids.add(ref["snapshot_id"])
-                live_paths |= {e["path"] for e in snap["manifest"]}
+                live_paths |= paths_of(snap)
         expired = [s for s in snaps if s["snapshot_id"] not in kept_ids]
-        dead_paths = {
-            e["path"] for s in expired for e in s["manifest"]
-        } - live_paths
+        dead_paths = {p for s in expired for p in paths_of(s)} - live_paths
         meta = json.loads(json.dumps(self._meta))
         meta["snapshots"] = [s for s in snaps if s["snapshot_id"] in kept_ids]
         self._commit(meta)
@@ -724,7 +940,7 @@ class VersionedTable:
         live = {
             e["path"]
             for s in self._meta["snapshots"]
-            for e in s["manifest"]
+            for e in s["manifest"] + s.get("delete_manifest", [])
         }
         data_dir = os.path.join(self.location, "data")
         removed = []
