@@ -54,19 +54,56 @@ def test_expire_snapshots_deletes_dead_files(spark, loc):
 
 def test_file_pruned_cow_delete_keeps_untouched_files(spark, loc):
     """DML must rewrite ONLY files that can contain matches: after deleting
-    rows that live entirely in the second append, the first append's data
-    directory is still referenced by the new snapshot."""
+    rows that live only in the second append, the first append's entry is
+    carried untouched, and the second append survives as (at most) the
+    subset of its files holding no matching rows."""
     vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 100))
     vt.append(_df(spark, 100, 200))
+    snap2_entry = vt._current_manifest()[-1]
     vt.delete("id >= 150")
-    paths = [e["path"] for e in vt._current_manifest()]
-    assert any(p.startswith("data/snap-1-") for p in paths)  # untouched file carried by reference
-    assert not any(p.startswith("data/snap-2-") for p in paths)  # touched file was rewritten
+    manifest = vt._current_manifest()
+    paths = [e["path"] for e in manifest]
+    assert any(p.startswith("data/snap-1-") for p in paths)  # untouched entry carried whole
+    for e in manifest:  # any surviving snap-2 reference is a strict file subset
+        if e["path"].startswith("data/snap-2-"):
+            assert {f["path"] for f in e["files"]} < {
+                f["path"] for f in snap2_entry["files"]
+            }
     assert vt.read().count() == 150
+    assert vt.read().filter("id >= 150").count() == 0
     # a predicate matching nothing commits no snapshot (Iceberg semantics)
     n_snaps = len(vt._meta["snapshots"])
     vt.delete("id > 10000")
     assert len(vt._meta["snapshots"]) == n_snaps
+
+
+def test_cow_delete_is_file_granular_within_an_entry(spark, loc):
+    """CoW pruning works at FILE granularity, not directory granularity: a
+    delete matching rows in one partition's file rewrites only that file —
+    the touched entry survives as a subset carrying the other partitions'
+    files by reference."""
+    df = (
+        spark.range(0, 100)
+        .selectExpr(
+            "id",
+            "timestamp('2024-01-01 00:00:00') + make_interval(0,0,0,CAST(id % 4 AS INT),0,0,0) AS ts",
+        )
+    )
+    vt = VersionedTable.create(spark, loc, df=df, partition_day="ts")
+    entry = vt._current_manifest()[0]
+    assert len(entry["files"]) >= 4  # one file per day partition at least
+    files_before = {f["path"] for f in entry["files"]}
+    vt.delete("ts = timestamp('2024-01-01 00:00:00')")
+    manifest = vt._current_manifest()
+    kept = [e for e in manifest if e["path"] == entry["path"]]
+    assert kept, "touched entry must survive as a file subset"
+    kept_files = {f["path"] for f in kept[0]["files"]}
+    assert kept_files < files_before  # strict subset: day-0 files pruned out
+    assert all("_p_day=2024-01-01" not in p for p in kept_files)
+    assert vt.read().count() == 75
+    assert vt.read().filter("ts = timestamp('2024-01-01 00:00:00')").count() == 0
+    # time travel still sees all 100 rows from the original files
+    assert vt.read(snapshot_id=1).count() == 100
 
 
 def test_update_uses_original_row_values(spark, loc):

@@ -49,6 +49,25 @@ def test_update_and_delete_sql(spark, vt):
     assert vt.read().count() == 0
 
 
+def test_merge_sql(spark, vt):
+    fe = _fe(spark, vt)
+    spark.createDataFrame(
+        [(2, "B", 200.0), (9, "Z", 90.0)], "id INT, s STRING, v DOUBLE"
+    ).createOrReplaceTempView("merge_src")
+    fe.sql(
+        "MERGE INTO t USING merge_src ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET s = s.s, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: (r.s, r.v) for r in vt.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 9: ("Z", 90.0)}
+    # conditional matched-delete
+    fe.sql(
+        "MERGE INTO t USING merge_src ON id WHEN MATCHED AND t.v > 100 THEN DELETE"
+    )
+    assert sorted(r.id for r in vt.read().collect()) == [1, 3, 9]
+
+
 def test_non_table_sql_passes_through(spark, vt):
     fe = _fe(spark, vt)
     spark.range(5).createOrReplaceTempView("plain_view")

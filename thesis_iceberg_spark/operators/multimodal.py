@@ -182,6 +182,99 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha256", StringType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame sampling for video payloads — the 1-row-in, N-rows-out shape a
+    real decoder needs (mapInPandas yields MORE rows than it consumes; no
+    UDTF, no explode of a driver-built array).
+
+    DECODE IS STUBBED (no video libs in this container): a "frame" is a
+    deterministic fixed-width byte slice of the payload, frame count =
+    duration_ms / 33 (30fps). The partitioning, Arrow batch shape and
+    output contract are exactly what a PyAV/ffmpeg decoder drops into.
+
+    Scale: narrow map, inherits input partitioning; emitted rows stay on
+    the executor that decoded them — one pass, no shuffle."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                n_frames = max((row["meta"]["duration_ms"] or 0) // 33, 1)
+                width = max(len(payload) // n_frames, 1)
+                for idx in range(0, int(n_frames), every_nth):
+                    chunk = payload[idx * width : (idx + 1) * width]
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": idx,
+                            "frame_sha256": hashlib.sha256(chunk).hexdigest(),
+                            "frame_bytes": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(frames, FRAMES_SCHEMA)
+    )
+
+
+AUDIO_WINDOWS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("win_mean", DoubleType()),
+        StructField("win_rms", DoubleType()),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """Windowed audio featurization (fake spectrogram frames): fixed-size
+    byte windows -> per-window mean and RMS, vectorized with numpy inside
+    Arrow batches. Stands in for an STFT over PCM samples — the windowing,
+    1-to-N row fan-out and numeric output shape are the real contract."""
+    import numpy as np
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = np.frombuffer(row["payload"] or b"\x00", dtype=np.uint8)
+                n_win = max(b.size // window_bytes, 1)
+                for idx in range(n_win):
+                    w = b[idx * window_bytes : (idx + 1) * window_bytes].astype(np.float64)
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "window_idx": idx,
+                            "win_mean": float(w.sum()) / w.size,
+                            "win_rms": float(np.sqrt((w * w).sum() / w.size)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_WINDOWS_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(windows, AUDIO_WINDOWS_SCHEMA)
+    )
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode image payloads to (width, height, mode) using PIL.
 

@@ -151,10 +151,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-WITH sh0 AS (
+# MinHash+LSH pair generation as reusable CTE text: the pair query uses it
+# directly; the connected-components clustering query builds on top of it.
+_SQL_MINHASH_CTES = f"""sh0 AS (
   SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
   FROM documents WHERE len({_SQL_TOKS}) >= 3),
 hashed AS (
@@ -192,11 +191,18 @@ common AS (
   FROM cand
   JOIN sh a ON a.doc_id = cand.doc_a
   JOIN sh b ON b.doc_id = cand.doc_b AND a.s = b.s
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+_SQL_MINHASH_SELECT = f"""
 SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
 FROM common JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
-""",
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"WITH {_SQL_MINHASH_CTES} {_SQL_MINHASH_SELECT}",
     doc=f"MinHash+LSH near-dup pairs: {N_MINHASH} double-hashed minhash "
     f"permutations (one md5 per shingle), {N_BANDS} bands x {ROWS_PER_BAND} "
     "rows; docs colliding in any band become candidates, verified with "
@@ -447,4 +453,62 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.45)
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_SQL_MINHASH_CTES},
+pairs AS ({_SQL_MINHASH_SELECT}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a)
+SELECT node AS doc_id, MIN(label) AS canonical_doc_id
+FROM walk GROUP BY node
+""",
+    doc="Near-dup CLUSTER resolution: the MinHash-LSH pair list is only "
+    "half of dedup — keeping one doc per duplicate GROUP needs the "
+    "transitive closure. Connected components via iterative min-label "
+    "propagation (labels only decrease; a monotone checksum detects the "
+    "fixpoint), all as DataFrame joins — the shuffle per round is "
+    "O(edges), rounds = component diameter (tiny for near-dup cliques). "
+    "At 100 TB the large-star/small-star variant halves rounds; the "
+    "per-round plan is identical. Output: every clustered doc with its "
+    "canonical (minimum) doc_id. Oracle: DuckDB recursive CTE over the "
+    "same pair list.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("a", "b")
+    # edges are reused every round: materialize once
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(20):  # cap >> any real near-dup component diameter
+        prop = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut the iterative lineage
+        )
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:  # labels are monotone non-increasing: fixpoint
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_doc_id")
     )

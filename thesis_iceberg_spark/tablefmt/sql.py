@@ -14,6 +14,10 @@ Grammar (case-insensitive keywords):
     SELECT ... FROM <table> [FOR] {TIMESTAMP | VERSION} AS OF {...} ...
     UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
     DELETE FROM <table> [WHERE <cond>]
+    MERGE INTO <table> USING <view> ON {key | t.key = s.key}
+        [WHEN MATCHED [AND cond] THEN {UPDATE SET col = expr, ... | DELETE}]
+        [WHEN NOT MATCHED THEN INSERT *]
+    -- inside MERGE expressions, `t` aliases the target and `s` the source
 
 Time-travel SELECTs rewrite the travel clause to a temp view over
 ``VersionedTable.read(snapshot_id=/as_of_ms=)`` and hand the query to
@@ -56,6 +60,22 @@ _DELETE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<table>{_IDENT})\s+USING\s+(?P<source>{_IDENT})\s+"
+    r"ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_WHEN = re.compile(
+    r"WHEN\s+(?P<not_>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_SIMPLE_IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
+_MERGE_ON = re.compile(
+    rf"^\s*(?:(?:{_SIMPLE_IDENT})\.)?(?P<a>{_SIMPLE_IDENT})\s*=\s*"
+    rf"(?:(?:{_SIMPLE_IDENT})\.)?(?P<b>{_SIMPLE_IDENT})\s*$"
+)
+_MERGE_ON_BARE = re.compile(rf"^\s*(?P<a>{_SIMPLE_IDENT})\s*$")
 
 
 def _unquote(ident: str) -> str:
@@ -135,7 +155,49 @@ class TableSQL:
         if m and (vt := self._table(m.group("table"))) is not None:
             vt.delete(m.group("where") if m.group("where") else "true")
             return None
+        m = _MERGE.match(statement)
+        if m and (vt := self._table(m.group("table"))) is not None:
+            self._merge(vt, m)
+            return None
         return self.spark.sql(self._rewrite_time_travel(statement))
+
+    def _merge(self, vt: VersionedTable, m: re.Match) -> None:
+        on_m = _MERGE_ON.match(m.group("on")) or _MERGE_ON_BARE.match(m.group("on"))
+        if on_m is None or (
+            "b" in on_m.groupdict()
+            and on_m.groupdict().get("b") is not None
+            and _unquote(on_m.group("a")) != _unquote(on_m.group("b"))
+        ):
+            raise ValueError(
+                f"MERGE ON must be a single equality on one key column "
+                f"(got {m.group('on')!r})"
+            )
+        key = _unquote(on_m.group("a"))
+        update: dict[str, str] | None = None
+        delete_cond: str | None = None
+        insert = False
+        matched_seen = False
+        for w in _MERGE_WHEN.finditer(m.group("clauses")):
+            action = w.group("action").strip()
+            if w.group("not_"):
+                if not action.upper().startswith("INSERT"):
+                    raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+                insert = True
+                continue
+            matched_seen = True
+            if action.upper().startswith("UPDATE"):
+                update = _split_assignments(re.sub(r"(?i)^UPDATE\s+SET\s+", "", action))
+            else:  # DELETE
+                delete_cond = w.group("cond") or "true"
+        if not (matched_seen or insert):
+            raise ValueError("MERGE needs at least one WHEN clause")
+        vt.merge(
+            self.spark.table(_unquote(m.group("source"))),
+            on=key,
+            when_matched_update=update,
+            when_not_matched_insert=insert,
+            when_matched_delete=delete_cond,
+        )
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """Replace every ``<table> [FOR] <kind> AS OF <val>`` clause with a

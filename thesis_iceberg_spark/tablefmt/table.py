@@ -237,10 +237,33 @@ class VersionedTable:
     # writes
     # ------------------------------------------------------------------
 
+    def _list_written_files(self, rel: str) -> list[dict]:
+        """Enumerate the parquet files of a freshly written directory with
+        per-file row counts taken from the parquet FOOTERS (pyarrow,
+        driver-side, metadata-only — the write-time stats collection every
+        table format does; no Spark job, no data read)."""
+        import pyarrow.parquet as pq
+
+        root = os.path.join(self.location, rel)
+        out: list[dict] = []
+        for dirpath, _dirs, names in os.walk(root):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                out.append(
+                    {
+                        "path": os.path.relpath(full, self.location),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    }
+                )
+        return sorted(out, key=lambda f: f["path"])
+
     def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
         """Write df as parquet under data/snap-<id>/ with the current schema's
-        column names; returns manifest entries (relative paths are the
-        snapshot dirs — files are listed lazily at read time)."""
+        column names; returns one manifest entry carrying the FILE LIST with
+        per-file row counts (Iceberg manifests are file-granular for the
+        same reason: file-level pruning needs file-level entries)."""
         cols = self.columns
         missing = [c for c in cols if c not in df.columns]
         if missing:
@@ -264,14 +287,13 @@ class VersionedTable:
         if spec:
             writer = writer.partitionBy(_PARTITION_COL)
         writer.parquet(path)
-        # row count from the written files' parquet footers (metadata-only
-        # aggregate scan) — avoids recomputing the input lineage twice
-        n_rows = self.spark.read.parquet(path).count()
+        files = self._list_written_files(rel)
         return [
             {
                 "path": rel,
                 "schema_id": self._meta["current_schema_id"],
-                "rows": n_rows,
+                "rows": sum(f["rows"] for f in files),
+                "files": files,
             }
         ]
 
@@ -417,7 +439,14 @@ class VersionedTable:
         from the parquet reader's hidden _metadata column — the position-
         delete key (Iceberg's file_path/pos), stable because row_index is
         defined by the file itself, not the scan."""
-        df = self.spark.read.parquet(os.path.join(self.location, entry["path"]))
+        if entry.get("files") is not None:
+            # file-granular entry: scan exactly the live files (a CoW
+            # rewrite may keep only a SUBSET of a directory's files)
+            df = self.spark.read.parquet(
+                *[os.path.join(self.location, f["path"]) for f in entry["files"]]
+            )
+        else:
+            df = self.spark.read.parquet(os.path.join(self.location, entry["path"]))
         written = {f.id: f for f in self._schema_by_id(entry["schema_id"])}
         cols = []
         for f in self.current_schema:
@@ -453,6 +482,11 @@ class VersionedTable:
     # row-level DML (copy-on-write)
     # ------------------------------------------------------------------
 
+    def _rel_of_uri(self, uri: str) -> str:
+        """Map a _metadata.file_path URI back to a location-relative path."""
+        p = uri.split("://", 1)[-1] if "://" in uri else uri.removeprefix("file:")
+        return os.path.relpath(p, self.location)
+
     def _cow_rewrite(
         self,
         condition: Column,
@@ -460,44 +494,70 @@ class VersionedTable:
         operation: str,
         now_ms: int | None = None,
     ) -> None:
-        """File-pruned copy-on-write: manifest entries with NO matching rows
-        are carried into the new snapshot untouched; only touched files are
-        rewritten (Iceberg's CoW file pruning). The probe per entry is a
-        pushdown-backed existence scan — row-group min/max skipping makes it
-        a metadata read when the predicate misses; a production build would
-        use manifest-level column stats instead of probing."""
+        """FILE-granular copy-on-write: one pushdown-backed scan per entry
+        attributes matching rows to their physical files via
+        _metadata.file_path; only files that actually CONTAIN matches are
+        rewritten — every other file (including unmatched files inside a
+        touched directory) survives into the new snapshot by reference.
+        This is Iceberg's CoW write path: manifests are file-granular, and
+        a DELETE touching 1 of 100 files rewrites 1 file. A production
+        build would prune the probe with manifest min/max stats instead of
+        scanning; row-group skipping gives the probe the same shape here."""
         snap = self._select_snapshot()
         if snap is None:
             return  # empty table: nothing to do
         match = F.coalesce(condition, F.lit(False))
         deletes = snap.get("delete_manifest", [])
 
-        def live(entry: dict) -> DataFrame:
-            """One entry with any position deletes already applied — a CoW
+        def live_pos(entry: dict) -> DataFrame:
+            """One entry with row identity, position deletes applied — a CoW
             rewrite over MoR state must not resurrect MoR-deleted rows."""
-            df = self._read_entry(entry, with_pos=bool(deletes))
+            df = self._read_entry(entry, with_pos=True)
             if deletes:
                 paths = [os.path.join(self.location, d["path"]) for d in deletes]
                 dels = self.spark.read.parquet(*paths)
-                df = df.join(dels, ["_del_file", "_del_pos"], "left_anti").drop(
-                    "_del_file", "_del_pos"
-                )
+                df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
             return df
 
         kept_entries: list[dict] = []
-        touched: list[dict] = []
+        touched_subsets: list[dict] = []
         for entry in snap["manifest"]:
             if entry["rows"] == 0:
                 continue
-            if live(entry).filter(match).limit(1).count() == 0:
+            matched_rel = {
+                self._rel_of_uri(r["_del_file"])
+                for r in live_pos(entry)
+                .filter(match)
+                .select("_del_file")
+                .distinct()
+                .collect()  # driver-side file LIST (manifest-scale, not data)
+            }
+            if not matched_rel:
                 kept_entries.append(entry)
-            else:
-                touched.append(entry)
-        if not touched:
+                continue
+            files = (
+                entry["files"]
+                if entry.get("files") is not None
+                else self._list_written_files(entry["path"])
+            )
+            kept_files = [f for f in files if f["path"] not in matched_rel]
+            if kept_files:
+                kept_entries.append(
+                    {
+                        **entry,
+                        "files": kept_files,
+                        "rows": sum(f["rows"] for f in kept_files),
+                    }
+                )
+            sub_files = [f for f in files if f["path"] in matched_rel]
+            touched_subsets.append(
+                {**entry, "files": sub_files, "rows": sum(f["rows"] for f in sub_files)}
+            )
+        if not touched_subsets:
             return  # no rows match: no new snapshot (Iceberg does the same)
-        df = live(touched[0])
-        for e in touched[1:]:
-            df = df.unionByName(live(e))
+        df = live_pos(touched_subsets[0]).drop("_del_file", "_del_pos")
+        for e in touched_subsets[1:]:
+            df = df.unionByName(live_pos(e).drop("_del_file", "_del_pos"))
         sid = self._next_snapshot_id()
         manifest = kept_entries + self._write_data_files(rewrite(df, match), sid)
         # carried delete files still mask rows in kept entries; their rows
