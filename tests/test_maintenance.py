@@ -173,3 +173,62 @@ def test_refs_pin_snapshots_through_expiry(spark, loc):
     refs = {r.name: (r.type, r.snapshot_id) for r in vt.refs().collect()}
     assert refs["v1"] == ("tag", 1)
     assert refs["main"][1] == 3
+
+
+def test_stats_based_file_skipping_on_sorted_table(spark, loc):
+    """Write-time sort + footer min/max bounds -> a selective range scan
+    plans k of n files from the MANIFEST alone (no file opened)."""
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v").repartitionByRange(8, "id")
+    vt = VersionedTable.create(spark, loc, df=df, sort_by=["id"])
+    entry = vt._current_manifest()[0]
+    assert len(entry["files"]) == 8
+    assert all("id" in f["stats"] for f in entry["files"])
+    planned = vt.plan_files(ranges={"id": (2_000, 2_100)})
+    n_sel = sum(len(e["files"]) for e in planned)
+    assert n_sel == 1, f"expected 1 of 8 files, planned {n_sel}"
+    got = vt.scan(ranges={"id": (2_000, 2_100)}).filter("id BETWEEN 2000 AND 2100")
+    assert got.count() == 101
+    # unpruned correctness: full scan equals read()
+    assert vt.scan().count() == vt.read().count() == 10_000
+
+
+def test_partition_day_pruning_from_manifest(spark, loc):
+    """Hidden day() partitioning prunes at the manifest level: a one-day
+    range plans only that day's files (paths carry _p_day=...)."""
+    df = spark.range(0, 120).selectExpr(
+        "id",
+        "timestamp('2024-03-01 00:00:00') + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0) AS ts",
+    )
+    vt = VersionedTable.create(spark, loc, df=df, partition_day="ts")
+    planned = vt.plan_files(ranges={"ts": ("2024-03-02 00:00:00", "2024-03-02 23:59:59")})
+    files = [f for e in planned for f in e["files"]]
+    assert files and all("_p_day=2024-03-02" in f["path"] for f in files)
+    got = vt.scan(ranges={"ts": ("2024-03-02 00:00:00", "2024-03-02 23:59:59")})
+    assert got.count() == 40
+
+
+def test_zorder_compaction_gives_multi_column_skipping(spark, loc):
+    """Z-order rewrite: after compact(zorder_by=["x","y"]), a selective
+    box query on EITHER column prunes most files from the manifest — the
+    multi-dimensional locality a lexicographic sort can't provide."""
+    df = (
+        spark.range(0, 10_000)
+        .selectExpr("CAST(id % 100 AS BIGINT) AS x", "CAST(id / 100 AS BIGINT) AS y")
+        .orderBy(F.rand(seed=3))
+    )
+    vt = VersionedTable.create(spark, loc, df=df.repartition(4))
+    vt.compact(target_partitions=16, zorder_by=["x", "y"])
+    entry = vt._current_manifest()[0]
+    n_files = len(entry["files"])
+    assert n_files >= 8
+    box = {"x": (10, 19), "y": (10, 19)}
+    planned = vt.plan_files(ranges=box)
+    n_sel = sum(len(e["files"]) for e in planned)
+    assert n_sel <= n_files // 2, f"z-order box query planned {n_sel}/{n_files} files"
+    got = vt.scan(ranges=box).filter("x BETWEEN 10 AND 19 AND y BETWEEN 10 AND 19")
+    assert got.count() == 100
+    # single-column ranges also prune (each file has a bounded z-box)
+    n_x = sum(len(e["files"]) for e in vt.plan_files(ranges={"x": (0, 5)}))
+    n_y = sum(len(e["files"]) for e in vt.plan_files(ranges={"y": (0, 5)}))
+    assert n_x < n_files and n_y < n_files
+    assert vt.read().count() == 10_000

@@ -119,3 +119,219 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_tokens"),
         )
     )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4,6}\b"
+
+
+@register(
+    "pipeline_pii_scrub",
+    oracle=f"""
+WITH contact AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com phone 555-0' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS clean,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones
+  FROM contact)
+SELECT doc_id, md5(clean) AS scrubbed_md5,
+       CAST(n_emails AS INT) AS n_emails, CAST(n_phones AS INT) AS n_phones
+FROM scrubbed
+""",
+    doc="PII scrubbing for training corpora: email/phone redaction with "
+    "match counts. The synthetic corpus has no PII, so a deterministic "
+    "contact line (derived from doc_id) is appended first — both engines "
+    "build and scrub the same text, so redaction behavior is value-checked "
+    "exactly (regex subset chosen to mean the same in Java regex and RE2). "
+    "Narrow per-row map, whole-stage codegen, no shuffle.",
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-0"),
+        F.col("doc_id").cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(clean.cast("binary")).alias("scrubbed_md5"),
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+# --- document chunking (training-window preparation) -----------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+  FROM toks)
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(len(t[start : start + {CHUNK_TOKENS} - 1]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(t[start : start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
+FROM starts
+""",
+    doc=f"Document chunking into overlapping training windows "
+    f"({CHUNK_TOKENS}-token chunks, stride {CHUNK_STRIDE}): the 1-row-in "
+    "N-rows-out fan-out is explode(sequence(...)) + slice — pure JVM "
+    "builtins, no UDF, no driver involvement; chunk content is verified "
+    "by md5. At 100 TB this is a narrow map whose output partitioning "
+    "follows the input.",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    with_starts = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(t), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    return with_starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+# --- stratified sampling ---------------------------------------------------
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+WITH langd AS ({REGISTRY["text_lang_id"].oracle}),
+rated AS (
+  SELECT l.doc_id, l.detected_lang,
+         CASE WHEN l.detected_lang = 'en' THEN 40 ELSE 100 END AS keep_pct,
+         CAST('0x' || substr(md5('sample:' || CAST(l.doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bucket
+  FROM langd l)
+SELECT detected_lang,
+       COUNT(*) AS n_total,
+       CAST(COUNT(*) FILTER (bucket < keep_pct) AS BIGINT) AS n_sampled
+FROM rated GROUP BY detected_lang
+""",
+    doc="Stratified corpus sampling: per-language keep rates (down-sample "
+    "the dominant language to 40%, keep low-resource languages whole) with "
+    "a KEYED-md5 bucket, so membership is a pure function of doc_id — "
+    "stable across runs and engines, no RNG state. One narrow map + one "
+    "count aggregation.",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.queries.text import text_lang_id
+
+    lang = text_lang_id(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    keep_pct = F.when(F.col("detected_lang") == "en", 40).otherwise(100)
+    return (
+        lang.select("detected_lang", (bucket < keep_pct).alias("keep"))
+        .groupBy("detected_lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("keep")).alias("n_sampled"),
+        )
+    )
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+WITH langd AS ({REGISTRY["text_lang_id"].oracle}),
+toks AS (
+  SELECT d.doc_id, l.detected_lang,
+         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+  FROM documents d JOIN langd l ON l.doc_id = d.doc_id),
+packed AS (
+  SELECT detected_lang, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY detected_lang
+                                         ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM toks)
+SELECT detected_lang, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_in_pack
+FROM packed GROUP BY detected_lang, pack_id
+""",
+    doc=f"Sequence packing for pretraining: documents are concatenated per "
+    f"language in doc_id order and cut into {PACK_BUDGET}-token packs "
+    "(token-offset binning — each doc's pack is where its first token "
+    "lands). One window cumsum per language partition + one aggregation; "
+    "deterministic because the order key is the stable doc_id, never an "
+    "RNG or arrival order. The skew watch-item at 100 TB is one giant "
+    "language partition — shard the window key (lang, doc_id div N) the "
+    "same way the salted-agg query does.",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.queries.text import text_lang_id
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = text_lang_id(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = docs.join(lang, "doc_id").select(
+        "doc_id", "detected_lang", n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("detected_lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pack_id = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+    return (
+        toks.withColumn("pack_id", pack_id)
+        .groupBy("detected_lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_in_pack"),
+        )
+    )

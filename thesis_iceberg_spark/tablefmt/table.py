@@ -237,11 +237,39 @@ class VersionedTable:
     # writes
     # ------------------------------------------------------------------
 
+    # column physical types whose min/max are JSON-serializable and safely
+    # comparable for skipping (strings, ints, floats; timestamps via isoformat)
+    _STATS_TYPES = (int, float, str)
+
+    def _file_stats(self, pf) -> dict[str, list]:
+        """Per-column [min, max] from one parquet footer — Iceberg's
+        lower_bounds/upper_bounds, collected at write time for free."""
+        meta = pf.metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                lo, hi = st.min, st.max
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                if not isinstance(lo, self._STATS_TYPES):
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return {name: [mins[name], maxs[name]] for name in mins}
+
     def _list_written_files(self, rel: str) -> list[dict]:
         """Enumerate the parquet files of a freshly written directory with
-        per-file row counts taken from the parquet FOOTERS (pyarrow,
-        driver-side, metadata-only — the write-time stats collection every
-        table format does; no Spark job, no data read)."""
+        per-file row counts AND column min/max bounds taken from the parquet
+        FOOTERS (pyarrow, driver-side, metadata-only — the write-time stats
+        collection every table format does; no Spark job, no data read).
+        With a write-time sort order these bounds are tight, so range
+        predicates can skip whole files from the manifest alone."""
         import pyarrow.parquet as pq
 
         root = os.path.join(self.location, rel)
@@ -251,10 +279,12 @@ class VersionedTable:
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, name)
+                pf = pq.ParquetFile(full)
                 out.append(
                     {
                         "path": os.path.relpath(full, self.location),
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "rows": pf.metadata.num_rows,
+                        "stats": self._file_stats(pf),
                     }
                 )
         return sorted(out, key=lambda f: f["path"])
@@ -400,6 +430,87 @@ class VersionedTable:
         if snap is None:
             return self.spark.createDataFrame([], self.spark_schema())
         return self._scan_snapshot(snap, with_pos=False)
+
+    @staticmethod
+    def _norm_bound(v):
+        # parquet footer isoformats timestamps ('T' separator); accept the
+        # SQL form with a space and compare lexicographically
+        return v.replace(" ", "T") if isinstance(v, str) else v
+
+    def _file_in_ranges(self, f: dict, ranges: dict) -> bool:
+        """Conservative file-level predicate check: keep the file unless its
+        partition value or column bounds PROVE no row can match."""
+        import re as _re
+
+        spec = self._meta["partition_spec"]
+        if spec and spec[0]["source_name"] in ranges:
+            lo, hi = (self._norm_bound(v) for v in ranges[spec[0]["source_name"]])
+            m = _re.search(r"_p_day=([0-9-]+)", f["path"])
+            if m and (str(hi)[:10] < m.group(1) or str(lo)[:10] > m.group(1)):
+                return False
+        for col, (lo, hi) in ranges.items():
+            st = (f.get("stats") or {}).get(col)
+            if st is None:
+                continue  # no bounds recorded -> cannot prune
+            fmin, fmax = (self._norm_bound(v) for v in st)
+            lo, hi = self._norm_bound(lo), self._norm_bound(hi)
+            try:
+                if hi < fmin or lo > fmax:
+                    return False
+            except TypeError:  # incomparable types: never prune on doubt
+                continue
+        return True
+
+    def plan_files(
+        self,
+        ranges: dict[str, tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> list[dict]:
+        """Manifest-level scan planning (Iceberg's file skipping): select
+        the manifest entries/files a scan with the given per-column value
+        ranges must read, using ONLY driver-side metadata — hidden-partition
+        values parsed from paths and per-file min/max bounds recorded at
+        write time. With a write-time sort order the bounds are tight and a
+        selective range scan touches k of n files without opening the rest.
+        ``ranges`` maps column -> (lo, hi), both inclusive."""
+        snap = self._select_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        out: list[dict] = []
+        for entry in snap["manifest"]:
+            if entry["rows"] == 0:
+                continue
+            files = entry.get("files")
+            if not ranges or files is None:
+                out.append(entry)
+                continue
+            sel = [f for f in files if self._file_in_ranges(f, ranges)]
+            if sel:
+                out.append(
+                    {**entry, "files": sel, "rows": sum(f["rows"] for f in sel)}
+                )
+        return out
+
+    def scan(
+        self,
+        ranges: dict[str, tuple] | None = None,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        """Predicate-aware scan: file skipping via ``plan_files`` first, then
+        the normal read path (schema mapping + position deletes) over the
+        surviving files only. Pruning is CONSERVATIVE — callers still apply
+        their exact filter on the result; skipping only removes files that
+        provably contain no match."""
+        snap = self._select_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return self.spark.createDataFrame([], self.spark_schema())
+        pruned = {
+            **snap,
+            "manifest": self.plan_files(ranges, snapshot_id, as_of_ms),
+        }
+        return self._scan_snapshot(pruned, with_pos=False)
 
     def _scan_snapshot(self, snap: dict, with_pos: bool) -> DataFrame:
         """Union all manifest entries of ``snap`` and anti-join away
@@ -945,13 +1056,44 @@ class VersionedTable:
     # rewrite_data_files / expire_snapshots as engine-native methods)
     # ------------------------------------------------------------------
 
-    def compact(self, target_partitions: int | None = None, now_ms: int | None = None) -> None:
+    @staticmethod
+    def _zvalue(cols: list[str], nbits: int = 16) -> Column:
+        """Morton z-value: interleave the low ``nbits`` bits of each column
+        (bigint-cast). Rows close in EVERY dimension get close z-values, so
+        range-partitioning by z gives each file a tight bounding box in all
+        zorder columns at once — footer min/max then prunes on ANY of them."""
+        from functools import reduce as _reduce
+
+        terms = []
+        for i in range(nbits):
+            for j, c in enumerate(cols):
+                bit = F.shiftright(F.col(c).cast("bigint"), i).bitwiseAND(F.lit(1))
+                terms.append(F.shiftleft(bit, i * len(cols) + j))
+        return _reduce(lambda a, b: a + b, terms)
+
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        now_ms: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> None:
         """Bin-pack the current snapshot's data files into ``target_partitions``
         well-sized files (Iceberg's rewrite_data_files). Logically a no-op:
         same rows, new layout, new 'replace' snapshot — historical snapshots
-        keep their old files for time travel."""
+        keep their old files for time travel.
+
+        ``zorder_by`` selects the z-order rewrite strategy (Iceberg's
+        rewrite_data_files sort strategy with a zorder sort expression):
+        rows are range-partitioned AND internally sorted by the interleaved
+        Morton value of the given integer columns, so selective predicates
+        on ANY of those columns skip files via the recorded min/max bounds
+        — the multi-column locality a single-column sort cannot give."""
         df = self.read()
-        if target_partitions:
+        if zorder_by:
+            z = self._zvalue(zorder_by)
+            df = df.repartitionByRange(target_partitions or 8, z)
+            df = df.sortWithinPartitions(z)
+        elif target_partitions:
             df = df.repartition(target_partitions)
         self.overwrite(df, now_ms=now_ms, operation="replace")
 
