@@ -93,3 +93,10 @@ def test_time_travel_param(api_base, spark):
 def test_unknown_routes(api_base):
     assert _get(api_base, "/nope")[0] == 404
     assert _get(api_base, "/people/bogus_meta")[0] == 404
+
+
+def test_bad_requests_get_http_errors_not_dropped_connections(api_base):
+    status, body = _get(api_base, "/people?limit=abc")
+    assert status == 400 and "error" in body
+    status, body = _get(api_base, "/people?where=definitely%20not((sql")
+    assert status == 500 and "error" in body

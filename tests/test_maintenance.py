@@ -232,3 +232,21 @@ def test_zorder_compaction_gives_multi_column_skipping(spark, loc):
     n_y = sum(len(e["files"]) for e in vt.plan_files(ranges={"y": (0, 5)}))
     assert n_x < n_files and n_y < n_files
     assert vt.read().count() == 10_000
+
+
+def test_skipping_never_prunes_on_incomparable_or_string_bounds(spark, loc):
+    """Pruning must stay conservative: bounds of the wrong type, or string
+    ranges containing spaces, can never prove a file empty (a blanket
+    space normalization once reordered ordinary strings)."""
+    df = spark.createDataFrame([("AA", 1), ("AB", 2)], "s STRING, v INT")
+    vt = VersionedTable.create(spark, loc, df=df)
+    # 'A Z' < 'AA' raw, but a space->'T' rewrite would flip it past 'AB'
+    assert vt.scan(ranges={"s": ("A Z", "B")}).count() == 2
+    # integer bounds against a string column: incomparable -> no pruning
+    assert vt.scan(ranges={"s": (0, 1)}).count() == 2
+    # partitioned table + non-date bounds on the source column -> no pruning
+    df2 = spark.range(0, 30).selectExpr(
+        "id", "timestamp('2024-05-01 00:00:00') AS ts"
+    )
+    vt2 = VersionedTable.create(spark, loc + "2", df=df2, partition_day="ts")
+    assert vt2.scan(ranges={"ts": (0, 1)}).count() == 30

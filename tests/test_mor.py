@@ -148,3 +148,21 @@ def test_merge_allows_multiple_null_key_source_rows(spark, loc):
     src = spark.createDataFrame([(None, 1), (None, 2)], "k INT, v INT")
     vt.merge(src, on="k")  # must not raise
     assert vt.read().count() == 3
+
+
+def test_mor_table_survives_relocation(spark, loc, tmp_path):
+    """Position-delete files key rows by location-RELATIVE paths, so moving
+    the table directory must not resurrect MoR-deleted rows."""
+    import shutil
+
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 50),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    vt.delete(F.col("id") < 10)
+    assert vt.read().count() == 40
+    new_loc = str(tmp_path / "moved")
+    shutil.move(loc, new_loc)
+    moved = VersionedTable(spark, new_loc)
+    assert moved.read().count() == 40
+    assert moved.read().filter(F.col("id") < 10).count() == 0

@@ -96,3 +96,27 @@ def test_parse_helpers():
     }
     with pytest.raises(ValueError):
         _split_assignments("a 1")
+
+
+def test_merge_sql_conditional_update(spark, vt):
+    """WHEN MATCHED AND <cond> THEN UPDATE applies the update ONLY to rows
+    passing the condition; other matched rows keep their values."""
+    fe = _fe(spark, vt)
+    spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0)], "id INT, s STRING, v DOUBLE"
+    ).createOrReplaceTempView("cond_src")
+    fe.sql(
+        "MERGE INTO t USING cond_src ON id "
+        "WHEN MATCHED AND s.v >= 2.0 THEN UPDATE SET s = s.s, v = s.v"
+    )
+    got = {r.id: (r.s, r.v) for r in vt.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 2.0), 3: ("c", 30.0)}
+
+
+def test_update_set_literal_containing_where(spark, vt):
+    """A string literal containing ' where ' inside SET must not be split
+    as the WHERE clause."""
+    fe = _fe(spark, vt)
+    fe.sql("UPDATE t SET s = 'x where y' WHERE id = 1")
+    got = {r.id: r.s for r in vt.read().collect()}
+    assert got == {1: "x where y", 2: "b", 3: "c"}

@@ -164,6 +164,12 @@ class Api:
             raise HttpError(404, f"no route for {method} {url.path}")
         except HttpError as exc:
             return exc.status, {"error": exc.message}
+        except ValueError as exc:  # bad limit/version/as_of_ms etc. -> 400
+            return 400, {"error": str(exc)}
+        except Exception as exc:  # noqa: BLE001 — a handler thread must
+            # always produce an HTTP response, never drop the connection
+            # (e.g. Spark parse errors from a malformed ?where=)
+            return 500, {"error": f"{type(exc).__name__}: {exc}"}
 
 
 def serve(api: Api, port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:

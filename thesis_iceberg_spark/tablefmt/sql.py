@@ -51,8 +51,7 @@ _TRAVEL = re.compile(
     re.IGNORECASE,
 )
 _UPDATE = re.compile(
-    rf"^\s*UPDATE\s+(?P<table>{_IDENT})\s+SET\s+(?P<body>.*?)"
-    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    rf"^\s*UPDATE\s+(?P<table>{_IDENT})\s+SET\s+(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
@@ -94,6 +93,32 @@ def _parse_as_of_ms(val: str) -> int:
         except ValueError:
             continue
     raise ValueError(f"cannot parse time-travel timestamp {val}")
+
+
+def _split_set_where(rest: str) -> tuple[str, str | None]:
+    """Split an UPDATE's ``SET <assignments> [WHERE <cond>]`` tail at the
+    first TOP-LEVEL ``WHERE`` keyword — not one inside a string literal or
+    parentheses, so ``SET s = 'x where y'`` parses correctly."""
+    depth, in_str, i = 0, False, 0
+    while i < len(rest):
+        ch = rest[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and rest[i : i + 5].upper() == "WHERE"
+            and (i == 0 or rest[i - 1].isspace())
+            and (i + 5 == len(rest) or rest[i + 5].isspace())
+        ):
+            return rest[:i].rstrip(), rest[i + 5 :].strip()
+        i += 1
+    return rest.rstrip(), None
 
 
 def _split_assignments(body: str) -> dict[str, str]:
@@ -149,7 +174,8 @@ class TableSQL:
         commit a snapshot and return None."""
         m = _UPDATE.match(statement)
         if m and (vt := self._table(m.group("table"))) is not None:
-            vt.update(_split_assignments(m.group("body")), m.group("where"))
+            body, where = _split_set_where(m.group("rest"))
+            vt.update(_split_assignments(body), where)
             return None
         m = _DELETE.match(statement)
         if m and (vt := self._table(m.group("table"))) is not None:
@@ -186,7 +212,17 @@ class TableSQL:
                 continue
             matched_seen = True
             if action.upper().startswith("UPDATE"):
+                if update is not None:
+                    raise ValueError("MERGE supports one WHEN MATCHED ... UPDATE clause")
                 update = _split_assignments(re.sub(r"(?i)^UPDATE\s+SET\s+", "", action))
+                if w.group("cond"):
+                    # conditional matched-update: rows matching the key but
+                    # not the condition keep their target values
+                    cond = w.group("cond").strip()
+                    update = {
+                        col: f"CASE WHEN ({cond}) THEN ({expr}) ELSE t.`{col}` END"
+                        for col, expr in update.items()
+                    }
             else:  # DELETE
                 delete_cond = w.group("cond") or "true"
         if not (matched_seen or insert):
@@ -212,7 +248,12 @@ class TableSQL:
                 df = vt.read(snapshot_id=int(m.group("val").strip("'")))
             else:
                 df = vt.read(as_of_ms=_parse_as_of_ms(m.group("val")))
-            view = f"_asof_{_unquote(m.group('table')).replace('.', '_')}_{uuid.uuid4().hex[:8]}"
+            # deterministic name per (table, travel target): repeated travel
+            # queries REPLACE their view instead of leaking one per statement
+            tag = uuid.uuid5(
+                uuid.NAMESPACE_URL, f"{vt.location}|{kind}|{m.group('val')}"
+            ).hex[:12]
+            view = f"_asof_{_unquote(m.group('table')).replace('.', '_')}_{tag}"
             df.createOrReplaceTempView(view)
             return view
 

@@ -243,25 +243,34 @@ class VersionedTable:
 
     def _file_stats(self, pf) -> dict[str, list]:
         """Per-column [min, max] from one parquet footer — Iceberg's
-        lower_bounds/upper_bounds, collected at write time for free."""
+        lower_bounds/upper_bounds, collected at write time for free.
+        A column's bounds are recorded ONLY if every row group contributed
+        min/max: partial stats (writers omit them e.g. for oversized
+        values) would produce bounds that don't cover the file and prune
+        files that DO contain matches."""
         meta = pf.metadata
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
+        incomplete: set[str] = set()
         for rg in range(meta.num_row_groups):
             for ci in range(meta.num_columns):
                 col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    incomplete.add(name)
                     continue
-                name = col.path_in_schema
                 lo, hi = st.min, st.max
                 if hasattr(lo, "isoformat"):
                     lo, hi = lo.isoformat(), hi.isoformat()
                 if not isinstance(lo, self._STATS_TYPES):
+                    incomplete.add(name)
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-        return {name: [mins[name], maxs[name]] for name in mins}
+        return {
+            name: [mins[name], maxs[name]] for name in mins if name not in incomplete
+        }
 
     def _list_written_files(self, rel: str) -> list[dict]:
         """Enumerate the parquet files of a freshly written directory with
@@ -431,11 +440,20 @@ class VersionedTable:
             return self.spark.createDataFrame([], self.spark_schema())
         return self._scan_snapshot(snap, with_pos=False)
 
+    _TS_SHAPE = None  # compiled lazily below
+
     @staticmethod
     def _norm_bound(v):
-        # parquet footer isoformats timestamps ('T' separator); accept the
-        # SQL form with a space and compare lexicographically
-        return v.replace(" ", "T") if isinstance(v, str) else v
+        """Normalize ONLY timestamp-shaped strings to the footer's isoformat
+        ('T' separator). A blanket space->'T' rewrite would reorder ordinary
+        strings (' ' sorts below any letter) and wrongly prune files."""
+        import re as _re
+
+        if VersionedTable._TS_SHAPE is None:
+            VersionedTable._TS_SHAPE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d")
+        if isinstance(v, str) and VersionedTable._TS_SHAPE.match(v):
+            return v.replace(" ", "T", 1)
+        return v
 
     def _file_in_ranges(self, f: dict, ranges: dict) -> bool:
         """Conservative file-level predicate check: keep the file unless its
@@ -446,7 +464,16 @@ class VersionedTable:
         if spec and spec[0]["source_name"] in ranges:
             lo, hi = (self._norm_bound(v) for v in ranges[spec[0]["source_name"]])
             m = _re.search(r"_p_day=([0-9-]+)", f["path"])
-            if m and (str(hi)[:10] < m.group(1) or str(lo)[:10] > m.group(1)):
+            # only date-shaped string bounds are comparable with the
+            # _p_day dir value; anything else cannot prune here
+            if (
+                m
+                and isinstance(lo, str)
+                and isinstance(hi, str)
+                and _re.match(r"^\d{4}-\d{2}-\d{2}", lo)
+                and _re.match(r"^\d{4}-\d{2}-\d{2}", hi)
+                and (hi[:10] < m.group(1) or lo[:10] > m.group(1))
+            ):
                 return False
         for col, (lo, hi) in ranges.items():
             st = (f.get("stats") or {}).get(col)
@@ -568,7 +595,15 @@ class VersionedTable:
                 # under a new field id): null-fill, exactly like Iceberg
                 cols.append(F.lit(None).cast(f.type).alias(f.name))
         if with_pos:
-            cols.append(F.col("_metadata.file_path").alias("_del_file"))
+            # location-RELATIVE file key: the absolute _metadata.file_path
+            # URI would bake the table's physical location into delete
+            # files, silently resurrecting MoR-deleted rows after a table
+            # move (every other manifest path is relative for this reason)
+            stripped = F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[A-Za-z0-9+.\-]+:/+", "/"
+            )
+            rel = F.substring(stripped, len(self.location) + 2, 1 << 30)
+            cols.append(rel.alias("_del_file"))
             cols.append(F.col("_metadata.row_index").alias("_del_pos"))
         return df.select(*cols)
 
@@ -592,11 +627,6 @@ class VersionedTable:
     # ------------------------------------------------------------------
     # row-level DML (copy-on-write)
     # ------------------------------------------------------------------
-
-    def _rel_of_uri(self, uri: str) -> str:
-        """Map a _metadata.file_path URI back to a location-relative path."""
-        p = uri.split("://", 1)[-1] if "://" in uri else uri.removeprefix("file:")
-        return os.path.relpath(p, self.location)
 
     def _cow_rewrite(
         self,
@@ -636,7 +666,7 @@ class VersionedTable:
             if entry["rows"] == 0:
                 continue
             matched_rel = {
-                self._rel_of_uri(r["_del_file"])
+                r["_del_file"]  # already location-relative (see _read_entry)
                 for r in live_pos(entry)
                 .filter(match)
                 .select("_del_file")
@@ -679,14 +709,17 @@ class VersionedTable:
 
     def _write_delete_files(self, matches: DataFrame, snapshot_id: int) -> list[dict]:
         """Write (_del_file, _del_pos) pairs as a position-delete parquet
-        (Iceberg's file_path/pos delete files). Returns [] when no rows
-        matched — the caller then skips the commit."""
+        (Iceberg's file_path/pos delete files; _del_file is location-
+        relative so the table stays relocatable). Returns [] when no rows
+        matched — the caller then skips the commit. Row count comes from
+        the written footers (driver-side, no extra Spark job)."""
         import shutil
 
         rel = f"data/delete-snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.location, rel)
         matches.select("_del_file", "_del_pos").write.mode("errorifexists").parquet(path)
-        n_rows = self.spark.read.parquet(path).count()
+        files = self._list_written_files(rel)
+        n_rows = sum(f["rows"] for f in files)
         if n_rows == 0:
             shutil.rmtree(path, ignore_errors=True)
             return []
