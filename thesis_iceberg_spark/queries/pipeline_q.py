@@ -335,3 +335,46 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("tokens_in_pack"),
         )
     )
+
+
+# --- exact-k per-stratum sampling ------------------------------------------
+
+SAMPLE_K = 25  # documents kept per language
+
+
+@register(
+    "pipeline_topk_per_lang_sample",
+    oracle=f"""
+WITH langd AS ({REGISTRY["text_lang_id"].oracle}),
+ranked AS (
+  SELECT doc_id, detected_lang,
+         row_number() OVER (
+           PARTITION BY detected_lang
+           ORDER BY md5('reservoir:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM langd)
+SELECT doc_id, detected_lang, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {SAMPLE_K}
+""",
+    doc=f"Exactly-k-per-stratum sampling (the distributed stand-in for "
+    f"per-group reservoir sampling): rank documents per language by a "
+    f"KEYED md5 of doc_id and keep the first {SAMPLE_K}. Uniform within "
+    "stratum, deterministic across runs/engines, exact group sizes — one "
+    "window per stratum, no RNG state, no driver involvement. At 100 TB "
+    "the window's per-stratum sort is bounded by a pre-filter on the hash "
+    "prefix (keep ~2k/|stratum| first), the standard top-k-by-hash trick.",
+)
+def pipeline_topk_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.queries.text import text_lang_id
+
+    lang = text_lang_id(spark, sf_dir)
+    h = F.md5(
+        F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("detected_lang").orderBy(h, F.col("doc_id"))
+    return (
+        lang.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("doc_id", "detected_lang", F.col("rk").cast("int").alias("rk"))
+    )

@@ -242,3 +242,57 @@ def text_top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("lang", "bigram", "n", F.row_number().over(w).alias("rnk")).filter(
         F.col("rnk") <= 3
     )
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         {_sql_toks()} AS t,
+         len({_sql_toks()}) AS n_tokens,
+         len(list_distinct({_sql_toks()})) AS n_distinct
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(array_to_string(t, '')) AS DOUBLE) / n_tokens AS mean_word_len,
+         1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac
+  FROM m)
+SELECT doc_id,
+       (n_tokens BETWEEN 10 AND 100000) AS ok_length,
+       (mean_word_len BETWEEN 2.0 AND 10.0) AS ok_word_len,
+       (dup_token_frac <= 0.6) AS ok_repetition,
+       ((n_tokens BETWEEN 10 AND 100000)
+         AND (mean_word_len BETWEEN 2.0 AND 10.0)
+         AND (dup_token_frac <= 0.6)) AS keep
+FROM r
+""",
+    doc="Gopher-style corpus quality gates (the rule family large corpus "
+    "cleaning pipelines apply document-wise): token-count bounds, mean "
+    "word length bounds, duplicate-token fraction cap — each as a boolean "
+    "flag plus the conjunctive keep decision. All JVM builtins, narrow "
+    "per-row map, zero shuffle; at 100 TB this fuses into the ingest scan.",
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    m = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(F.array_join(toks, "")).cast("double") / F.size(toks)
+        ).alias("mean_word_len"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("dup_token_frac"),
+    )
+    ok_length = F.col("n_tokens").between(10, 100_000)
+    ok_word_len = F.col("mean_word_len").between(2.0, 10.0)
+    ok_repetition = F.col("dup_token_frac") <= 0.6
+    return m.select(
+        "doc_id",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_repetition.alias("ok_repetition"),
+        (ok_length & ok_word_len & ok_repetition).alias("keep"),
+    )
