@@ -46,3 +46,38 @@ def stream_into_table(
     if "t" not in state:  # empty source: still create the (empty) table
         raise ValueError("stream produced no micro-batches")
     return state["t"]
+
+
+def stream_upsert_into_table(
+    spark: SparkSession,
+    stream: DataFrame,
+    table: VersionedTable,
+    key: str,
+    now_ms_base: int | None = None,
+) -> VersionedTable:
+    """CDC-style streaming UPSERT: every micro-batch MERGEs into the target
+    on ``key`` (last-writer-wins within a batch by max ``key`` groupBy is
+    NOT applied — batches with duplicate keys are rejected by merge(), the
+    SQL-standard behavior; dedupe upstream with dropDuplicates if needed).
+
+    This is the foreachBatch + MERGE pattern every lakehouse CDC pipeline
+    uses: matched rows update, new keys insert, each epoch commits one
+    snapshot — so the target stays time-travelable through the upserts."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        now = (now_ms_base + batch_id) if now_ms_base is not None else None
+        cols = table.columns
+        updates = {c: f"s.`{c}`" for c in cols if c != key}
+        table.merge(
+            batch_df.select(*cols),
+            on=key,
+            when_matched_update=updates,
+            when_not_matched_insert=True,
+            now_ms=now,
+        )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return table
