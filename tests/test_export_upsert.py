@@ -37,7 +37,7 @@ def test_stream_upsert_merges_per_microbatch(spark, tmp_path):
     )
     cdc.coalesce(1).write.parquet(src_dir)
     stream = spark.readStream.schema(cdc.schema).parquet(src_dir)
-    stream_upsert_into_table(spark, stream, vt, key="k", now_ms_base=2_000)
+    stream_upsert_into_table(stream, vt, key="k", now_ms_base=2_000)
     got = {r.k: (r.s, r.v) for r in vt.read().collect()}
     assert got == {1: ("a", 10), 2: ("B", 200), 3: ("C", 300), 9: ("z", 90)}
     # the upsert committed snapshots; pre-upsert state is still reachable

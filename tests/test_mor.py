@@ -166,3 +166,39 @@ def test_mor_table_survives_relocation(spark, loc, tmp_path):
     moved = VersionedTable(spark, new_loc)
     assert moved.read().count() == 40
     assert moved.read().filter(F.col("id") < 10).count() == 0
+
+
+def test_trailing_slash_location_normalized(spark, tmp_path):
+    """A trailing slash (or other non-normal path form) in the table
+    location must not corrupt the relative delete-file keys CoW/MoR use."""
+    loc = str(tmp_path / "t") + "/"
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 20))
+    vt.delete(F.col("id") < 5)  # CoW path computes relative keys
+    assert sorted(r.id for r in vt.read().collect()) == list(range(5, 20))
+    vt.delete(F.col("id") >= 18, mode="merge-on-read")
+    assert vt.read().count() == 13
+
+
+def test_legacy_absolute_delete_keys_still_apply(spark, loc):
+    """Delete files written by the earlier format stored absolute file://
+    URIs; the reader normalizes them so unmoved tables keep their deletes."""
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 30),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    vt.delete(F.col("id") < 10)
+    # rewrite the delete file's keys to the OLD absolute-URI format
+    import glob as g
+
+    del_dir = g.glob(os.path.join(loc, "data", "delete-snap-*"))[0]
+    dels = spark.read.parquet(del_dir)
+    legacy = dels.select(
+        F.concat(F.lit("file://" + loc + "/"), F.col("_del_file")).alias("_del_file"),
+        "_del_pos",
+    )
+    rows = legacy.collect()
+    import shutil
+
+    shutil.rmtree(del_dir)
+    spark.createDataFrame(rows, legacy.schema).coalesce(1).write.parquet(del_dir)
+    assert VersionedTable(spark, loc).read().count() == 20

@@ -120,3 +120,31 @@ def test_update_set_literal_containing_where(spark, vt):
     fe.sql("UPDATE t SET s = 'x where y' WHERE id = 1")
     got = {r.id: r.s for r in vt.read().collect()}
     assert got == {1: "x where y", 2: "b", 3: "c"}
+
+
+def test_merge_update_then_delete_clause_order(spark, vt):
+    """SQL evaluates WHEN MATCHED clauses in order: rows claimed by a
+    conditional UPDATE must NOT fall through to a later DELETE."""
+    fe = _fe(spark, vt)
+    spark.createDataFrame(
+        [(1, "A", 100.0), (2, "B", 1.0), (3, "C", 2.0)], "id INT, s STRING, v DOUBLE"
+    ).createOrReplaceTempView("ord_src")
+    fe.sql(
+        "MERGE INTO t USING ord_src ON id "
+        "WHEN MATCHED AND s.v >= 50.0 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED THEN DELETE"
+    )
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert got == {1: 100.0}  # id=1 updated (claimed first), 2 and 3 deleted
+    with pytest.raises(ValueError):  # dead DELETE after unconditional UPDATE
+        fe.sql(
+            "MERGE INTO t USING ord_src ON id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_update_double_quoted_literal_with_where(spark, vt):
+    fe = _fe(spark, vt)
+    fe.sql('UPDATE t SET s = "x where y" WHERE id = 2')
+    got = {r.id: r.s for r in vt.read().collect()}
+    assert got[2] == "x where y" and got[1] == "a"

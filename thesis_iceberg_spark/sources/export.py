@@ -29,5 +29,9 @@ def export_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
-    suffix = ".json.gz" if compression == "gzip" else ".json"
-    return sorted(glob.glob(os.path.join(path, f"part-*{suffix}")))
+    # codec-agnostic listing: any part file except checksum sidecars
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(path, "part-*"))
+        if not f.endswith(".crc")
+    )

@@ -49,7 +49,6 @@ def stream_into_table(
 
 
 def stream_upsert_into_table(
-    spark: SparkSession,
     stream: DataFrame,
     table: VersionedTable,
     key: str,

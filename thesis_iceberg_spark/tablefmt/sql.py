@@ -97,15 +97,17 @@ def _parse_as_of_ms(val: str) -> int:
 
 def _split_set_where(rest: str) -> tuple[str, str | None]:
     """Split an UPDATE's ``SET <assignments> [WHERE <cond>]`` tail at the
-    first TOP-LEVEL ``WHERE`` keyword — not one inside a string literal or
-    parentheses, so ``SET s = 'x where y'`` parses correctly."""
-    depth, in_str, i = 0, False, 0
+    first TOP-LEVEL ``WHERE`` keyword — not one inside a single- OR
+    double-quoted literal (Spark treats both as strings) or parentheses,
+    so ``SET s = 'x where y'`` / ``SET s = "x where y"`` parse correctly."""
+    depth, quote, i = 0, None, 0
     while i < len(rest):
         ch = rest[i]
-        if in_str:
-            in_str = ch != "'"
-        elif ch == "'":
-            in_str = True
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -123,14 +125,15 @@ def _split_set_where(rest: str) -> tuple[str, str | None]:
 
 def _split_assignments(body: str) -> dict[str, str]:
     """Split ``a = e1, b = e2`` on top-level commas (not inside parens or
-    string literals), then on the first top-level '='."""
+    single/double-quoted literals), then on the first top-level '='."""
     parts: list[str] = []
-    depth, in_str, start = 0, False, 0
+    depth, quote, start = 0, None, 0
     for i, ch in enumerate(body):
-        if in_str:
-            in_str = ch != "'"
-        elif ch == "'":
-            in_str = True
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -200,6 +203,8 @@ class TableSQL:
             )
         key = _unquote(on_m.group("a"))
         update: dict[str, str] | None = None
+        update_cond: str | None = None
+        update_first = False
         delete_cond: str | None = None
         insert = False
         matched_seen = False
@@ -215,16 +220,30 @@ class TableSQL:
                 if update is not None:
                     raise ValueError("MERGE supports one WHEN MATCHED ... UPDATE clause")
                 update = _split_assignments(re.sub(r"(?i)^UPDATE\s+SET\s+", "", action))
-                if w.group("cond"):
+                update_cond = w.group("cond").strip() if w.group("cond") else None
+                update_first = delete_cond is None
+                if update_cond:
                     # conditional matched-update: rows matching the key but
                     # not the condition keep their target values
-                    cond = w.group("cond").strip()
                     update = {
-                        col: f"CASE WHEN ({cond}) THEN ({expr}) ELSE t.`{col}` END"
+                        col: f"CASE WHEN ({update_cond}) THEN ({expr}) ELSE t.`{col}` END"
                         for col, expr in update.items()
                     }
             else:  # DELETE
+                if delete_cond is not None:
+                    raise ValueError("MERGE supports one WHEN MATCHED ... DELETE clause")
                 delete_cond = w.group("cond") or "true"
+        # SQL evaluates WHEN MATCHED clauses IN ORDER, first match wins per
+        # row. merge() applies delete before update, which natively models
+        # DELETE-before-UPDATE; for UPDATE-before-DELETE the delete must
+        # exclude rows the update clause already claimed.
+        if update is not None and delete_cond is not None and update_first:
+            if update_cond is None:
+                raise ValueError(
+                    "WHEN MATCHED ... DELETE after an unconditional UPDATE "
+                    "clause is unreachable"
+                )
+            delete_cond = f"({delete_cond}) AND NOT ({update_cond})"
         if not (matched_seen or insert):
             raise ValueError("MERGE needs at least one WHEN clause")
         vt.merge(

@@ -81,7 +81,11 @@ class VersionedTable:
 
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
-        self.location = location
+        # absolute + normalized: trailing slashes or a relative path would
+        # break the fixed-offset relative-key computation for position
+        # deletes (and relative paths resolve against the JVM's cwd, not
+        # Python's, in Spark reads)
+        self.location = os.path.abspath(location)
         self._meta = self._load_meta()
 
     # ------------------------------------------------------------------
@@ -272,7 +276,7 @@ class VersionedTable:
             name: [mins[name], maxs[name]] for name in mins if name not in incomplete
         }
 
-    def _list_written_files(self, rel: str) -> list[dict]:
+    def _list_written_files(self, rel: str, with_stats: bool = True) -> list[dict]:
         """Enumerate the parquet files of a freshly written directory with
         per-file row counts AND column min/max bounds taken from the parquet
         FOOTERS (pyarrow, driver-side, metadata-only — the write-time stats
@@ -289,13 +293,13 @@ class VersionedTable:
                     continue
                 full = os.path.join(dirpath, name)
                 pf = pq.ParquetFile(full)
-                out.append(
-                    {
-                        "path": os.path.relpath(full, self.location),
-                        "rows": pf.metadata.num_rows,
-                        "stats": self._file_stats(pf),
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(full, self.location),
+                    "rows": pf.metadata.num_rows,
+                }
+                if with_stats:
+                    entry["stats"] = self._file_stats(pf)
+                out.append(entry)
         return sorted(out, key=lambda f: f["path"])
 
     def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
@@ -565,7 +569,7 @@ class VersionedTable:
             # relative to data (it holds deleted row ids only), so at scale
             # AQE broadcasts it
             paths = [os.path.join(self.location, d["path"]) for d in deletes]
-            dels = self.spark.read.parquet(*paths)
+            dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
             out = out.join(dels, ["_del_file", "_del_pos"], "left_anti")
         if need_pos and not with_pos:
             out = out.drop("_del_file", "_del_pos")
@@ -656,7 +660,7 @@ class VersionedTable:
             df = self._read_entry(entry, with_pos=True)
             if deletes:
                 paths = [os.path.join(self.location, d["path"]) for d in deletes]
-                dels = self.spark.read.parquet(*paths)
+                dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
                 df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
             return df
 
@@ -707,6 +711,20 @@ class VersionedTable:
             operation, manifest, now_ms, delete_manifest=deletes if kept_entries else []
         )
 
+    def _normalize_delete_keys(self, dels: DataFrame) -> DataFrame:
+        """Current delete files store location-RELATIVE _del_file keys; files
+        written by an earlier format stored absolute file:// URIs. Normalize
+        absolute keys to relative at read time so pre-existing (unmoved)
+        tables keep their deletes applied after the format change."""
+        stripped = F.regexp_replace(
+            F.col("_del_file"), r"^[A-Za-z0-9+.\-]+:/+", "/"
+        )
+        rel = F.when(
+            stripped.startswith("/"),
+            F.substring(stripped, len(self.location) + 2, 1 << 30),
+        ).otherwise(F.col("_del_file"))
+        return dels.withColumn("_del_file", rel)
+
     def _write_delete_files(self, matches: DataFrame, snapshot_id: int) -> list[dict]:
         """Write (_del_file, _del_pos) pairs as a position-delete parquet
         (Iceberg's file_path/pos delete files; _del_file is location-
@@ -718,7 +736,8 @@ class VersionedTable:
         rel = f"data/delete-snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.location, rel)
         matches.select("_del_file", "_del_pos").write.mode("errorifexists").parquet(path)
-        files = self._list_written_files(rel)
+        # rows-only: delete-file column stats are never consulted
+        files = self._list_written_files(rel, with_stats=False)
         n_rows = sum(f["rows"] for f in files)
         if n_rows == 0:
             shutil.rmtree(path, ignore_errors=True)
