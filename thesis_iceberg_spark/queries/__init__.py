@@ -72,57 +72,66 @@ def _load_all() -> None:
 # Names not (yet) registered are skipped harmlessly; unlisted queries keep
 # registration order after the prioritized block.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # never-checked in round 1 (registry positions 50-87)
-    "join_anti_inactive_customers",
-    "join_full_outer_nation_presence",
-    "star_join_revenue_by_nation",
-    "window_rank_orders",
-    "window_lag_user_values",
-    "window_running_total",
-    "rollup_order_stats",
-    "cube_lineitem_flags",
-    "set_ops_customer_segments",
+    # --- round 3: the 9 queries no driver round has ever checked ---
+    "dedup_cluster_canonical",
+    "text_gopher_quality_flags",
+    "pipeline_pii_scrub",
+    "pipeline_chunk_documents",
+    "pipeline_stratified_sample",
+    "pipeline_pack_sequences",
+    "pipeline_topk_per_lang_sample",
+    "agg_approx_count_distinct",  # now a value oracle (exact count + 5% self-check)
+    "ann_ivf_kmeans_topk",  # now a value oracle (recall@10 self-check)
+    # --- new this round ---
+    "sql_ddl_lifecycle",
+    "tablefmt_merge_incremental",
+    # --- 39 green veterans, one+ per family, as regression guards ---
+    # (exactly fills the 50-slot window with the 11 entries above)
+    # relational scans / filters / topk
+    "scan_full",
+    "filter_range_ts",
+    "topk_orders",
+    "distinct_values",
+    # aggregation
+    "agg_pricing_summary",
+    "agg_q6_revenue",
     "agg_count_distinct",
+    "agg_salted_skew",
     "grouping_sets_sql",
-    "orderby_multi_col",
+    # joins
+    "join_inner_cust_orders",
+    "join_anti_inactive_customers",
+    "join_bucketed_colocated",
+    "star_join_revenue_by_nation",
+    "q3_unshipped_topk",
+    "asof_join_last_event",
+    # windows / set ops / subqueries
+    "window_rank_orders",
+    "window_funcs_extended",
+    "set_ops_customer_segments",
+    "in_exists_subqueries",
+    # dedup / similarity
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_lsh_pairs",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "correlated_scalar_subquery",
-    "in_exists_subqueries",
-    "values_inline_dim_join",
-    "set_ops_multiset",
-    "window_funcs_extended",
-    "conditional_funcs_profile",
-    "unpivot_order_measures",
+    # text / multimodal / pipeline
+    "text_token_stats",
+    "text_lang_id",
+    "multimodal_metadata",
+    "multimodal_features",
+    "pipeline_train_eval_split",
+    # streaming / timeseries
     "streaming_windowed_event_stats",
-    "streaming_stateful_user_counts",
-    "streaming_stateful_dedup",
-    "sessionize_events",
-    "streaming_static_dim_join",
     "streaming_batch_parity",
+    "sessionize_events",
+    "time_bucket_rollup",
+    # table format / SQL front-end
     "tablefmt_lifecycle_final_state",
     "tablefmt_time_travel",
     "tablefmt_changelog",
     "tablefmt_schema_evolution",
-    "tablefmt_quoted_identifiers",
-    "time_bucket_rollup",
-    "resample_gapfill_locf",
-    "streaming_stream_stream_join",
-    "dedup_drop_duplicates",
-    # round-1 errors, fixed this round — re-verify
-    "filter_null",
-    "filter_neq",
-    "distinct_values",
-    "asof_join_last_event",
-    "range_join_event_window",
-    "agg_salted_skew",
-    "json_extract_props",
-    "map_funcs_event_props",
-    "time_funcs_profile",
-    "agg_collect_sorted",
-    "multimodal_features",
-    # new this round
-    "dedup_embedding_lsh_pairs",
     "sql_time_travel",
     "sql_dml_update_delete",
 )

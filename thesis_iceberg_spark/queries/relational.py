@@ -551,17 +551,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines — rows-only check.
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
     doc="§2B approximate distinct (HyperLogLog++): the 100 TB-friendly "
-    "variant of agg_count_distinct — constant memory per group. No DuckDB "
-    "oracle (sketch implementations differ); self-checked in tests against "
-    "exact counts with 5% rsd.",
+    "variant of agg_count_distinct — constant memory per group. HLL sketch "
+    "values differ across engines, so the oracle-able form is a SELF-CHECK: "
+    "alongside the exact count we emit approx_ok = |approx-exact|/exact <= "
+    "0.05, which DuckDB predicts as TRUE. The sketch runs at rsd=0.01 so "
+    "the 5% gate is a 5-sigma margin, and Spark's HLL++ is deterministic "
+    "for a given dataset — stable, not flaky.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                / F.col("n_users")
+                <= F.lit(0.05)
+            ).alias("approx_ok"),
+        )
     )
 
 

@@ -160,12 +160,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans_topk",
-    oracle=None,  # learned clustering: self-checked for recall + determinism
+    oracle=f"""
+SELECT CAST({TOP_K} AS BIGINT) AS top_k,
+       CAST({TOP_K} AS BIGINT) AS n_returned,
+       TRUE AS recall_ok
+""",
     doc="Production IVF variant: centroids LEARNED with seeded KMeans "
     "(pyspark.ml), corpus bucketed at index-build time, query probes its 4 "
-    "nearest of 8 buckets. No SQL oracle (clustering is model-driven); "
-    "tests/test_ann_properties.py checks recall >= 0.5 vs brute force and "
-    "run-to-run determinism.",
+    "nearest of 8 buckets. The neighbor list itself is model-driven (no SQL "
+    "oracle), so the oracle-able form is a SELF-CHECK: the query computes "
+    "recall@10 against the exact brute-force top-10 IN SPARK and returns "
+    "(top_k, n_returned, recall_ok = recall >= 0.5). Seeded KMeans makes "
+    "this deterministic; tests/test_ann_properties.py checks the raw "
+    "neighbor list for recall and run-to-run determinism.",
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as FF
@@ -175,4 +182,29 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, sf_dir, "embeddings")
     qid = corpus.agg(FF.min("vec_id")).first()[0]
     indexed, model = build_ivf_index(spark, corpus, k=N_CENTROIDS)
-    return ivf_topk(spark, indexed, model, qid, top_k=TOP_K, nprobe=4)
+    ivf = ivf_topk(spark, indexed, model, qid, top_k=TOP_K, nprobe=4)
+
+    # exact brute-force top-k (the recall denominator), all Spark-side
+    e = _vecs(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == qid).select(F.col("v").alias("qv"))
+    exact = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != qid)
+        .select("vec_id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.lit(True).alias("in_exact"))
+    )
+    return (
+        ivf.select("vec_id")
+        .join(F.broadcast(exact), "vec_id", "left")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.sum(F.when(F.col("in_exact"), 1).otherwise(0)).alias("n_hits"),
+        )
+        .select(
+            F.lit(TOP_K).cast("long").alias("top_k"),
+            "n_returned",
+            (F.col("n_hits") / F.lit(TOP_K) >= F.lit(0.5)).alias("recall_ok"),
+        )
+    )
