@@ -202,3 +202,104 @@ def test_legacy_absolute_delete_keys_still_apply(spark, loc):
     shutil.rmtree(del_dir)
     spark.createDataFrame(rows, legacy.schema).coalesce(1).write.parquet(del_dir)
     assert VersionedTable(spark, loc).read().count() == 20
+
+
+def _manifest_paths(vt):
+    """Every data-file path referenced by the CURRENT snapshot."""
+    snap = vt._select_snapshot()
+    out = set()
+    for entry in snap["manifest"]:
+        files = entry.get("files")
+        if files is None:
+            out.add(entry["path"])
+        else:
+            out.update(f["path"] for f in files)
+    return out
+
+
+def test_cow_merge_rewrites_only_matched_files(spark, loc):
+    """A 1-key MERGE into a multi-file table must leave every untouched
+    data file referenced by the new snapshot (mirror of
+    test_mor_delete_never_rewrites_data_files for the CoW merge path)."""
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 100).repartition(4))
+    vt.append(_df(spark, 100, 200).repartition(4))
+    paths_before = _manifest_paths(vt)
+    assert len(paths_before) == 8
+    src = spark.createDataFrame([(5, -1), (250, -2)], "id BIGINT, v BIGINT")
+    vt.merge(src, on="id", when_matched_update={"v": "s.v"})
+    paths_after = _manifest_paths(vt)
+    # exactly ONE pre-merge file (the one holding id=5) was dropped; the
+    # other 7 survive into the new snapshot BY REFERENCE
+    survivors = paths_before & paths_after
+    assert len(survivors) == 7
+    new_files = paths_after - paths_before
+    assert new_files and all(p.startswith("data/snap-3") for p in new_files)
+    # values are full MERGE semantics
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert len(got) == 201 and got[5] == -1 and got[250] == -2 and got[6] == 12
+
+
+def test_cow_merge_pure_insert_appends_without_rewrite(spark, loc):
+    """MERGE with zero key overlap must not rewrite anything — it
+    degenerates to an append (still labeled 'merge' in history)."""
+    vt = VersionedTable.create(spark, loc, df=_df(spark, 0, 50))
+    paths_before = _manifest_paths(vt)
+    src = spark.createDataFrame([(500, 1), (501, 2)], "id BIGINT, v BIGINT")
+    vt.merge(src, on="id", when_matched_update={"v": "s.v"})
+    assert paths_before <= _manifest_paths(vt)
+    assert vt.read().count() == 52
+    assert [s.operation for s in vt.snapshots().collect()] == ["append", "merge"]
+
+
+def test_mor_merge_never_rewrites_data_files(spark, loc):
+    """write.merge.mode=merge-on-read: MERGE position-deletes matched rows
+    and appends updated+inserted rows; no data file is ever rewritten —
+    the O(batch) CDC-upsert write shape."""
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 100).repartition(4),
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    paths_before = _manifest_paths(vt)
+    src = spark.createDataFrame([(5, -1), (250, -2)], "id BIGINT, v BIGINT")
+    vt.merge(src, on="id", when_matched_update={"v": "s.v"})
+    # every pre-merge file still referenced; one delete file + one small
+    # appended data dir (2 rows: the updated row and the insert)
+    assert paths_before <= _manifest_paths(vt)
+    assert len(glob.glob(os.path.join(loc, "data", "delete-snap-*"))) == 1
+    snap = vt._select_snapshot()
+    new_rows = sum(
+        e["rows"] for e in snap["manifest"]
+        if e["path"] not in {p.rsplit("/", 1)[0] for p in paths_before}
+        and not any(f["path"] in paths_before for f in (e.get("files") or []))
+    )
+    assert new_rows == 2
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert len(got) == 101 and got[5] == -1 and got[250] == -2 and got[6] == 12
+    # matched-delete clause also stays MoR: second delete file, no rewrite
+    vt.merge(
+        spark.createDataFrame([(7, 0)], "id BIGINT, v BIGINT"),
+        on="id",
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        when_matched_delete="true",
+    )
+    assert paths_before <= _manifest_paths(vt)
+    assert len(glob.glob(os.path.join(loc, "data", "delete-snap-*"))) == 2
+    assert vt.read().count() == 100
+    assert vt.read().filter(F.col("id") == 7).count() == 0
+
+
+def test_mor_merge_update_without_delete_keeps_unmatched_in_place(spark, loc):
+    """Matched rows with NO update clause and no delete condition must stay
+    in place untouched (no delete file, no new snapshot needed — the MERGE
+    is a pure insert of the unmatched source rows)."""
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 20),
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    src = spark.createDataFrame([(5, 999), (300, 3)], "id BIGINT, v BIGINT")
+    vt.merge(src, on="id")  # no clauses: matched rows keep TARGET values
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert len(got) == 21 and got[5] == 10 and got[300] == 3
+    # no position-delete file was needed
+    assert glob.glob(os.path.join(loc, "data", "delete-snap-*")) == []

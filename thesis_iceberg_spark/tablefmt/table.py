@@ -378,13 +378,17 @@ class VersionedTable:
             },
         }
 
-    def append(self, df: DataFrame, now_ms: int | None = None) -> None:
+    def append(
+        self, df: DataFrame, now_ms: int | None = None, operation: str = "append"
+    ) -> None:
         """INSERT INTO semantics (ref: #cell-11 INSERT VALUES). Existing
-        position-delete files still apply to the carried-over data files."""
+        position-delete files still apply to the carried-over data files.
+        ``operation`` keeps history labels honest when a MERGE with no key
+        overlap degenerates to a pure append."""
         sid = self._next_snapshot_id()
         manifest = self._current_manifest() + self._write_data_files(df, sid)
         self._commit_snapshot(
-            "append", manifest, now_ms, delete_manifest=self._current_delete_manifest()
+            operation, manifest, now_ms, delete_manifest=self._current_delete_manifest()
         )
 
     def overwrite(
@@ -639,11 +643,11 @@ class VersionedTable:
         operation: str,
         now_ms: int | None = None,
     ) -> None:
-        """FILE-granular copy-on-write: one pushdown-backed scan per entry
-        attributes matching rows to their physical files via
-        _metadata.file_path; only files that actually CONTAIN matches are
-        rewritten — every other file (including unmatched files inside a
-        touched directory) survives into the new snapshot by reference.
+        """FILE-granular copy-on-write: ONE pushdown-backed probe job over
+        the whole snapshot attributes matching rows to their physical files
+        via _metadata.file_path; only files that actually CONTAIN matches
+        are rewritten — every other file (including unmatched files inside
+        a touched directory) survives into the new snapshot by reference.
         This is Iceberg's CoW write path: manifests are file-granular, and
         a DELETE touching 1 of 100 files rewrites 1 file. A production
         build would prune the probe with manifest min/max stats instead of
@@ -652,39 +656,56 @@ class VersionedTable:
         if snap is None:
             return  # empty table: nothing to do
         match = F.coalesce(condition, F.lit(False))
+        matched_all = self._matched_files(
+            self._scan_snapshot(snap, with_pos=True).filter(match)
+        )
+        if not matched_all:
+            return  # no rows match: no new snapshot (Iceberg does the same)
+        kept_entries, touched_subsets = self._split_by_matched_files(snap, matched_all)
+        df = self._live_union(snap, touched_subsets)
+        sid = self._next_snapshot_id()
+        manifest = kept_entries + self._write_data_files(rewrite(df, match), sid)
         deletes = snap.get("delete_manifest", [])
+        # carried delete files still mask rows in kept entries; their rows
+        # pointing at rewritten (now-unreferenced) files simply never match
+        self._commit_snapshot(
+            operation, manifest, now_ms, delete_manifest=deletes if kept_entries else []
+        )
 
-        def live_pos(entry: dict) -> DataFrame:
-            """One entry with row identity, position deletes applied — a CoW
-            rewrite over MoR state must not resurrect MoR-deleted rows."""
-            df = self._read_entry(entry, with_pos=True)
-            if deletes:
-                paths = [os.path.join(self.location, d["path"]) for d in deletes]
-                dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
-                df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
-            return df
+    def _matched_files(self, matched_rows: DataFrame) -> set[str]:
+        """Collect the distinct set of data files containing ``matched_rows``
+        (which must carry _del_file) — ONE Spark job for the whole snapshot,
+        driver-side output is a manifest-scale file list, never row data.
+        At 100k files this is 1 job, not one per manifest entry."""
+        return {
+            r["_del_file"]  # already location-relative (see _read_entry)
+            for r in matched_rows.select("_del_file").distinct().collect()
+        }
 
+    def _split_by_matched_files(
+        self, snap: dict, matched_all: set[str]
+    ) -> tuple[list[dict], list[dict]]:
+        """Partition the snapshot's manifest into (kept_entries,
+        touched_subsets) around the matched-file set: kept entries survive
+        by reference; touched subsets are the file-granular slices that a
+        CoW rewrite must read and replace."""
         kept_entries: list[dict] = []
         touched_subsets: list[dict] = []
         for entry in snap["manifest"]:
             if entry["rows"] == 0:
                 continue
-            matched_rel = {
-                r["_del_file"]  # already location-relative (see _read_entry)
-                for r in live_pos(entry)
-                .filter(match)
-                .select("_del_file")
-                .distinct()
-                .collect()  # driver-side file LIST (manifest-scale, not data)
-            }
+            files = entry.get("files")
+            if files is None:
+                # directory entry: its files all live under entry["path"]/,
+                # so an untouched directory skips the fs listing entirely
+                if not any(p.startswith(entry["path"] + "/") for p in matched_all):
+                    kept_entries.append(entry)
+                    continue
+                files = self._list_written_files(entry["path"])
+            matched_rel = {f["path"] for f in files} & matched_all
             if not matched_rel:
                 kept_entries.append(entry)
                 continue
-            files = (
-                entry["files"]
-                if entry.get("files") is not None
-                else self._list_written_files(entry["path"])
-            )
             kept_files = [f for f in files if f["path"] not in matched_rel]
             if kept_files:
                 kept_entries.append(
@@ -698,18 +719,26 @@ class VersionedTable:
             touched_subsets.append(
                 {**entry, "files": sub_files, "rows": sum(f["rows"] for f in sub_files)}
             )
-        if not touched_subsets:
-            return  # no rows match: no new snapshot (Iceberg does the same)
-        df = live_pos(touched_subsets[0]).drop("_del_file", "_del_pos")
-        for e in touched_subsets[1:]:
+        return kept_entries, touched_subsets
+
+    def _live_union(self, snap: dict, entries: list[dict]) -> DataFrame:
+        """Union the LIVE rows (position deletes applied — a CoW rewrite
+        over MoR state must not resurrect MoR-deleted rows) of the given
+        file-granular manifest entries, row-identity columns dropped."""
+        deletes = snap.get("delete_manifest", [])
+
+        def live_pos(entry: dict) -> DataFrame:
+            df = self._read_entry(entry, with_pos=True)
+            if deletes:
+                paths = [os.path.join(self.location, d["path"]) for d in deletes]
+                dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
+                df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
+            return df
+
+        df = live_pos(entries[0]).drop("_del_file", "_del_pos")
+        for e in entries[1:]:
             df = df.unionByName(live_pos(e).drop("_del_file", "_del_pos"))
-        sid = self._next_snapshot_id()
-        manifest = kept_entries + self._write_data_files(rewrite(df, match), sid)
-        # carried delete files still mask rows in kept entries; their rows
-        # pointing at rewritten (now-unreferenced) files simply never match
-        self._commit_snapshot(
-            operation, manifest, now_ms, delete_manifest=deletes if kept_entries else []
-        )
+        return df
 
     def _normalize_delete_keys(self, dels: DataFrame) -> DataFrame:
         """Current delete files store location-RELATIVE _del_file keys; files
@@ -867,22 +896,31 @@ class VersionedTable:
         when_not_matched_insert: bool = True,
         when_matched_delete: Column | str | None = None,
         now_ms: int | None = None,
+        mode: str | None = None,
     ) -> None:
         """MERGE INTO target USING source ON target.<on> = source.<on>
         (ref: SURVEY.md §2A M3 — configured but never executed in the
         reference; implemented for capability parity).
 
-        Spark-first plan: one full-outer join between target and source on
-        the key, then per-row CASE logic — a single shuffle on the merge key.
+        Spark-first plan: one semi-join probe locates the data FILES that
+        contain matched target rows (manifest-scale collect), then:
+
+        * copy-on-write (default): only those files are rewritten, through
+          a full-outer join restricted to their live rows — a MERGE
+          touching 1 of 100 files rewrites 1 file, and a pure-insert MERGE
+          (no key overlap) degenerates to an append with zero rewrites.
+        * merge-on-read (write.merge.mode property, or mode=): matched rows
+          are position-deleted and their updated versions appended together
+          with the inserts — no data file is ever rewritten; write cost is
+          O(matched + inserted) per call, the CDC-upsert shape.
         """
-        target = self.read()
         cols = self.columns
         src = source.select(*cols)
         # SQL-standard MERGE semantics: more than one source row matching a
         # target row is an error (Iceberg raises the same), otherwise the
-        # full-outer join below would silently duplicate target rows.
-        # NULL-key source rows are excluded: they can never match any target
-        # row (NULL = NULL is not true), so they are not duplicates.
+        # joins below would silently duplicate target rows. NULL-key source
+        # rows are excluded: they can never match any target row
+        # (NULL = NULL is not true), so they are not duplicates.
         dup = (
             src.filter(F.col(on).isNotNull())
             .groupBy(on)
@@ -895,6 +933,39 @@ class VersionedTable:
             raise ValueError(
                 f"MERGE source has multiple rows for key {on}={dup[0][0]!r}"
             )
+        delete_cond = (
+            F.expr(when_matched_delete)
+            if isinstance(when_matched_delete, str)
+            else when_matched_delete
+        )
+        snap = self._select_snapshot()
+        if snap is None:
+            # empty table: every source row is an insert (NULL keys included)
+            if when_not_matched_insert:
+                self.append(src, now_ms=now_ms, operation="merge")
+            return
+        live = self._scan_snapshot(snap, with_pos=True)
+        keys = src.select(on).filter(F.col(on).isNotNull()).distinct()
+        matched_all = self._matched_files(live.join(keys, on, "left_semi"))
+        if not matched_all:
+            # no key overlap anywhere: pure-insert MERGE, zero rewrites
+            if when_not_matched_insert:
+                self.append(src, now_ms=now_ms, operation="merge")
+            return
+        if self._dml_mode("merge", mode) == "merge-on-read":
+            self._mor_merge(
+                snap,
+                src,
+                on,
+                when_matched_update,
+                when_not_matched_insert,
+                delete_cond,
+                now_ms,
+            )
+            return
+        # ---- copy-on-write: rewrite ONLY the files containing matches ----
+        kept_entries, touched_subsets = self._split_by_matched_files(snap, matched_all)
+        target = self._live_union(snap, touched_subsets)
         # Side provenance via non-null marker columns, NOT key nullability:
         # a target row whose merge-key is NULL never joins, and must survive
         # unchanged as a target-only row — keying the matched/target-only
@@ -907,11 +978,6 @@ class VersionedTable:
         s_exists = F.col("s._s_exists").isNotNull()
         matched = t_exists & s_exists
         out_cols = []
-        delete_cond = (
-            F.expr(when_matched_delete)
-            if isinstance(when_matched_delete, str)
-            else when_matched_delete
-        )
         for c in cols:
             tcol, scol = F.col(f"t.{c}"), F.col(f"s.{c}")
             if when_matched_update and c in when_matched_update:
@@ -929,7 +995,80 @@ class VersionedTable:
             base = base.filter(~(matched & F.coalesce(delete_cond, F.lit(False))))
         if not when_not_matched_insert:
             base = base.filter(t_exists)
-        self.overwrite(base.select(*out_cols), now_ms=now_ms, operation="merge")
+        sid = self._next_snapshot_id()
+        manifest = kept_entries + self._write_data_files(base.select(*out_cols), sid)
+        deletes = snap.get("delete_manifest", [])
+        self._commit_snapshot(
+            "merge", manifest, now_ms, delete_manifest=deletes if kept_entries else []
+        )
+
+    def _mor_merge(
+        self,
+        snap: dict,
+        src: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | None,
+        when_not_matched_insert: bool,
+        delete_cond: Column | None,
+        now_ms: int | None,
+    ) -> None:
+        """Merge-on-read MERGE: position-delete every matched row that is
+        updated or deleted, append updated versions + inserts as ONE new
+        data file set. Existing data files are never rewritten — per-call
+        write cost is O(matched + inserted), not O(table)."""
+        import shutil
+
+        live = self._scan_snapshot(snap, with_pos=True)
+        t = live.withColumn("_t_exists", F.lit(True)).alias("t")
+        s = src.withColumn("_s_exists", F.lit(True)).alias("s")
+        matched = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner")
+        doomed_cond = F.lit(when_matched_update is not None)
+        if delete_cond is not None:
+            doomed_cond = doomed_cond | F.coalesce(delete_cond, F.lit(False))
+        doomed = matched.filter(doomed_cond).select(
+            F.col("t._del_file").alias("_del_file"),
+            F.col("t._del_pos").alias("_del_pos"),
+        )
+        sid = self._next_snapshot_id()
+        del_entries = self._write_delete_files(doomed, sid)
+        new_rows: DataFrame | None = None
+        if when_matched_update is not None:
+            keep = matched
+            if delete_cond is not None:
+                keep = matched.filter(~F.coalesce(delete_cond, F.lit(False)))
+            new_rows = keep.select(
+                *[
+                    F.expr(when_matched_update[c]).alias(c)
+                    if c in when_matched_update
+                    else F.col(f"t.{c}").alias(c)
+                    for c in self.columns
+                ]
+            )
+        if when_not_matched_insert:
+            # anti join keeps NULL-key source rows (NULL never matches) —
+            # identical insert semantics to the CoW full-outer path
+            inserts = src.join(live.select(on).distinct(), on, "left_anti").select(
+                *self.columns
+            )
+            new_rows = inserts if new_rows is None else new_rows.unionByName(inserts)
+        data_entries = (
+            self._write_data_files(new_rows, sid) if new_rows is not None else []
+        )
+        if data_entries and data_entries[0]["rows"] == 0:
+            # e.g. every matched row was deleted and nothing inserted
+            shutil.rmtree(
+                os.path.join(self.location, data_entries[0]["path"]),
+                ignore_errors=True,
+            )
+            data_entries = []
+        if not del_entries and not data_entries:
+            return  # nothing matched, nothing inserted: no new snapshot
+        self._commit_snapshot(
+            "merge",
+            list(snap["manifest"]) + data_entries,
+            now_ms,
+            delete_manifest=snap.get("delete_manifest", []) + del_entries,
+        )
 
     # ------------------------------------------------------------------
     # schema evolution (field-id based — ref: api.py:170-215)
