@@ -53,6 +53,7 @@ def stream_upsert_into_table(
     table: VersionedTable,
     key: str,
     now_ms_base: int | None = None,
+    mode: str | None = None,
 ) -> VersionedTable:
     """CDC-style streaming UPSERT: every micro-batch MERGEs into the target
     on ``key`` (last-writer-wins within a batch by max ``key`` groupBy is
@@ -61,7 +62,14 @@ def stream_upsert_into_table(
 
     This is the foreachBatch + MERGE pattern every lakehouse CDC pipeline
     uses: matched rows update, new keys insert, each epoch commits one
-    snapshot — so the target stays time-travelable through the upserts."""
+    snapshot — so the target stays time-travelable through the upserts.
+
+    Write amplification: merge() is file-pruned, so an epoch only rewrites
+    the data files its keys actually land in. For a steady CDC feed the
+    right table setting is write.merge.mode=merge-on-read (or ``mode=``
+    here): each epoch then writes O(batch) bytes — a position-delete file
+    plus one small data file set — and NEVER rewrites existing data files;
+    compact() folds the accumulated deletes back in off the hot path."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -75,6 +83,7 @@ def stream_upsert_into_table(
             when_matched_update=updates,
             when_not_matched_insert=True,
             now_ms=now,
+            mode=mode,
         )
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
