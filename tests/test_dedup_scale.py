@@ -28,4 +28,6 @@ def test_embedding_lsh_recall_and_precision(spark, sf_dir):
     assert lsh <= brute, f"false positives: {sorted(lsh - brute)[:5]}"
     assert brute, "baseline found no near-dup pairs — threshold broken?"
     recall = len(lsh & brute) / len(brute)
-    assert recall >= 0.7, f"recall {recall:.2f} < 0.7 ({len(lsh)}/{len(brute)})"
+    # compound cross-polytope LSH measures 1.0 at sf0.001/sf0.01 and 0.889
+    # at sf0.1; 0.85 is the regression floor at the default test SF
+    assert recall >= 0.85, f"recall {recall:.2f} < 0.85 ({len(lsh)}/{len(brute)})"
