@@ -148,3 +148,102 @@ def test_update_double_quoted_literal_with_where(spark, vt):
     fe.sql('UPDATE t SET s = "x where y" WHERE id = 2')
     got = {r.id: r.s for r in vt.read().collect()}
     assert got[2] == "x where y" and got[1] == "a"
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    from thesis_iceberg_spark.tablefmt.catalog import Catalog
+
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_sql_create_insert_values(spark, cat):
+    cat.sql(
+        "CREATE TABLE default.t (id INT, name STRING, added_at TIMESTAMP) "
+        "PARTITIONED BY (day(added_at)) TBLPROPERTIES ('k'='v')"
+    )
+    vt = cat.table("default.t")
+    assert vt.properties == {"k": "v"}
+    assert vt._meta["partition_spec"] == [
+        {"source_name": "added_at", "transform": "day"}
+    ]
+    cat.sql(
+        "INSERT INTO default.t VALUES "
+        "(1, 'a', TIMESTAMP '2024-01-01 10:00:00'), "
+        "(2, 'b', TIMESTAMP '2024-01-02 10:00:00')"
+    )
+    assert sorted(r.id for r in cat.table("default.t").read().collect()) == [1, 2]
+    # IF NOT EXISTS is a no-op; bare CREATE on an existing table errors
+    cat.sql("CREATE TABLE IF NOT EXISTS default.t (x INT)")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql("CREATE TABLE default.t (x INT)")
+    # INSERT arity mismatch is an error, not silent misalignment
+    with pytest.raises(ValueError, match="columns"):
+        cat.sql("INSERT INTO default.t VALUES (3, 'c')")
+
+
+def test_sql_insert_select_and_ctas(spark, cat):
+    cat.sql("CREATE TABLE default.src (id INT, v INT)")
+    cat.sql("INSERT INTO default.src VALUES (1, 10), (2, 20), (3, 30)")
+    cat.register_view("default.src", "src_view")
+    cat.sql("INSERT INTO default.src SELECT id + 10, v FROM src_view WHERE v >= 20")
+    assert cat.table("default.src").read().count() == 5
+    cat.sql("CREATE TABLE default.big AS SELECT * FROM src_view WHERE v > 10")
+    assert sorted(r.id for r in cat.table("default.big").read().collect()) == [2, 3]
+    cat.sql("DROP TABLE default.big")
+    assert "big" not in cat.tables("default")
+    cat.sql("DROP TABLE IF EXISTS default.never_existed")  # no error
+
+
+def test_sql_alter_forms(spark, cat):
+    cat.sql("CREATE TABLE default.t (id INT, name STRING)")
+    cat.sql("INSERT INTO default.t VALUES (1, 'a')")
+    cat.sql("ALTER TABLE default.t ADD COLUMN dept STRING")
+    cat.sql("ALTER TABLE default.t ADD COLUMNS (score DOUBLE, note STRING)")
+    assert cat.table("default.t").columns == ["id", "name", "dept", "score", "note"]
+    cat.sql("ALTER TABLE default.t RENAME COLUMN name TO full_name")
+    cat.sql("ALTER TABLE default.t DROP COLUMN note")
+    assert cat.table("default.t").columns == ["id", "full_name", "dept", "score"]
+    cat.sql("ALTER TABLE default.t SET TBLPROPERTIES ('owner'='hr', 'x'='1')")
+    assert cat.table("default.t").properties == {"owner": "hr", "x": "1"}
+    # spaced identifier via backticks
+    cat.sql("ALTER TABLE default.t ADD COLUMN `Phone number` STRING")
+    assert "Phone number" in cat.table("default.t").columns
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        cat.sql("ALTER TABLE default.t FROBNICATE")
+
+
+def test_sql_doubled_quote_escapes(spark, vt):
+    """ADVICE: SQL doubled-quote escapes must not desync the tokenizer —
+    a literal containing WHERE/comma after '' must stay one literal."""
+    fe = _fe(spark, vt)
+    fe.sql("UPDATE t SET s = 'it''s not where, you think' WHERE id = 1")
+    got = {r.id: r.s for r in vt.read().collect()}
+    assert got[1] == "it's not where, you think"
+    assert got[2] == "b" and got[3] == "c"
+
+
+def test_merge_sql_rejects_unparsed_clauses(spark, vt):
+    """ADVICE: clause forms outside the grammar must ERROR, not silently
+    half-execute."""
+    fe = _fe(spark, vt)
+    spark.createDataFrame([(9, "Z", 90.0)], "id INT, s STRING, v DOUBLE"
+    ).createOrReplaceTempView("strict_src")
+    with pytest.raises(ValueError, match="conditional WHEN NOT MATCHED"):
+        fe.sql(
+            "MERGE INTO t USING strict_src ON id "
+            "WHEN NOT MATCHED AND id > 5 THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        fe.sql(
+            "MERGE INTO t USING strict_src ON id "
+            "WHEN MATCHED THEN UPDATE SET s = 'x' "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        fe.sql(
+            "MERGE INTO t USING strict_src ON id "
+            "WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (1, 'x', 2.0)"
+        )
+    # nothing executed: the table is untouched by the failed statements
+    assert vt.read().count() == 3

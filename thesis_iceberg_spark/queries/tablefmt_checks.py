@@ -330,3 +330,62 @@ def tablefmt_quoted_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT `Customer Id`, `Full Name`, `Account Balance` FROM people "
         "WHERE `Account Balance` > 1000"
     )
+
+
+@register(
+    "sql_ddl_lifecycle",
+    oracle="""
+SELECT id, full_name, salary, dept
+FROM (VALUES (1, 'alice', 100, 'ops'),
+             (2, 'bob',   250, 'ops'),
+             (4, 'dave',  400, 'eng'),
+             (5, 'eve',   500, 'qa')) t(id, full_name, salary, dept)
+""",
+    doc="The notebook's DDL script driven entirely as SQL TEXT through "
+    "Catalog.sql: CREATE TABLE ... PARTITIONED BY (day(col)) TBLPROPERTIES "
+    "(ref: #cell-7 (json:196), #cell-21 (json:665)), INSERT INTO ... VALUES "
+    "(#cell-11 (json:329), the notebook's most-used write), ALTER TABLE "
+    "ADD/RENAME/DROP COLUMN (api.py:92-130, #cell-28/29), SET TBLPROPERTIES "
+    "(#cell-18 (json:557)), UPDATE/DELETE/MERGE — final state is a constant "
+    "table, value-oracled in DuckDB. Surface parity: every statement here "
+    "is one the reference executes as SQL.",
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.tablefmt.catalog import Catalog
+
+    wh = _fresh(sf_dir, "sql_ddl_wh")
+    os.makedirs(wh, exist_ok=True)
+    cat = Catalog(spark, wh)
+    cat.sql(
+        "CREATE TABLE default.emp (id INT, name STRING, salary INT, "
+        "added_at TIMESTAMP) PARTITIONED BY (day(added_at)) "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    cat.sql(
+        "INSERT INTO default.emp VALUES "
+        "(1, 'alice', 100, TIMESTAMP '2024-01-01 10:00:00'), "
+        "(2, 'bob', 200, TIMESTAMP '2024-01-02 11:00:00'), "
+        "(3, 'carol', 300, TIMESTAMP '2024-01-02 12:00:00')"
+    )
+    cat.sql("ALTER TABLE default.emp ADD COLUMN dept STRING")
+    cat.sql(
+        "INSERT INTO default.emp VALUES "
+        "(4, 'dave', 400, TIMESTAMP '2024-01-03 09:00:00', 'eng')"
+    )
+    cat.sql("UPDATE default.emp SET dept = 'ops' WHERE id <= 2")
+    cat.sql("ALTER TABLE default.emp RENAME COLUMN name TO full_name")
+    cat.sql("DELETE FROM default.emp WHERE id = 3")
+    cat.sql("ALTER TABLE default.emp SET TBLPROPERTIES ('owner'='hr')")
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(2, 'bob', 250, TIMESTAMP '2024-01-04 08:00:00', 'ops'), "
+        "(5, 'eve', 500, TIMESTAMP '2024-01-04 08:30:00', 'qa') "
+        "AS s(id, full_name, salary, added_at, dept)"
+    ).createOrReplaceTempView("emp_cdc_src")
+    cat.sql(
+        "MERGE INTO default.emp USING emp_cdc_src ON id "
+        "WHEN MATCHED THEN UPDATE SET salary = s.salary "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert cat.table("default.emp").properties.get("owner") == "hr"
+    return cat.table("default.emp").read().select("id", "full_name", "salary", "dept")

@@ -130,12 +130,13 @@ class Catalog:
     # --- SQL bridge (S6) ----------------------------------------------------
 
     def sql(self, statement: str) -> DataFrame | None:
-        """Catalog-scoped SQL entry point: time-travel SELECTs and
-        UPDATE/DELETE route to VersionedTable; everything else goes to
+        """Catalog-scoped SQL entry point: time-travel SELECTs, DML
+        (UPDATE/DELETE/MERGE/INSERT) and DDL (CREATE/DROP/ALTER TABLE)
+        route to VersionedTable/Catalog; everything else goes to
         spark.sql (see tablefmt/sql.py for the grammar)."""
         from thesis_iceberg_spark.tablefmt.sql import TableSQL
 
-        return TableSQL(self.spark, self.table).sql(statement)
+        return TableSQL(self.spark, self.table, catalog=self).sql(statement)
 
     def register_view(self, name: str, view_name: str | None = None) -> str:
         """Expose a table's current snapshot to spark.sql as a temp view

@@ -18,6 +18,23 @@ Grammar (case-insensitive keywords):
         [WHEN MATCHED [AND cond] THEN {UPDATE SET col = expr, ... | DELETE}]
         [WHEN NOT MATCHED THEN INSERT *]
     -- inside MERGE expressions, `t` aliases the target and `s` the source
+    INSERT INTO <table> {VALUES (...), (...) | SELECT ...}
+    CREATE TABLE [IF NOT EXISTS] <table> (col TYPE, ...)
+        [USING iceberg] [PARTITIONED BY (day(col))]
+        [TBLPROPERTIES ('k'='v', ...)]          -- needs a Catalog
+    CREATE TABLE <table> [USING ...] [PARTITIONED BY (day(col))]
+        [TBLPROPERTIES (...)] AS SELECT ...     -- CTAS, needs a Catalog
+    DROP TABLE [IF EXISTS] <table>              -- needs a Catalog
+    ALTER TABLE <table> ADD COLUMN[S] [(]col TYPE [, ...][)]
+    ALTER TABLE <table> DROP COLUMN col
+    ALTER TABLE <table> RENAME COLUMN old TO new
+    ALTER TABLE <table> SET TBLPROPERTIES ('k'='v', ...)
+
+DDL references: CREATE TABLE ... PARTITIONED BY (day(added_at))
+(`Pyspark_Notebook.ipynb#cell-7 (json:196)`), INSERT INTO ... VALUES
+(`#cell-11 (json:329)`, the notebook's most-used write), ALTER TABLE
+ADD/DROP/RENAME COLUMN (api.py:92-130, 351-363, `#cell-28/29`), ALTER
+TABLE SET TBLPROPERTIES (`#cell-18 (json:557)`).
 
 Time-travel SELECTs rewrite the travel clause to a temp view over
 ``VersionedTable.read(snapshot_id=/as_of_ms=)`` and hand the query to
@@ -39,6 +56,7 @@ from collections.abc import Callable
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.tablefmt.table import VersionedTable
 
@@ -69,6 +87,37 @@ _MERGE_WHEN = re.compile(
     r"(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<table>{_IDENT})\s+"
+    r"(?P<rest>(?:VALUES|SELECT)\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_HEAD = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<table>{_IDENT})\s*"
+    r"(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?:(?P<ie>IF\s+EXISTS)\s+)?(?P<table>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD = re.compile(r"^ADD\s+COLUMNS?\s+(?P<cols>.+)$", re.IGNORECASE | re.DOTALL)
+_ALTER_DROP = re.compile(r"^DROP\s+COLUMN\s+(?P<col>.+?)\s*$", re.IGNORECASE)
+_ALTER_RENAME = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<old>.+?)\s+TO\s+(?P<new>.+?)\s*$", re.IGNORECASE
+)
+_ALTER_PROPS = re.compile(
+    r"^SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_PARTITIONED = re.compile(
+    r"PARTITIONED\s+BY\s*\(\s*days?\s*\(\s*(?P<col>[^)]+?)\s*\)\s*\)", re.IGNORECASE
+)
+_TBLPROPS = re.compile(r"TBLPROPERTIES\s*\((?P<props>.*?)\)", re.IGNORECASE | re.DOTALL)
+_PROP_PAIR = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
 _SIMPLE_IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
 _MERGE_ON = re.compile(
     rf"^\s*(?:(?:{_SIMPLE_IDENT})\.)?(?P<a>{_SIMPLE_IDENT})\s*=\s*"
@@ -79,6 +128,12 @@ _MERGE_ON_BARE = re.compile(rf"^\s*(?P<a>{_SIMPLE_IDENT})\s*$")
 
 def _unquote(ident: str) -> str:
     return ident[1:-1] if ident.startswith("`") else ident
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    """TBLPROPERTIES body: 'k'='v' pairs (the only form the reference
+    uses, ref: #cell-18/21)."""
+    return {p.group("k"): p.group("v") for p in _PROP_PAIR.finditer(text)}
 
 
 def _parse_as_of_ms(val: str) -> int:
@@ -95,6 +150,29 @@ def _parse_as_of_ms(val: str) -> int:
     raise ValueError(f"cannot parse time-travel timestamp {val}")
 
 
+def _scan_step(text: str, i: int, depth: int, quote: str | None) -> tuple[int, int, str | None]:
+    """Advance one scanner step over SQL text: tracks paren depth and
+    quoted-literal state, honoring BOTH escape forms Spark accepts — the
+    SQL-standard doubled quote (``'it''s'``) and backslash escapes
+    (``'it\\'s'``). Returns (next_i, depth, quote)."""
+    ch = text[i]
+    if quote is not None:
+        if ch == "\\":
+            return i + 2, depth, quote  # backslash-escaped char stays inside
+        if ch == quote:
+            if i + 1 < len(text) and text[i + 1] == quote:
+                return i + 2, depth, quote  # doubled quote: still inside
+            return i + 1, depth, None
+        return i + 1, depth, quote
+    if ch in "'\"":
+        return i + 1, depth, ch
+    if ch in "([":
+        return i + 1, depth + 1, None
+    if ch in ")]":
+        return i + 1, depth - 1, None
+    return i + 1, depth, None
+
+
 def _split_set_where(rest: str) -> tuple[str, str | None]:
     """Split an UPDATE's ``SET <assignments> [WHERE <cond>]`` tail at the
     first TOP-LEVEL ``WHERE`` keyword — not one inside a single- OR
@@ -102,48 +180,39 @@ def _split_set_where(rest: str) -> tuple[str, str | None]:
     so ``SET s = 'x where y'`` / ``SET s = "x where y"`` parse correctly."""
     depth, quote, i = 0, None, 0
     while i < len(rest):
-        ch = rest[i]
-        if quote is not None:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif (
-            depth == 0
+        if (
+            quote is None
+            and depth == 0
             and rest[i : i + 5].upper() == "WHERE"
             and (i == 0 or rest[i - 1].isspace())
             and (i + 5 == len(rest) or rest[i + 5].isspace())
         ):
             return rest[:i].rstrip(), rest[i + 5 :].strip()
-        i += 1
+        i, depth, quote = _scan_step(rest, i, depth, quote)
     return rest.rstrip(), None
+
+
+def _split_top_level(body: str, sep: str = ",") -> list[str]:
+    """Split on top-level ``sep`` (not inside parens or quoted literals,
+    escape-aware)."""
+    parts: list[str] = []
+    depth, quote, start, i = 0, None, 0, 0
+    while i < len(body):
+        if quote is None and depth == 0 and body[i] == sep:
+            parts.append(body[start:i])
+            start = i + 1
+            i += 1
+            continue
+        i, depth, quote = _scan_step(body, i, depth, quote)
+    parts.append(body[start:])
+    return parts
 
 
 def _split_assignments(body: str) -> dict[str, str]:
     """Split ``a = e1, b = e2`` on top-level commas (not inside parens or
     single/double-quoted literals), then on the first top-level '='."""
-    parts: list[str] = []
-    depth, quote, start = 0, None, 0
-    for i, ch in enumerate(body):
-        if quote is not None:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            parts.append(body[start:i])
-            start = i + 1
-    parts.append(body[start:])
     out: dict[str, str] = {}
-    for part in parts:
+    for part in _split_top_level(body):
         col, eq, expr = part.partition("=")
         if not eq:
             raise ValueError(f"malformed SET assignment: {part.strip()!r}")
@@ -161,10 +230,14 @@ class TableSQL:
     """
 
     def __init__(
-        self, spark: SparkSession, resolve: Callable[[str], VersionedTable]
+        self,
+        spark: SparkSession,
+        resolve: Callable[[str], VersionedTable],
+        catalog=None,
     ):
         self.spark = spark
         self._resolve = resolve
+        self._catalog = catalog  # Catalog, for CREATE/DROP TABLE routing
 
     def _table(self, ident: str) -> VersionedTable | None:
         try:
@@ -173,8 +246,8 @@ class TableSQL:
             return None
 
     def sql(self, statement: str) -> DataFrame | None:
-        """Execute one statement. SELECTs return a DataFrame; UPDATE/DELETE
-        commit a snapshot and return None."""
+        """Execute one statement. SELECTs return a DataFrame; DML/DDL
+        commit and return None."""
         m = _UPDATE.match(statement)
         if m and (vt := self._table(m.group("table"))) is not None:
             body, where = _split_set_where(m.group("rest"))
@@ -188,7 +261,118 @@ class TableSQL:
         if m and (vt := self._table(m.group("table"))) is not None:
             self._merge(vt, m)
             return None
+        m = _INSERT.match(statement)
+        if m and (vt := self._table(m.group("table"))) is not None:
+            self._insert(vt, m.group("rest"))
+            return None
+        m = _ALTER.match(statement)
+        if m and (vt := self._table(m.group("table"))) is not None:
+            self._alter(vt, m.group("rest"))
+            return None
+        if self._catalog is not None:
+            m = _CREATE_HEAD.match(statement)
+            if m:
+                self._create(m)
+                return None
+            m = _DROP_TABLE.match(statement)
+            if m:
+                name = _unquote(m.group("table"))
+                if self._table(m.group("table")) is None and m.group("ie"):
+                    return None
+                self._catalog.drop_table(name)
+                return None
         return self.spark.sql(self._rewrite_time_travel(statement))
+
+    # --- DDL / INSERT routing ---------------------------------------------
+
+    def _insert(self, vt: VersionedTable, rest: str) -> None:
+        """INSERT INTO t VALUES (...)[, ...] | INSERT INTO t SELECT ...
+        (ref: #cell-11 (json:329)). Values/select evaluate through Spark
+        SQL; columns bind BY POSITION and cast to the table schema."""
+        if rest.upper().startswith("VALUES"):
+            df = self.spark.sql(rest)  # an inline table is a valid query
+        else:
+            df = self.spark.sql(self._rewrite_time_travel(rest))
+        cols = vt.columns
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"INSERT provides {len(df.columns)} columns, table has {len(cols)}"
+            )
+        schema = {f.name: f.dataType for f in vt.spark_schema().fields}
+        aligned = df.toDF(*cols).select(*[F.col(f"`{c}`").cast(schema[c]) for c in cols])
+        vt.append(aligned)
+
+    def _alter(self, vt: VersionedTable, rest: str) -> None:
+        rest = rest.strip()
+        if m := _ALTER_ADD.match(rest):
+            cols = m.group("cols").strip()
+            if cols.startswith("(") and cols.endswith(")"):
+                cols = cols[1:-1]
+            for item in _split_top_level(cols):
+                item = item.strip()
+                if item.startswith("`"):
+                    end = item.index("`", 1)
+                    name, ddl_type = item[1:end], item[end + 1 :].strip()
+                else:
+                    name, _, ddl_type = item.partition(" ")
+                if not ddl_type.strip():
+                    raise ValueError(f"ADD COLUMN needs 'name TYPE' (got {item!r})")
+                vt.add_column(name, ddl_type.strip())
+            return
+        if m := _ALTER_DROP.match(rest):
+            vt.drop_column(_unquote(m.group("col").strip()))
+            return
+        if m := _ALTER_RENAME.match(rest):
+            vt.rename_column(
+                _unquote(m.group("old").strip()), _unquote(m.group("new").strip())
+            )
+            return
+        if m := _ALTER_PROPS.match(rest):
+            vt.set_properties(_parse_props(m.group("props")))
+            return
+        raise ValueError(f"unsupported ALTER TABLE form: {rest!r}")
+
+    def _create(self, m: re.Match) -> None:
+        """CREATE TABLE (col defs) / CTAS, with PARTITIONED BY (day(col))
+        and TBLPROPERTIES (ref: #cell-7 (json:196), #cell-21 (json:665))."""
+        from pyspark.sql import types as T
+
+        name = _unquote(m.group("table"))
+        rest = m.group("rest").strip()
+        existing = self._table(m.group("table"))
+        if existing is not None:
+            if m.group("ine"):
+                return
+            raise ValueError(f"table {name} already exists")
+        cols_ddl = None
+        if rest.startswith("("):
+            # depth-scan to the matching ')' — column types may nest parens
+            depth, quote, i, end = 0, None, 0, None
+            while i < len(rest):
+                if quote is None and depth == 1 and rest[i] == ")":
+                    end = i
+                    break
+                i, depth, quote = _scan_step(rest, i, depth, quote)
+            if end is None:
+                raise ValueError("unbalanced column list in CREATE TABLE")
+            cols_ddl, rest = rest[1:end], rest[end + 1 :].strip()
+        ctas = re.search(r"\bAS\s+(?P<select>SELECT\s+.+)$", rest, re.IGNORECASE | re.DOTALL)
+        clauses = rest[: ctas.start()] if ctas else rest
+        pday = _PARTITIONED.search(clauses)
+        props_m = _TBLPROPS.search(clauses)
+        if cols_ddl is None and ctas is None:
+            raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+        self._catalog.create_table(
+            name,
+            df=(
+                self.spark.sql(self._rewrite_time_travel(ctas.group("select")))
+                if ctas
+                else None
+            ),
+            schema=T.StructType.fromDDL(cols_ddl) if cols_ddl is not None else None,
+            partition_day=_unquote(pday.group("col").strip()) if pday else None,
+            properties=_parse_props(props_m.group("props")) if props_m else None,
+        )
 
     def _merge(self, vt: VersionedTable, m: re.Match) -> None:
         on_m = _MERGE_ON.match(m.group("on")) or _MERGE_ON_BARE.match(m.group("on"))
@@ -208,11 +392,33 @@ class TableSQL:
         delete_cond: str | None = None
         insert = False
         matched_seen = False
-        for w in _MERGE_WHEN.finditer(m.group("clauses")):
+        # STRICT clause coverage: any WHEN-clause text the grammar does not
+        # recognize (INSERT with a column list, WHEN NOT MATCHED BY SOURCE,
+        # a malformed action, ...) must be an ERROR, not silently skipped —
+        # finditer alone would just not match it and part of the statement
+        # would simply not happen.
+        clauses_text = m.group("clauses")
+        prev_end = 0
+        spans = list(_MERGE_WHEN.finditer(clauses_text))
+        for w in spans:
+            gap = clauses_text[prev_end : w.start()]
+            if gap.strip():
+                raise ValueError(f"unsupported MERGE clause text: {gap.strip()!r}")
+            prev_end = w.end()
+        if clauses_text[prev_end:].strip():
+            raise ValueError(
+                f"unsupported MERGE clause text: {clauses_text[prev_end:].strip()!r}"
+            )
+        for w in spans:
             action = w.group("action").strip()
             if w.group("not_"):
                 if not action.upper().startswith("INSERT"):
                     raise ValueError("WHEN NOT MATCHED supports only INSERT *")
+                if w.group("cond"):
+                    raise ValueError(
+                        "conditional WHEN NOT MATCHED (AND ...) is not supported — "
+                        "a condition here would otherwise be silently ignored"
+                    )
                 insert = True
                 continue
             matched_seen = True
