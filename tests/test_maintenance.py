@@ -136,10 +136,19 @@ def test_remove_orphan_files(spark, loc):
     # simulate a failed write: an unreferenced data dir appears
     orphan = os.path.join(loc, "data", "snap-999")
     os.makedirs(orphan)
-    removed = vt.remove_orphan_files()
+    # a FRESH orphan is protected by the age threshold — it may be a
+    # commit in flight (data files are written before the metadata lock)
+    assert vt.remove_orphan_files() == []
+    assert os.path.exists(orphan)
+    removed = vt.remove_orphan_files(older_than_ms=0)
     assert removed == ["data/snap-999"]
     assert not os.path.exists(orphan)
     assert vt.read().count() == 10  # referenced data untouched
+    # an OLD orphan falls to the default threshold
+    os.makedirs(orphan)
+    old = (os.path.getmtime(orphan)) - 4 * 24 * 3600
+    os.utime(orphan, (old, old))
+    assert vt.remove_orphan_files() == ["data/snap-999"]
     shutil.rmtree(loc, ignore_errors=True)
 
 

@@ -173,3 +173,34 @@ def test_api_view_survives_rename(spark, loc):
     report = view.binding_report()
     assert report["bindings"]["person_name"]["resolved_to"] == "full_name"
     assert report["schema_id"] == 1
+
+
+def test_changelog_update_images_with_key(spark, loc):
+    """changelog(key=...) retags delete+insert pairs sharing an identifier
+    key as UPDATE_BEFORE/UPDATE_AFTER (Iceberg identifier-field semantics)
+    — including over an MoR update snapshot, whose position-delete +
+    append pair IS the pre/post image."""
+    vt = VersionedTable.create(
+        spark, loc, df=_toy(spark),
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    vt.update({"name": "'bobby'"}, "id = 2")  # MoR: delete file + append
+    ch = sorted(
+        (r.id, r.name, r._change_type)
+        for r in vt.changelog(from_snapshot=1, to_snapshot=2, key="id").collect()
+    )
+    assert ch == [(2, "bob", "UPDATE_BEFORE"), (2, "bobby", "UPDATE_AFTER")]
+    # mixed snapshot: a genuine insert and delete keep their plain tags
+    vt.append(spark.createDataFrame([(9, "zed", None)], vt.spark_schema()))
+    vt.delete("id = 1")
+    ch2 = sorted(
+        (r.id, r._change_type)
+        for r in vt.changelog(from_snapshot=2, to_snapshot=4, key="id").collect()
+    )
+    assert ch2 == [(1, "DELETE"), (9, "INSERT")]
+    # and without key= the MoR update still reads DELETE+INSERT (CoW view)
+    ch3 = sorted(
+        (r.id, r._change_type)
+        for r in vt.changelog(from_snapshot=1, to_snapshot=2).collect()
+    )
+    assert ch3 == [(2, "DELETE"), (2, "INSERT")]

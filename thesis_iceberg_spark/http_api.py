@@ -94,6 +94,12 @@ class Api:
         except KeyError as exc:
             raise HttpError(404, str(exc)) from exc
         if "where" in params:
+            # TRUST BOUNDARY: the expression is handed to Spark verbatim and
+            # Spark SQL expressions can invoke arbitrary JVM static methods
+            # (reflect()/java_method()). That mirrors the reference's dev
+            # server (api.py passes request filters straight to Spark) and
+            # is safe ONLY because serve() hard-binds to 127.0.0.1 — do not
+            # widen the bind without an expression allowlist in front.
             df = df.filter(params["where"][0])  # Spark parses & pushes down
         limit = int(params.get("limit", [self.default_limit])[0])
         return _records(df, limit)
@@ -174,7 +180,12 @@ class Api:
 
 def serve(api: Api, port: int = 0) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the dev server on a daemon thread; returns (server, thread).
-    ``port=0`` picks a free port (server.server_address[1])."""
+    ``port=0`` picks a free port (server.server_address[1]).
+
+    The bind address is HARD-CODED to loopback on purpose: the ?where=
+    filter accepts arbitrary Spark SQL expressions (see Api.scan's trust-
+    boundary note), so exposing this server beyond localhost would hand
+    JVM method invocation to anyone who can reach the port."""
 
     class Handler(BaseHTTPRequestHandler):
         def _respond(self) -> None:

@@ -530,7 +530,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     )
     prev_sum = None
-    for _ in range(20):  # cap >> any real near-dup component diameter
+    converged = False
+    max_rounds = 20  # >> any real near-dup component diameter
+    for _ in range(max_rounds):
         prop = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
@@ -542,8 +544,19 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:  # labels are monotone non-increasing: fixpoint
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a chain-shaped component with diameter > max_rounds would exit
+        # here with NON-canonical labels; that is a wrong answer, so fail
+        # loudly instead of returning it (min-label propagation halves
+        # effective diameter per round only along already-labeled paths)
+        raise RuntimeError(
+            f"dedup_cluster_canonical: label propagation did not converge "
+            f"within {max_rounds} rounds — a near-dup component has "
+            f"diameter > {max_rounds}; raise max_rounds for this corpus"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_doc_id")
     )

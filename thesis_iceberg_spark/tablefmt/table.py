@@ -1324,24 +1324,43 @@ class VersionedTable:
             shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
         return sorted(s["snapshot_id"] for s in expired)
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(
+        self, older_than_ms: int = 3 * 24 * 3600 * 1000
+    ) -> list[str]:
         """Delete data directories no snapshot references (Iceberg's
         remove_orphan_files): failed/partial writes and dirs left behind by
-        external tools. Never touches referenced data."""
+        external tools. Never touches referenced data.
+
+        ``older_than_ms`` (default 3 days, Iceberg's default cutoff) skips
+        directories younger than the threshold: data files are INTENTIONALLY
+        written before the metadata lock is taken, so a concurrent writer
+        between _write_data_files and _commit has an unreferenced-but-live
+        directory — deleting it would let the commit succeed while its
+        manifest points at missing files (permanent data loss). Pass 0 only
+        when no concurrent writer can exist (tests, single-writer repair)."""
         import shutil
+        import time as _time
 
         live = {
             e["path"]
             for s in self._meta["snapshots"]
             for e in s["manifest"] + s.get("delete_manifest", [])
         }
+        cutoff = _time.time() * 1000 - older_than_ms
         data_dir = os.path.join(self.location, "data")
         removed = []
         for d in sorted(os.listdir(data_dir)):
             rel = f"data/{d}"
-            if rel not in live:
-                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
-                removed.append(rel)
+            full = os.path.join(data_dir, d)
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(full) * 1000 > cutoff:
+                    continue  # too young: possibly a commit in flight
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
         return removed
 
     # ------------------------------------------------------------------
@@ -1349,20 +1368,51 @@ class VersionedTable:
     # ------------------------------------------------------------------
 
     def changelog(
-        self, from_snapshot: int | None = None, to_snapshot: int | None = None
+        self,
+        from_snapshot: int | None = None,
+        to_snapshot: int | None = None,
+        key: str | None = None,
     ) -> DataFrame:
-        """Row-level diff between two snapshots, tagged with _change_type in
-        {'INSERT','DELETE'} (an UPDATE appears as DELETE+INSERT, matching
-        Iceberg's changelog view for copy-on-write tables)."""
+        """Row-level diff between two snapshots, tagged with _change_type.
+
+        Without ``key``: {'INSERT','DELETE'} — an UPDATE appears as
+        DELETE+INSERT, matching Iceberg's changelog view for copy-on-write
+        tables (the reference only ever filters `_change_type != 'Delete'`,
+        #cell-34 (json:1031)).
+
+        With ``key`` (Iceberg's identifier-field semantics): a key present
+        on BOTH sides of the diff is an in-place row change — its DELETE
+        row is retagged UPDATE_BEFORE and its INSERT row UPDATE_AFTER, the
+        pre/post images an MoR update's position-delete + append pair
+        produces. The key probe is two extra semi-joins on a (small) diff,
+        not a table scan."""
         before = (
             self.read(snapshot_id=from_snapshot)
             if from_snapshot is not None
             else self.spark.createDataFrame([], self.spark_schema())
         )
         after = self.read(snapshot_id=to_snapshot)  # None -> current
-        inserts = after.exceptAll(before).withColumn("_change_type", F.lit("INSERT"))
-        deletes = before.exceptAll(after).withColumn("_change_type", F.lit("DELETE"))
-        return inserts.unionByName(deletes)
+        inserts = after.exceptAll(before)
+        deletes = before.exceptAll(after)
+        if key is None:
+            return inserts.withColumn("_change_type", F.lit("INSERT")).unionByName(
+                deletes.withColumn("_change_type", F.lit("DELETE"))
+            )
+        upd_keys = deletes.select(key).intersect(inserts.select(key))
+        # semi/anti split per side keeps the plan simple and broadcastable
+        ins_upd = inserts.join(F.broadcast(upd_keys), key, "left_semi").withColumn(
+            "_change_type", F.lit("UPDATE_AFTER")
+        )
+        ins_new = inserts.join(F.broadcast(upd_keys), key, "left_anti").withColumn(
+            "_change_type", F.lit("INSERT")
+        )
+        del_upd = deletes.join(F.broadcast(upd_keys), key, "left_semi").withColumn(
+            "_change_type", F.lit("UPDATE_BEFORE")
+        )
+        del_gone = deletes.join(F.broadcast(upd_keys), key, "left_anti").withColumn(
+            "_change_type", F.lit("DELETE")
+        )
+        return ins_upd.unionByName(ins_new).unionByName(del_upd).unionByName(del_gone)
 
 
 def _now_ms() -> int:
