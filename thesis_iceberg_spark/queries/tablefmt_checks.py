@@ -389,3 +389,72 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert cat.table("default.emp").properties.get("owner") == "hr"
     return cat.table("default.emp").read().select("id", "full_name", "salary", "dept")
+
+
+@register(
+    "tablefmt_merge_incremental",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice,
+       TRUE AS base_files_untouched
+FROM orders
+UNION ALL
+SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(111.5 AS DOUBLE), TRUE),
+                      (CAST(-2 AS BIGINT), CAST(222.5 AS DOUBLE), TRUE))
+       t(o_orderkey, o_totalprice, base_files_untouched)
+""",
+    doc="Incremental MERGE under write.merge.mode=merge-on-read: a CDC-"
+    "style batch (updates on o_orderkey % 100 = 0, two inserts) commits as "
+    "position-deletes + one small appended file set; the query VERIFIES "
+    "IN-PLAN that every pre-merge data file is still referenced by the new "
+    "snapshot (base_files_untouched, value-oracled TRUE) and the final "
+    "state matches plain SQL over the source table. This is the write "
+    "shape the streaming CDC upsert produces per micro-batch — O(batch) "
+    "bytes per epoch, never O(table).",
+)
+def tablefmt_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    loc = _fresh(sf_dir, "orders_merge_mor")
+    vt = VersionedTable.create(
+        spark,
+        loc,
+        df=orders.repartition(4),
+        now_ms=T1,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+
+    def _paths(v: VersionedTable) -> set[str]:
+        snap = v._select_snapshot()
+        out: set[str] = set()
+        for e in snap["manifest"]:
+            for f in e.get("files") or [{"path": e["path"]}]:
+                out.add(f["path"])
+        return out
+
+    base_paths = _paths(vt)
+    updates = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = spark.createDataFrame(
+        [(-1, 1, "N", 111.5), (-2, 2, "N", 222.5)],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    vt.merge(
+        updates.unionByName(inserts),
+        on="o_orderkey",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        now_ms=T2,
+    )
+    vt2 = VersionedTable(spark, loc)
+    untouched = base_paths <= _paths(vt2)
+    return vt2.read().select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(bool(untouched)).alias("base_files_untouched"),
+    )
