@@ -303,3 +303,22 @@ def test_mor_merge_update_without_delete_keeps_unmatched_in_place(spark, loc):
     assert len(got) == 21 and got[5] == 10 and got[300] == 3
     # no position-delete file was needed
     assert glob.glob(os.path.join(loc, "data", "delete-snap-*")) == []
+
+
+def test_cow_merge_over_mor_state_never_resurrects(spark, loc):
+    """A CoW MERGE over a table with MoR position-deletes must not
+    resurrect deleted rows — in the rewritten files NOR in the kept ones
+    (the carried delete manifest still masks kept files)."""
+    vt = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 100).repartition(4),
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    vt.delete(F.col("id") < 10)  # MoR: delete file only
+    src = spark.createDataFrame([(50, -1), (5, -5)], "id BIGINT, v BIGINT")
+    # id=5 is MoR-deleted: it matches nothing (dead), so only id=50 updates
+    vt.merge(src, on="id", when_matched_update={"v": "s.v"},
+             when_not_matched_insert=False, mode="copy-on-write")
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert len(got) == 90
+    assert got[50] == -1
+    assert 5 not in got and 9 not in got  # still deleted everywhere

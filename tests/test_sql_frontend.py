@@ -247,3 +247,9 @@ def test_merge_sql_rejects_unparsed_clauses(spark, vt):
         )
     # nothing executed: the table is untouched by the failed statements
     assert vt.read().count() == 3
+
+
+def test_sql_insert_column_list_rejected(spark, cat):
+    cat.sql("CREATE TABLE default.t (id INT, name STRING)")
+    with pytest.raises(ValueError, match="VALUES/SELECT"):
+        cat.sql("INSERT INTO default.t (id, name) VALUES (1, 'a')")

@@ -89,7 +89,7 @@ _MERGE_WHEN = re.compile(
 )
 _INSERT = re.compile(
     rf"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<table>{_IDENT})\s+"
-    r"(?P<rest>(?:VALUES|SELECT)\s+.*?)\s*;?\s*$",
+    r"(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_HEAD = re.compile(
@@ -291,8 +291,14 @@ class TableSQL:
         SQL; columns bind BY POSITION and cast to the table schema."""
         if rest.upper().startswith("VALUES"):
             df = self.spark.sql(rest)  # an inline table is a valid query
-        else:
+        elif rest.upper().startswith("SELECT"):
             df = self.spark.sql(self._rewrite_time_travel(rest))
+        else:
+            # e.g. INSERT INTO t (a, b) VALUES ... — error loudly instead
+            # of falling through to a confusing Spark table-not-found
+            raise ValueError(
+                f"INSERT INTO supports only VALUES/SELECT forms (got {rest[:40]!r})"
+            )
         cols = vt.columns
         if len(df.columns) != len(cols):
             raise ValueError(

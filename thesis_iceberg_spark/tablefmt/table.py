@@ -1022,15 +1022,20 @@ class VersionedTable:
         t = live.withColumn("_t_exists", F.lit(True)).alias("t")
         s = src.withColumn("_s_exists", F.lit(True)).alias("s")
         matched = t.join(s, F.col(f"t.{on}") == F.col(f"s.{on}"), "inner")
-        doomed_cond = F.lit(when_matched_update is not None)
-        if delete_cond is not None:
-            doomed_cond = doomed_cond | F.coalesce(delete_cond, F.lit(False))
-        doomed = matched.filter(doomed_cond).select(
-            F.col("t._del_file").alias("_del_file"),
-            F.col("t._del_pos").alias("_del_pos"),
-        )
         sid = self._next_snapshot_id()
-        del_entries = self._write_delete_files(doomed, sid)
+        if when_matched_update is None and delete_cond is None:
+            # clause-free MERGE: matched rows stay in place — skip the
+            # (guaranteed-empty) delete-file write job entirely
+            del_entries: list[dict] = []
+        else:
+            doomed_cond = F.lit(when_matched_update is not None)
+            if delete_cond is not None:
+                doomed_cond = doomed_cond | F.coalesce(delete_cond, F.lit(False))
+            doomed = matched.filter(doomed_cond).select(
+                F.col("t._del_file").alias("_del_file"),
+                F.col("t._del_pos").alias("_del_pos"),
+            )
+            del_entries = self._write_delete_files(doomed, sid)
         new_rows: DataFrame | None = None
         if when_matched_update is not None:
             keep = matched
