@@ -95,3 +95,14 @@ def test_q6_pushes_all_predicates(spark, sf_dir):
         "GreaterThanOrEqual(l_discount,0.03)",
         "LessThan(l_quantity,24.0)",
     )
+
+
+def test_batch_ann_not_cartesian(spark, sf_dir):
+    # the KNN-join must fan out through the bucket equi-join (broadcast
+    # probe table), never |corpus| x |queries|
+    assert_no_cartesian(_q("ann_batch_topk", spark, sf_dir))
+
+
+def test_decontaminate_not_cartesian(spark, sf_dir):
+    # train x eval docs meet ONLY through the shared-shingle inverted index
+    assert_no_cartesian(_q("pipeline_decontaminate", spark, sf_dir))

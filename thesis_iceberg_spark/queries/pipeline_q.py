@@ -378,3 +378,86 @@ def pipeline_topk_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") <= SAMPLE_K)
         .select("doc_id", "detected_lang", F.col("rk").cast("int").alias("rk"))
     )
+
+
+DECON_THRESHOLD = 0.5  # containment of an eval doc's shingles in a train doc
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+sh AS (
+  SELECT d.doc_id, s.split, unnest({dedup._SQL_SHINGLES}) AS s
+  FROM documents d JOIN split s ON s.doc_id = d.doc_id
+  WHERE len({dedup._SQL_TOKS}) >= 3),
+ec AS (SELECT doc_id, COUNT(*) AS n FROM sh WHERE split = 'eval' GROUP BY doc_id),
+overlap AS (
+  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS c
+  FROM sh t JOIN sh e ON t.s = e.s
+  WHERE t.split = 'train' AND e.split = 'eval'
+  GROUP BY 1, 2),
+contam AS (
+  SELECT o.train_doc,
+         MAX(CAST(o.c AS DOUBLE) / ec.n) AS max_containment
+  FROM overlap o JOIN ec ON ec.doc_id = o.eval_doc
+  GROUP BY o.train_doc)
+SELECT train_doc AS doc_id, max_containment
+FROM contam WHERE max_containment >= {DECON_THRESHOLD}
+""",
+    doc="Train/eval DECONTAMINATION — the LLM-pipeline step the split "
+    "alone cannot give you: using the same deterministic 90/10 hash split "
+    "as pipeline_train_eval_split, flag every TRAIN document whose 3-token "
+    "shingle set CONTAINS >= 50% of some eval document's shingles (n-gram "
+    "containment, the standard eval-leak detector). Spark shape: one "
+    "shingle explode, an inverted-index equi-join on shingle between the "
+    "train and eval sides (only docs sharing a shingle ever meet — never "
+    "cartesian), a per-(train,eval) count and a max-per-train reduce. At "
+    "100 TB the eval side is tiny (10%... typically a fixed benchmark "
+    "set), so the join broadcasts the eval shingle index.",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("eval")
+    sh = (
+        docs.filter(F.size(F.split(dedup._norm(), " ")) >= 3)
+        .select("doc_id", split.alias("split"), F.explode(dedup._shingles()).alias("s"))
+    )
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    ev = sh.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    ec = ev.groupBy("eval_doc").agg(F.count("*").alias("n"))
+    overlap = (
+        train.join(ev, "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        overlap.join(ec, "eval_doc")
+        .groupBy("train_doc")
+        .agg(F.max(F.col("c").cast("double") / F.col("n")).alias("max_containment"))
+        .filter(F.col("max_containment") >= DECON_THRESHOLD)
+        .select(F.col("train_doc").alias("doc_id"), "max_containment")
+    )

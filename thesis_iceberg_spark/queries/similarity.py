@@ -208,3 +208,98 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.lit(TOP_K) >= F.lit(0.5)).alias("recall_ok"),
         )
     )
+
+
+N_BATCH_Q = 8  # batch query set: the 8 lowest vec_ids
+BATCH_TOP_K = 5
+
+
+@register(
+    "ann_batch_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, label, v,
+         (SELECT cid FROM cent
+          ORDER BY list_dot_product(v, cv)
+                / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                cid
+          LIMIT 1) AS bucket
+  FROM e),
+q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT {N_BATCH_Q}),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, cent.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_dot_product(q.qv, cent.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(cent.cv, cent.cv))) DESC, cent.cid) AS rn
+    FROM q, cent) WHERE rn <= {N_PROBE}),
+scored AS (
+  SELECT p.qid, a.vec_id, a.label,
+         list_dot_product(a.v, q.qv)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM probe p JOIN assigned a ON a.bucket = p.cid
+  JOIN q ON q.qid = p.qid
+  WHERE a.vec_id != p.qid)
+SELECT qid, vec_id, label, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= {BATCH_TOP_K}
+""",
+    doc=f"Batch ANN / KNN-JOIN: top-{BATCH_TOP_K} neighbors for EVERY query "
+    f"in a {N_BATCH_Q}-query set in ONE plan — the shape embedding-dedup "
+    "and retrieval-eval jobs actually run, where per-query loops would be "
+    f"{N_BATCH_Q} separate scans. Spark shape: corpus bucketed once by its "
+    "nearest of 8 deterministic centroids (the write-time partition key at "
+    "scale), the tiny query table broadcast to rank probe buckets, then "
+    "ONE equi-join bucket==probe fans candidates out per query and a "
+    "window per qid takes the top-k (partial top-k per partition before "
+    "the final shuffle). Probing nprobe/k of the corpus per query keeps "
+    "the join input ~nprobe/k * |corpus| * |queries| / |queries| rows — "
+    "not a |corpus| x |queries| cartesian (plan-gated).",
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _vecs(spark, sf_dir)
+    cent = (
+        e.orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "v", "cid",
+            _cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+        )
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "v", F.col("cid").alias("bucket"))
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(N_BATCH_Q)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("cos_q").desc(), F.col("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "cid", _cosine(F.col("qv"), F.col("cv")).alias("cos_q"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", "qv", F.col("cid").alias("bucket"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probe), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .select("qid", "vec_id", "label", "cosine")
+    )
