@@ -85,13 +85,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- new this round ---
     "sql_ddl_lifecycle",
     "tablefmt_merge_incremental",
-    # --- 39 green veterans, one+ per family, as regression guards ---
-    # (exactly fills the 50-slot window with the 11 entries above)
+    "ann_batch_topk",
+    "pipeline_decontaminate",
+    # --- 37 green veterans, one+ per family, as regression guards ---
+    # (exactly fills the 50-slot window with the 13 entries above)
     # relational scans / filters / topk
     "scan_full",
-    "filter_range_ts",
     "topk_orders",
-    "distinct_values",
     # aggregation
     "agg_pricing_summary",
     "agg_q6_revenue",

@@ -37,12 +37,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(static.dtypes).get("ts") == "bigint":
+    ts_type = dict(static.dtypes).get("ts")
+    if ts_type == "bigint":
         # watermarks require TIMESTAMP (ltz), not NTZ; session tz is UTC so
         # wall-clock values match the batch loader's NTZ exactly
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS)-encoded data arrives as NTZ; same LTZ requirement,
+        # same UTC-session equivalence
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
