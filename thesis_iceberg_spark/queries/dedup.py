@@ -221,15 +221,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates split/transform per permutation and per band.)
     sh0 = docs.select("doc_id", F.explode(_shingles()).alias("s"))
     md5h = F.md5(F.col("s").cast("binary"))
-    # localCheckpoint (lazy): the exploded+hashed shingle set is consumed
+    # localCheckpoint (EAGER): the exploded+hashed shingle set is consumed
     # THREE times (signatures, per-doc counts, candidate verification) —
     # checkpointing materializes the regex-split/explode/md5 pass once
-    # instead of recomputing it per consumer.
+    # instead of recomputing it per consumer.  Eager, not lazy: a lazily
+    # checkpointed RDD can be recomputed after its originating stage's
+    # accumulators are cleaned up ("attempted to access non-existent
+    # accumulator", BENCH_r03 tail), and measured 12 runs at sf0.1 show
+    # lazy is also far noisier (2.9-12.6 s vs eager's 3.3-3.6 s; recompute-
+    # per-consumer is a steady 4-5 s).  See tests/exp_minhash_ckpt.py.
     hashed = sh0.select(
         "doc_id",
         F.conv(F.substring(md5h, 1, 14), 16, 10).cast("bigint").alias("h1"),
         F.conv(F.substring(md5h, 15, 14), 16, 10).cast("bigint").alias("h2"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
