@@ -28,6 +28,42 @@ def test_embedding_lsh_recall_and_precision(spark, sf_dir):
     assert lsh <= brute, f"false positives: {sorted(lsh - brute)[:5]}"
     assert brute, "baseline found no near-dup pairs — threshold broken?"
     recall = len(lsh & brute) / len(brute)
-    # compound cross-polytope LSH measures 1.0 at sf0.001/sf0.01 and 0.889
-    # at sf0.1; 0.85 is the regression floor at the default test SF
+    # tiered LSH measures 1.0 at sf0.001/sf0.01 (pair tier) and 0.861 at
+    # sf0.1 (triple+anchor tier); 0.85 is the regression floor
     assert recall >= 0.85, f"recall {recall:.2f} < 0.85 ({len(lsh)}/{len(brute)})"
+
+
+def test_embedding_lsh_sf01_candidates_subquadratic_and_recall(spark):
+    """The VERDICT r3 scale gate, pinned to sf0.1 (n=2000 — the smallest
+    corpus where the compound triple+anchor tier engages): candidate
+    volume <= 0.05*n^2 AND recall >= 0.85 simultaneously.  The round-3
+    fixed-width signature sat at 0.18*n^2 — quadratic with a big constant;
+    the tiny-corpus pair tier deliberately trades candidate volume for
+    recall and is exempt from the volume gate."""
+    from thesis_iceberg_spark.queries.dedup import (
+        _emb_norms,
+        _embedding_lsh_candidates,
+    )
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    sf01 = "/root/testdata/sf0.1"
+    raw = load_table(spark, sf01, "embeddings")
+    n = raw.count()
+    cand = _embedding_lsh_candidates(spark, raw, _emb_norms(raw)).count()
+    assert cand <= 0.05 * n * n, f"candidates {cand} > 0.05*{n}^2"
+
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_pairs(spark, sf01)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["dedup_embedding_lsh_pairs"]
+        .fn(spark, sf01)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.85, f"sf0.1 recall {recall:.3f} < 0.85"

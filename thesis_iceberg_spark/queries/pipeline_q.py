@@ -386,20 +386,18 @@ DECON_THRESHOLD = 0.5  # containment of an eval doc's shingles in a train doc
 @register(
     "pipeline_decontaminate",
     oracle=f"""
-WITH split AS (
+WITH {dedup._SQL_CAPPED_SH},
+shs AS (
   SELECT doc_id,
          CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
                         AS BIGINT) % 100 < 90
-              THEN 'train' ELSE 'eval' END AS split
-  FROM documents),
-sh AS (
-  SELECT d.doc_id, s.split, unnest({dedup._SQL_SHINGLES}) AS s
-  FROM documents d JOIN split s ON s.doc_id = d.doc_id
-  WHERE len({dedup._SQL_TOKS}) >= 3),
-ec AS (SELECT doc_id, COUNT(*) AS n FROM sh WHERE split = 'eval' GROUP BY doc_id),
+              THEN 'train' ELSE 'eval' END AS split,
+         s
+  FROM sh),
+ec AS (SELECT doc_id, COUNT(*) AS n FROM shs WHERE split = 'eval' GROUP BY doc_id),
 overlap AS (
   SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS c
-  FROM sh t JOIN sh e ON t.s = e.s
+  FROM shs t JOIN shs e ON t.s = e.s
   WHERE t.split = 'train' AND e.split = 'eval'
   GROUP BY 1, 2),
 contam AS (
@@ -414,12 +412,17 @@ FROM contam WHERE max_containment >= {DECON_THRESHOLD}
     "alone cannot give you: using the same deterministic 90/10 hash split "
     "as pipeline_train_eval_split, flag every TRAIN document whose 3-token "
     "shingle set CONTAINS >= 50% of some eval document's shingles (n-gram "
-    "containment, the standard eval-leak detector). Spark shape: one "
-    "shingle explode, an inverted-index equi-join on shingle between the "
-    "train and eval sides (only docs sharing a shingle ever meet — never "
-    "cartesian), a per-(train,eval) count and a max-per-train reduce. At "
-    "100 TB the eval side is tiny (10%... typically a fixed benchmark "
-    "set), so the join broadcasts the eval shingle index.",
+    "containment, the standard eval-leak detector). Shingles in more than "
+    "max(1000, 0.1% of corpus) documents are dropped first (broadcast "
+    "anti-join, see dedup._capped_shingles): a boilerplate shingle is a "
+    "hot join key with no containment signal, and eval shingle counts use "
+    "the capped set so containment stays consistent. Spark shape: one "
+    "shingle explode, the df-cap anti-join, an inverted-index equi-join "
+    "on shingle between the train and eval sides (only docs sharing a "
+    "kept shingle ever meet — never cartesian), a per-(train,eval) count "
+    "and a max-per-train reduce. At 100 TB the eval side is tiny (10%... "
+    "typically a fixed benchmark set), so the join broadcasts the eval "
+    "shingle index.",
 )
 def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
@@ -438,9 +441,10 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     split = F.when(bucket < 90, "train").otherwise("eval")
-    sh = (
-        docs.filter(F.size(F.split(dedup._norm(), " ")) >= 3)
-        .select("doc_id", split.alias("split"), F.explode(dedup._shingles()).alias("s"))
+    # the split is a pure function of doc_id, so it can be (re)computed on
+    # the exploded rows — no join back to documents needed
+    sh = dedup._capped_shingles(docs, docs.count()).select(
+        "doc_id", split.alias("split"), "s"
     )
     train = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "s"
