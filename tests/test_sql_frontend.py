@@ -253,3 +253,57 @@ def test_sql_insert_column_list_rejected(spark, cat):
     cat.sql("CREATE TABLE default.t (id INT, name STRING)")
     with pytest.raises(ValueError, match="VALUES/SELECT"):
         cat.sql("INSERT INTO default.t (id, name) VALUES (1, 'a')")
+
+
+# --- round 4: RTAS + database/introspection statement routing ---------------
+
+
+def test_sql_replace_table_as_select(spark, cat):
+    """REPLACE TABLE ... AS SELECT (ref #cell-13): full rewrite as ONE new
+    snapshot — history stays time-travelable."""
+    cat.sql("CREATE TABLE default.r (id INT, v DOUBLE)")
+    cat.sql("INSERT INTO default.r VALUES (1, 10.0), (2, 20.0)")
+    pre = cat.table("default.r")._meta["current_snapshot_id"]
+    cat.register_view("default.r")
+    cat.sql("REPLACE TABLE default.r AS SELECT id, v * 2 AS v FROM r")
+    got = {r.id: r.v for r in cat.table("default.r").read().collect()}
+    assert got == {1: 20.0, 2: 40.0}
+    old = {
+        r.id: r.v
+        for r in cat.sql(f"SELECT * FROM default.r VERSION AS OF {pre}").collect()
+    }
+    assert old == {1: 10.0, 2: 20.0}
+
+
+def test_sql_replace_table_missing_errors_create_or_replace_creates(spark, cat):
+    spark.createDataFrame([(1, "x")], "id INT, s STRING").createOrReplaceTempView(
+        "rtas_src"
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.sql("REPLACE TABLE default.nope AS SELECT * FROM rtas_src")
+    cat.sql("CREATE OR REPLACE TABLE default.fresh AS SELECT * FROM rtas_src")
+    assert [r.s for r in cat.table("default.fresh").read().collect()] == ["x"]
+
+
+def test_sql_replace_table_schema_change_rejected(spark, cat):
+    cat.sql("CREATE TABLE default.rs (id INT, s STRING)")
+    cat.sql("INSERT INTO default.rs VALUES (1, 'a')")
+    cat.register_view("default.rs")
+    with pytest.raises(ValueError, match="schema-changing"):
+        cat.sql("REPLACE TABLE default.rs AS SELECT id FROM rs")
+
+
+def test_sql_database_and_introspection_statements(spark, cat):
+    cat.sql("CREATE DATABASE IF NOT EXISTS extra")
+    cat.sql("CREATE TABLE extra.t1 (id INT)")
+    cat.sql("CREATE TABLE default.t2 (id INT)")
+    dbs = [r.namespace for r in cat.sql("SHOW DATABASES").collect()]
+    assert dbs == ["default", "extra"]
+    assert [r.tableName for r in cat.sql("SHOW TABLES IN extra").collect()] == ["t1"]
+    cat.sql("USE extra")
+    assert [r.tableName for r in cat.sql("SHOW TABLES").collect()] == ["t1"]
+    cat.sql("USE default")
+    desc = cat.sql("DESCRIBE default.t2").collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [("id", "int")]
+    ext = {r.col_name for r in cat.sql("DESCRIBE EXTENDED default.t2").collect()}
+    assert "# current_snapshot" in ext

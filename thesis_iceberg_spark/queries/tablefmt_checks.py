@@ -336,19 +336,23 @@ def tablefmt_quoted_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_ddl_lifecycle",
     oracle="""
 SELECT id, full_name, salary, dept
-FROM (VALUES (1, 'alice', 100, 'ops'),
-             (2, 'bob',   250, 'ops'),
-             (4, 'dave',  400, 'eng'),
-             (5, 'eve',   500, 'qa')) t(id, full_name, salary, dept)
+FROM (VALUES (1, 'alice', 110, 'ops'),
+             (2, 'bob',   260, 'ops'),
+             (4, 'dave',  410, 'eng'),
+             (5, 'eve',   510, 'qa')) t(id, full_name, salary, dept)
 """,
     doc="The notebook's DDL script driven entirely as SQL TEXT through "
-    "Catalog.sql: CREATE TABLE ... PARTITIONED BY (day(col)) TBLPROPERTIES "
-    "(ref: #cell-7 (json:196), #cell-21 (json:665)), INSERT INTO ... VALUES "
-    "(#cell-11 (json:329), the notebook's most-used write), ALTER TABLE "
-    "ADD/RENAME/DROP COLUMN (api.py:92-130, #cell-28/29), SET TBLPROPERTIES "
-    "(#cell-18 (json:557)), UPDATE/DELETE/MERGE — final state is a constant "
-    "table, value-oracled in DuckDB. Surface parity: every statement here "
-    "is one the reference executes as SQL.",
+    "Catalog.sql: CREATE DATABASE (ref: #cell-6), CREATE TABLE ... "
+    "PARTITIONED BY (day(col)) TBLPROPERTIES (ref: #cell-7 (json:196), "
+    "#cell-21 (json:665)), USE, INSERT INTO ... VALUES (#cell-11 "
+    "(json:329), the notebook's most-used write), ALTER TABLE ADD/RENAME/"
+    "DROP COLUMN (api.py:92-130, #cell-28/29), SET TBLPROPERTIES "
+    "(#cell-18 (json:557)), UPDATE/DELETE/MERGE, SHOW TABLES/DATABASES "
+    "(#cell-2/5), DESCRIBE (#cell-15 (json:462)) and REPLACE TABLE ... AS "
+    "SELECT (#cell-13 (json:409) — RTAS as a history-preserving snapshot, "
+    "asserted via time travel). Final state is a constant table, value-"
+    "oracled in DuckDB. Surface parity: every statement here is one the "
+    "reference executes as SQL.",
 )
 def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.tablefmt.catalog import Catalog
@@ -356,6 +360,8 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = _fresh(sf_dir, "sql_ddl_wh")
     os.makedirs(wh, exist_ok=True)
     cat = Catalog(spark, wh)
+    cat.sql("CREATE DATABASE IF NOT EXISTS default")
+    cat.sql("USE default")
     cat.sql(
         "CREATE TABLE default.emp (id INT, name STRING, salary INT, "
         "added_at TIMESTAMP) PARTITIONED BY (day(added_at)) "
@@ -388,6 +394,26 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert cat.table("default.emp").properties.get("owner") == "hr"
+    # introspection statements (bounded metadata reads, not data paths)
+    assert [r.namespace for r in cat.sql("SHOW DATABASES").collect()] == ["default"]
+    assert [(r.namespace, r.tableName) for r in cat.sql("SHOW TABLES").collect()] == [
+        ("default", "emp")
+    ]
+    desc_cols = {r.col_name for r in cat.sql("DESCRIBE default.emp").collect()}
+    assert {"id", "full_name", "salary", "dept"} <= desc_cols
+    # RTAS: +10 salary across the board, committed as ONE new snapshot so
+    # history survives — the pre-replace state must stay time-travelable
+    pre_rtas_snap = cat.table("default.emp")._meta["current_snapshot_id"]
+    cat.register_view("default.emp")
+    cat.sql(
+        "REPLACE TABLE default.emp AS "
+        "SELECT id, full_name, salary + 10 AS salary, added_at, dept FROM emp"
+    )
+    old_total = (
+        cat.sql(f"SELECT SUM(salary) AS s FROM default.emp VERSION AS OF {pre_rtas_snap}")
+        .first()["s"]
+    )
+    assert old_total == 100 + 250 + 400 + 500, old_total
     return cat.table("default.emp").read().select("id", "full_name", "salary", "dept")
 
 

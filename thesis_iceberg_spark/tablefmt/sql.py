@@ -24,7 +24,14 @@ Grammar (case-insensitive keywords):
         [TBLPROPERTIES ('k'='v', ...)]          -- needs a Catalog
     CREATE TABLE <table> [USING ...] [PARTITIONED BY (day(col))]
         [TBLPROPERTIES (...)] AS SELECT ...     -- CTAS, needs a Catalog
+    [CREATE OR] REPLACE TABLE <table> [PARTITIONED BY (day(col))]
+        [TBLPROPERTIES (...)] AS SELECT ...     -- RTAS (history-preserving)
     DROP TABLE [IF EXISTS] <table>              -- needs a Catalog
+    CREATE {DATABASE | SCHEMA | NAMESPACE} [IF NOT EXISTS] <db>
+    SHOW TABLES [{IN | FROM} <db>]              -- needs a Catalog
+    SHOW {DATABASES | NAMESPACES | SCHEMAS}     -- needs a Catalog
+    DESC[RIBE] [TABLE] [EXTENDED] <table>       -- versioned tables only
+    USE <db>                                    -- catalog-known dbs only
     ALTER TABLE <table> ADD COLUMN[S] [(]col TYPE [, ...][)]
     ALTER TABLE <table> DROP COLUMN col
     ALTER TABLE <table> RENAME COLUMN old TO new
@@ -61,6 +68,7 @@ from pyspark.sql import functions as F
 from thesis_iceberg_spark.tablefmt.table import VersionedTable
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*|`[^`]+`"
+_SIMPLE_IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
 
 _TRAVEL = re.compile(
     rf"(?P<table>{_IDENT})\s+"
@@ -101,6 +109,28 @@ _DROP_TABLE = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?:(?P<ie>IF\s+EXISTS)\s+)?(?P<table>{_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+_REPLACE_HEAD = re.compile(
+    rf"^\s*(?:(?P<cor>CREATE\s+OR\s+)?REPLACE)\s+TABLE\s+(?P<table>{_IDENT})\s*"
+    r"(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_DB = re.compile(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA|NAMESPACE)\s+"
+    rf"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<db>{_SIMPLE_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLES = re.compile(
+    rf"^\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+(?P<db>{_SIMPLE_IDENT}))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_DBS = re.compile(
+    r"^\s*SHOW\s+(?:DATABASES|NAMESPACES|SCHEMAS)\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE = re.compile(
+    rf"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<ext>EXTENDED\s+)?(?P<table>{_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_USE = re.compile(rf"^\s*USE\s+(?P<db>{_SIMPLE_IDENT})\s*;?\s*$", re.IGNORECASE)
 _ALTER = re.compile(
     rf"^\s*ALTER\s+TABLE\s+(?P<table>{_IDENT})\s+(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -118,7 +148,6 @@ _PARTITIONED = re.compile(
 )
 _TBLPROPS = re.compile(r"TBLPROPERTIES\s*\((?P<props>.*?)\)", re.IGNORECASE | re.DOTALL)
 _PROP_PAIR = re.compile(r"'(?P<k>[^']*)'\s*=\s*'(?P<v>[^']*)'")
-_SIMPLE_IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
 _MERGE_ON = re.compile(
     rf"^\s*(?:(?:{_SIMPLE_IDENT})\.)?(?P<a>{_SIMPLE_IDENT})\s*=\s*"
     rf"(?:(?:{_SIMPLE_IDENT})\.)?(?P<b>{_SIMPLE_IDENT})\s*$"
@@ -269,6 +298,17 @@ class TableSQL:
         if m and (vt := self._table(m.group("table"))) is not None:
             self._alter(vt, m.group("rest"))
             return None
+        m = _REPLACE_HEAD.match(statement)
+        if m:
+            self._replace(m)
+            return None
+        m = _DESCRIBE.match(statement)
+        if m and (vt := self._table(m.group("table"))) is not None:
+            if self._catalog is None:
+                raise ValueError("DESCRIBE on a versioned table needs a Catalog")
+            return self._catalog.describe(
+                _unquote(m.group("table")), extended=bool(m.group("ext"))
+            )
         if self._catalog is not None:
             m = _CREATE_HEAD.match(statement)
             if m:
@@ -280,6 +320,28 @@ class TableSQL:
                 if self._table(m.group("table")) is None and m.group("ie"):
                     return None
                 self._catalog.drop_table(name)
+                return None
+            m = _CREATE_DB.match(statement)
+            if m:
+                self._catalog.create_database(
+                    _unquote(m.group("db")), if_not_exists=bool(m.group("ine"))
+                )
+                return None
+            m = _SHOW_TABLES.match(statement)
+            if m:
+                db = _unquote(m.group("db")) if m.group("db") else None
+                return self.spark.createDataFrame(
+                    [(db or self._catalog.current_database, t)
+                     for t in self._catalog.tables(db)],
+                    "namespace STRING, tableName STRING",
+                )
+            if _SHOW_DBS.match(statement):
+                return self.spark.createDataFrame(
+                    [(d,) for d in self._catalog.databases()], "namespace STRING"
+                )
+            m = _USE.match(statement)
+            if m and _unquote(m.group("db")) in self._catalog.databases():
+                self._catalog.use(_unquote(m.group("db")))
                 return None
         return self.spark.sql(self._rewrite_time_travel(statement))
 
@@ -379,6 +441,69 @@ class TableSQL:
             partition_day=_unquote(pday.group("col").strip()) if pday else None,
             properties=_parse_props(props_m.group("props")) if props_m else None,
         )
+
+    def _replace(self, m: re.Match) -> None:
+        """[CREATE OR] REPLACE TABLE <t> [PARTITIONED BY (day(col))]
+        [TBLPROPERTIES (...)] AS SELECT ... (ref: Pyspark_Notebook.ipynb
+        #cell-13 (json:409), the reference's RTAS). Routes to
+        ``VersionedTable.overwrite`` — a full rewrite committed as a new
+        snapshot, so table HISTORY (time travel, changelog) survives the
+        replace; bare REPLACE errors if the table does not exist, CREATE OR
+        REPLACE creates it (needs a Catalog)."""
+        name = _unquote(m.group("table"))
+        rest = m.group("rest").strip()
+        ctas = re.search(r"\bAS\s+(?P<select>SELECT\s+.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if ctas is None:
+            raise ValueError("REPLACE TABLE requires an AS SELECT clause")
+        clauses = rest[: ctas.start()]
+        pday = _PARTITIONED.search(clauses)
+        props_m = _TBLPROPS.search(clauses)
+        df = self.spark.sql(self._rewrite_time_travel(ctas.group("select")))
+        vt = self._table(m.group("table"))
+        if vt is None:
+            if not m.group("cor"):
+                raise ValueError(
+                    f"REPLACE TABLE: {name} does not exist "
+                    "(use CREATE OR REPLACE to create it)"
+                )
+            if self._catalog is None:
+                raise ValueError("CREATE OR REPLACE TABLE needs a Catalog")
+            self._catalog.create_table(
+                name,
+                df=df,
+                partition_day=_unquote(pday.group("col").strip()) if pday else None,
+                properties=_parse_props(props_m.group("props")) if props_m else None,
+            )
+            return
+        if pday is not None:
+            current_day = [
+                s["source_name"]
+                for s in vt._meta["partition_spec"]
+                if s.get("transform") == "day"
+            ]
+            if [_unquote(pday.group("col").strip())] != current_day:
+                raise ValueError(
+                    "REPLACE TABLE cannot change the partition spec "
+                    f"(current: day({current_day}), requested: {pday.group(0)!r}); "
+                    "DROP + CREATE for a new layout"
+                )
+        cols = vt.columns
+        schema = {f.name: f.dataType for f in vt.spark_schema().fields}
+        if set(df.columns) == set(cols):
+            aligned = df.select(*[F.col(f"`{c}`").cast(schema[c]) for c in cols])
+        elif len(df.columns) == len(cols):
+            aligned = df.toDF(*cols).select(
+                *[F.col(f"`{c}`").cast(schema[c]) for c in cols]
+            )
+        else:
+            raise ValueError(
+                f"REPLACE TABLE AS SELECT provides {len(df.columns)} columns, "
+                f"table has {len(cols)} — schema-changing replace is not "
+                "supported; evolve with ALTER TABLE or DROP + CREATE"
+            )
+        vt.overwrite(aligned)
+        if props_m:
+            vt.set_properties(_parse_props(props_m.group("props")))
 
     def _merge(self, vt: VersionedTable, m: re.Match) -> None:
         on_m = _MERGE_ON.match(m.group("on")) or _MERGE_ON_BARE.match(m.group("on"))
