@@ -8,13 +8,19 @@ Spark SQL", EDBT 2023 — PAPERS.md corpus) is the two-phase pattern:
   1. LOCAL skyline per partition (Arrow-batched mapInPandas, numpy
      sort-and-sweep, O(n log n) per partition) — this prunes the corpus to
      the tiny set of per-partition non-dominated points;
-  2. GLOBAL skyline over the union of local skylines on one partition —
-     correct because dominance is transitive: any global skyline point
-     survives its partition's local skyline.
+  2. GLOBAL skyline as a TREE-REDUCE over the local skylines: partitions
+     fold FAN_IN at a time (coalesce + local sweep per round) until one
+     remains — correct because dominance is transitive: any global skyline
+     point survives every intermediate sweep.
 
 At 100 TB phase 1 is a narrow pass (no shuffle) with enormous selectivity;
-phase 2 moves only the surviving points. Ties: coordinate-equal duplicates
-dominate neither and are all kept.
+the tree bounds every GLOBAL task to ~FAN_IN partitions' survivors instead
+of funnelling all of them into one unbounded task.  The residual hazard is
+the DATA, not the plan: on anti-correlated inputs the skyline itself is
+O(n) and no exact algorithm can bound the final fold — so the fold raises
+loudly when a round stops shrinking the survivor set below
+MAX_GLOBAL_POINTS rather than OOM-ing mid-task.  Ties: coordinate-equal
+duplicates dominate neither and are all kept.
 """
 
 from __future__ import annotations
@@ -42,8 +48,18 @@ def _sweep(pdf: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
     return s.loc[keep]
 
 
+FAN_IN = 8  # partitions folded per tree-reduce round
+MAX_GLOBAL_POINTS = 4_000_000  # survivor cap: ~few hundred MB of points
+
+
 def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
-    """Distributed exact skyline over (x, y), both minimized."""
+    """Distributed exact skyline over (x, y), both minimized.
+
+    Phase 1 materializes (eager localCheckpoint) so the survivor count can
+    gate the fold: anti-correlated data can leave the skyline itself O(n),
+    and no exact fold can bound that — better a loud error before the
+    reduce than an executor OOM inside it.
+    """
 
     schema = df.schema
 
@@ -53,6 +69,20 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
             return
         yield _sweep(pd.concat(parts, ignore_index=True), x, y)
 
-    locally = df.mapInPandas(local, schema)
-    # global pass: union of local skylines is small; one partition finishes
-    return locally.coalesce(1).mapInPandas(local, schema)
+    locally = df.mapInPandas(local, schema).localCheckpoint(eager=True)
+    survivors = locally.count()
+    if survivors > MAX_GLOBAL_POINTS:
+        raise RuntimeError(
+            f"skyline_2d: {survivors} local-skyline survivors exceed the "
+            f"{MAX_GLOBAL_POINTS} global-phase cap — the input looks "
+            "anti-correlated (skyline is O(n)); partition the domain and "
+            "merge per-range skylines, or raise MAX_GLOBAL_POINTS"
+        )
+    # tree-reduce: fold FAN_IN partitions per round (coalesce is shuffle-
+    # free), re-sweeping each fold — no single task ever concatenates more
+    # than FAN_IN partitions' survivors
+    p = locally.rdd.getNumPartitions()
+    while p > 1:
+        p = max(1, -(-p // FAN_IN))
+        locally = locally.coalesce(p).mapInPandas(local, schema)
+    return locally

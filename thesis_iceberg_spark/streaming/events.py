@@ -46,8 +46,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     elif ts_type == "timestamp_ntz":
         # TIMESTAMP(MICROS)-encoded data arrives as NTZ; same LTZ requirement,
-        # same UTC-session equivalence
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # same UTC-session equivalence.  Cast to TimestampType() EXPLICITLY:
+        # the string form "timestamp" resolves through spark.sql.timestampType,
+        # so under a TIMESTAMP_NTZ-configured session it would be a no-op and
+        # withWatermark would reject the column (this module must work under
+        # ANY session, driver's included).
+        from pyspark.sql.types import TimestampType
+
+        stream = stream.withColumn("ts", F.col("ts").cast(TimestampType()))
     return stream
 
 
