@@ -65,75 +65,75 @@ def _load_all() -> None:
 
 
 # The driver's correctness gate oracles the FIRST 50 registry entries per
-# round, so ordering is rotation control: round 1 verified the first 50 in
-# module-import order; this list front-loads (a) every query round 1 could
-# not check, (b) the 11 round-1 errors now fixed, and (c) this round's new
-# queries — so every family accumulates driver signal across rounds.
+# round, so ordering is rotation control.  Round-4 window policy (VERDICT
+# r3 ask #6: "every query's newest green row <= 2 rounds old"):
+#   (a) the 6 queries whose CODE changed this round — eager minhash
+#       checkpoint, tiered embedding LSH, shingle df-cap, RTAS/SHOW/
+#       DESCRIBE lifecycle, events-stream timestamp cast — re-verify the
+#       diff even though all were green in r3;
+#   (b) all 33 queries whose newest green row is ROUND 1 (three rounds of
+#       code churn since their last driver check);
+#   (c) 11 of the 18 round-2-checked queries, preferring streaming (the
+#       events.py cast touches their source), tablefmt, and one-of-a-kind
+#       shapes.  The 7 left out (window_lag/running, orderby_multi_col,
+#       values_inline_dim_join, set_ops_multiset, conditional_funcs,
+#       unpivot) are unchanged r2-greens — exactly 2 rounds old at r4.
 # Names not (yet) registered are skipped harmlessly; unlisted queries keep
 # registration order after the prioritized block.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- round 3: the 9 queries no driver round has ever checked ---
-    "dedup_cluster_canonical",
-    "text_gopher_quality_flags",
-    "pipeline_pii_scrub",
-    "pipeline_chunk_documents",
-    "pipeline_stratified_sample",
-    "pipeline_pack_sequences",
-    "pipeline_topk_per_lang_sample",
-    "agg_approx_count_distinct",  # now a value oracle (exact count + 5% self-check)
-    "ann_ivf_kmeans_topk",  # now a value oracle (recall@10 self-check)
-    # --- new this round ---
-    "sql_ddl_lifecycle",
-    "tablefmt_merge_incremental",
-    "ann_batch_topk",
-    "pipeline_decontaminate",
-    # --- 37 green veterans, one+ per family, as regression guards ---
-    # (exactly fills the 50-slot window with the 13 entries above)
-    # relational scans / filters / topk
-    "scan_full",
-    "topk_orders",
-    # aggregation
-    "agg_pricing_summary",
-    "agg_q6_revenue",
-    "agg_count_distinct",
-    "agg_salted_skew",
-    "grouping_sets_sql",
-    # joins
-    "join_inner_cust_orders",
-    "join_anti_inactive_customers",
-    "join_bucketed_colocated",
-    "star_join_revenue_by_nation",
-    "q3_unshipped_topk",
-    "asof_join_last_event",
-    # windows / set ops / subqueries
-    "window_rank_orders",
-    "window_funcs_extended",
-    "set_ops_customer_segments",
-    "in_exists_subqueries",
-    # dedup / similarity
-    "dedup_exact_hash",
+    # --- (a) changed this round ---
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_lsh_pairs",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    # text / multimodal / pipeline
-    "text_token_stats",
-    "text_lang_id",
-    "multimodal_metadata",
-    "multimodal_features",
-    "pipeline_train_eval_split",
-    # streaming / timeseries
+    "dedup_cluster_canonical",
+    "pipeline_decontaminate",
+    "sql_ddl_lifecycle",
     "streaming_windowed_event_stats",
-    "streaming_batch_parity",
-    "sessionize_events",
-    "time_bucket_rollup",
-    # table format / SQL front-end
-    "tablefmt_lifecycle_final_state",
-    "tablefmt_time_travel",
-    "tablefmt_changelog",
-    "tablefmt_schema_evolution",
-    "sql_time_travel",
-    "sql_dml_update_delete",
+    # --- (b) last green in round 1 ---
+    "dedup_ngram_jaccard_pairs",  # also changed: shingle df-cap
+    "dedup_simhash",
+    "range_join_event_window",
+    "pandas_udf_scalar_text",
+    "pandas_udf_grouped_median",
+    "csv_ingest_repair",
+    "skyline_price_size",  # also changed: tree-reduce global phase
+    "udtf_tokenize_positions",
+    "json_extract_props",
+    "string_funcs_profile",
+    "array_funcs_embeddings",
+    "math_funcs_profile",
+    "map_funcs_event_props",
+    "agg_collect_sorted",
+    "pivot_status_by_year",
+    "time_funcs_profile",
+    "agg_percentiles",
+    "q14_promo_revenue",
+    "text_quality_scores",
+    "text_fingerprint",
+    "text_top_bigrams_by_lang",
+    "pipeline_clean_corpus",
+    "scan_sql",
+    "project_columns",
+    "point_lookup",
+    "filter_eq_string",
+    "filter_range_ts",
+    "filter_year_func",
+    "filter_null",
+    "filter_neq",
+    "distinct_values",
+    "join_left_order_counts",
+    "join_semi_active_customers",
+    # --- (c) last green in round 2 ---
+    "rollup_order_stats",
+    "cube_lineitem_flags",
+    "correlated_scalar_subquery",
+    "join_full_outer_nation_presence",
+    "streaming_stateful_user_counts",
+    "streaming_stateful_dedup",
+    "streaming_static_dim_join",
+    "streaming_stream_stream_join",
+    "tablefmt_quoted_identifiers",
+    "resample_gapfill_locf",
+    "dedup_drop_duplicates",
 )
 
 
