@@ -1,0 +1,80 @@
+"""Multi-writer commit semantics (round 4): the optimistic-concurrency
+conflict matrix for VersionedTable._commit_delta.
+
+  concurrent winner ->   append        row-level (MoR)     CoW rewrite
+  our commit
+  append                 rebase OK     rebase OK           rebase OK
+  row-level (MoR)        rebase OK     CommitConflict      CommitConflict
+  CoW rewrite            CommitConflict (no auto-retry: the rewrite itself
+                         is stale, the whole operation must re-run)
+
+Data files are written before the metadata swap under unique paths, so a
+rebase retries ONLY the swap — never the Spark job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.tablefmt import VersionedTable
+from thesis_iceberg_spark.tablefmt.table import CommitConflict
+
+
+@pytest.fixture()
+def loc(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def _stale_pair(spark, loc):
+    vt1 = VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
+    vt2 = VersionedTable(spark, loc)  # loads now; stale after vt1 commits
+    return vt1, vt2
+
+
+def test_mor_delete_rebases_across_concurrent_append(spark, loc):
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.append(_df(spark, 10, 20))
+    # stale handle's MoR delete targets base files the append left intact
+    vt2.delete("id < 3", mode="merge-on-read")
+    final = VersionedTable(spark, loc).read()
+    assert sorted(r.id for r in final.collect()) == list(range(3, 20))
+
+
+def test_mor_update_conflicts_with_concurrent_row_level(spark, loc):
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.delete("id = 1", mode="merge-on-read")  # winner adds delete files
+    with pytest.raises(CommitConflict, match="concurrent commit modified"):
+        vt2.update({"v": "v + 100"}, "id < 5", mode="merge-on-read")
+    # the loser's operation re-run on a fresh handle succeeds
+    fresh = VersionedTable(spark, loc)
+    fresh.update({"v": "v + 100"}, "id < 5", mode="merge-on-read")
+    rows = {r.id: r.v for r in fresh.read().collect()}
+    assert 1 not in rows and rows[0] == 100 and rows[5] == 10
+
+
+def test_mor_delete_conflicts_with_concurrent_cow_rewrite(spark, loc):
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.update({"v": "v + 1"}, "id >= 0")  # CoW: rewrites every base file
+    with pytest.raises(CommitConflict, match="concurrent commit modified"):
+        vt2.delete("id < 3", mode="merge-on-read")
+
+
+def test_cow_rewrite_never_auto_retries(spark, loc):
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.append(_df(spark, 10, 20))
+    with pytest.raises(CommitConflict):
+        vt2.update({"v": "v + 1"}, "id < 5")  # CoW on a stale handle
+    with pytest.raises(CommitConflict):
+        vt2.overwrite(_df(spark, 0, 5))
+
+
+def test_append_rebases_across_mor_delete(spark, loc):
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.delete("id < 2", mode="merge-on-read")
+    vt2.append(_df(spark, 10, 15))  # pure append composes with anything
+    final = VersionedTable(spark, loc).read()
+    assert sorted(r.id for r in final.collect()) == list(range(2, 15))

@@ -115,17 +115,25 @@ def test_update_uses_original_row_values(spark, loc):
     assert rows == {1: 2, 4: 2, 6: 3}  # swapped, not chained
 
 
-def test_commit_conflict_detected(spark, loc):
-    from thesis_iceberg_spark.tablefmt.table import CommitConflict, VersionedTable as VT
+def test_commit_conflict_rebases_append(spark, loc):
+    """Round 4: a stale APPEND handle no longer surfaces CommitConflict —
+    the commit rebases onto the winner's snapshot and retries (Iceberg
+    fast-append). Nothing is clobbered; see test_concurrency.py for the
+    row-level conflict matrix."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable as VT
 
     vt1 = VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
     vt2 = VT(spark, loc)  # second writer handle
     vt1.append(_df(spark, 10, 20))  # writer 1 commits
-    with pytest.raises(CommitConflict):
-        vt2.append(_df(spark, 20, 30))  # stale handle must NOT clobber
-    # reload-and-retry succeeds
-    VT(spark, loc).append(_df(spark, 20, 30))
-    assert VT(spark, loc).read().count() == 30
+    vt2.append(_df(spark, 20, 30))  # stale handle: rebase + retry, no clobber
+    final = VT(spark, loc)
+    assert final.read().count() == 30
+    snaps = final._meta["snapshots"]
+    assert len(snaps) == 3
+    # linear history: each snapshot's parent is the previous one
+    assert [s["parent_id"] for s in snaps] == [None] + [
+        s["snapshot_id"] for s in snaps[:-1]
+    ]
 
 
 def test_remove_orphan_files(spark, loc):

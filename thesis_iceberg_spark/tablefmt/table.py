@@ -50,6 +50,8 @@ from pyspark.sql import types as T
 
 _PARTITION_COL = "_p_day"  # materialized hidden-partition column
 
+COMMIT_RETRIES = 3  # rebase attempts before a CommitConflict surfaces
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed since this handle loaded its metadata."""
@@ -384,12 +386,16 @@ class VersionedTable:
         """INSERT INTO semantics (ref: #cell-11 INSERT VALUES). Existing
         position-delete files still apply to the carried-over data files.
         ``operation`` keeps history labels honest when a MERGE with no key
-        overlap degenerates to a pure append."""
+        overlap degenerates to a pure append.
+
+        Concurrency: if another writer commits between this handle's load
+        and the metadata swap, the commit REBASES onto the new snapshot and
+        retries (data files are already written; only the swap re-runs) —
+        a pure append composes with any concurrent commit, Iceberg's
+        fast-append retry."""
         sid = self._next_snapshot_id()
-        manifest = self._current_manifest() + self._write_data_files(df, sid)
-        self._commit_snapshot(
-            operation, manifest, now_ms, delete_manifest=self._current_delete_manifest()
-        )
+        added = self._write_data_files(df, sid)
+        self._commit_delta(operation, added, [], now_ms, row_level=False)
 
     def overwrite(
         self, df: DataFrame, now_ms: int | None = None, operation: str = "overwrite"
@@ -400,6 +406,73 @@ class VersionedTable:
         sid = self._next_snapshot_id()
         manifest = self._write_data_files(df, sid)
         self._commit_snapshot(operation, manifest, now_ms)
+
+    def refresh(self) -> None:
+        """Re-load metadata from disk, picking up other writers' commits
+        (Iceberg's Table.refresh())."""
+        self._meta = self._load_meta()
+
+    def _commit_delta(
+        self,
+        operation: str,
+        added_manifest: list[dict],
+        added_deletes: list[dict],
+        now_ms: int | None,
+        row_level: bool,
+    ) -> None:
+        """Commit a DELTA (new data-file entries and/or new position-delete
+        entries) on top of the CURRENT snapshot, rebasing and retrying on
+        CommitConflict — Iceberg's commit-retry loop.  The delta's files are
+        already on disk under unique paths, so a retry re-runs only the
+        metadata swap, never the Spark job.
+
+        Rebase safety mirrors Iceberg's validations:
+
+        * a pure APPEND (``row_level=False``) composes with ANY concurrent
+          commit — the new files touch no existing rows — so it rebases
+          unconditionally (Iceberg fast-append);
+        * a ROW-LEVEL delta (MoR delete/update/merge: position deletes that
+          reference base data files, plus updated-row appends derived from
+          base rows) rebases only across concurrent pure appends.  If the
+          winner removed/rewrote any base data file, our position deletes
+          dangle; if it added delete files of its own, our updated-row
+          copies would resurrect rows it deleted.  Either way: conflict.
+        """
+        base = self._select_snapshot()
+        for attempt in range(COMMIT_RETRIES + 1):
+            manifest = (list(base["manifest"]) if base else []) + added_manifest
+            deletes = (
+                list(base.get("delete_manifest", [])) if base else []
+            ) + added_deletes
+            try:
+                self._commit_snapshot(
+                    operation, manifest, now_ms, delete_manifest=deletes
+                )
+                return
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES:
+                    raise
+                old = base
+                self.refresh()
+                base = self._select_snapshot()
+                if row_level:
+                    old_paths = {e["path"] for e in (old["manifest"] if old else [])}
+                    old_dels = {
+                        e["path"]
+                        for e in (old.get("delete_manifest", []) if old else [])
+                    }
+                    new_paths = {e["path"] for e in (base["manifest"] if base else [])}
+                    new_dels = {
+                        e["path"]
+                        for e in (base.get("delete_manifest", []) if base else [])
+                    }
+                    if not (old_paths <= new_paths and new_dels <= old_dels):
+                        raise CommitConflict(
+                            f"{operation} delta computed against a snapshot whose "
+                            "rows a concurrent commit modified (data files "
+                            "rewritten or new delete files added); re-run the "
+                            "operation against the current snapshot"
+                        ) from None
 
     def _commit_snapshot(
         self,
@@ -815,12 +888,7 @@ class VersionedTable:
         del_entries = self._write_delete_files(scan.filter(match), sid)
         if not del_entries:
             return  # no rows match: no new snapshot
-        self._commit_snapshot(
-            "delete",
-            list(snap["manifest"]),
-            now_ms,
-            delete_manifest=snap.get("delete_manifest", []) + del_entries,
-        )
+        self._commit_delta("delete", [], del_entries, now_ms, row_level=True)
 
     def update(
         self,
@@ -880,13 +948,8 @@ class VersionedTable:
                 for c in self.columns
             ]
         )
-        manifest = list(snap["manifest"]) + self._write_data_files(updated, sid)
-        self._commit_snapshot(
-            "update",
-            manifest,
-            now_ms,
-            delete_manifest=snap.get("delete_manifest", []) + del_entries,
-        )
+        data_entries = self._write_data_files(updated, sid)
+        self._commit_delta("update", data_entries, del_entries, now_ms, row_level=True)
 
     def merge(
         self,
@@ -1068,12 +1131,7 @@ class VersionedTable:
             data_entries = []
         if not del_entries and not data_entries:
             return  # nothing matched, nothing inserted: no new snapshot
-        self._commit_snapshot(
-            "merge",
-            list(snap["manifest"]) + data_entries,
-            now_ms,
-            delete_manifest=snap.get("delete_manifest", []) + del_entries,
-        )
+        self._commit_delta("merge", data_entries, del_entries, now_ms, row_level=True)
 
     # ------------------------------------------------------------------
     # schema evolution (field-id based — ref: api.py:170-215)
