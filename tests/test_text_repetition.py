@@ -1,0 +1,46 @@
+"""text_gopher_repetition_signals: crafted-document checks (the sf-corpus
+correctness is oracle-checked by the driver; this pins the semantics)."""
+
+from __future__ import annotations
+
+from thesis_iceberg_spark.queries import REGISTRY, queries
+
+queries()
+
+
+def _run(spark, tmp_path, rows):
+    sf_dir = str(tmp_path / "rep")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    fn = REGISTRY["text_gopher_repetition_signals"].fn
+    return {r.doc_id: r.asDict() for r in fn(spark, sf_dir).collect()}
+
+
+def test_repetitive_doc_flagged(spark, tmp_path):
+    got = _run(
+        spark,
+        tmp_path,
+        [
+            # doc 1: "spam ham " * 12 — every 2-gram duplicated
+            (1, " ".join(["spam ham"] * 12)),
+            # doc 2: all-distinct tokens, no repeated n-gram
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            # doc 3: too short for any n-gram — vacuously clean
+            (3, "one"),
+        ],
+    )
+    assert got[1]["keep"] is False
+    assert got[1]["dup_2gram_char_frac"] == 1.0  # every 2-gram occurs twice+
+    assert got[2]["keep"] is True
+    assert got[2]["dup_3gram_char_frac"] == 0.0
+    assert got[3]["keep"] is True
+    assert got[3]["top_4gram_char_frac"] == 0.0
+
+
+def test_top_ngram_fraction(spark, tmp_path):
+    # "a b c d a b" -> 2-grams: "a b","b c","c d","d a","a b";
+    # top 2-gram "a b" has 2 occurrences * 3 chars = 6 of 15 chars
+    got = _run(spark, tmp_path, [(1, "a b c d a b")])
+    assert abs(got[1]["top_2gram_char_frac"] - 6 / 15) < 1e-12
+    assert abs(got[1]["dup_2gram_char_frac"] - 6 / 15) < 1e-12

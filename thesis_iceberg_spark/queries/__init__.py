@@ -73,14 +73,18 @@ def _load_all() -> None:
 #       diff even though all were green in r3;
 #   (b) all 33 queries whose newest green row is ROUND 1 (three rounds of
 #       code churn since their last driver check);
-#   (c) 11 of the 18 round-2-checked queries, preferring streaming (the
+#   (c) 10 of the 18 round-2-checked queries, preferring streaming (the
 #       events.py cast touches their source), tablefmt, and one-of-a-kind
-#       shapes.  The 7 left out (window_lag/running, orderby_multi_col,
+#       shapes.  The 8 left out (window_lag/running, orderby_multi_col,
 #       values_inline_dim_join, set_ops_multiset, conditional_funcs,
-#       unpivot) are unchanged r2-greens — exactly 2 rounds old at r4.
+#       unpivot, dedup_drop_duplicates) are unchanged r2-greens — exactly
+#       2 rounds old at r4 — displaced so the round's NEW query
+#       (text_gopher_repetition_signals) gets driver signal immediately.
 # Names not (yet) registered are skipped harmlessly; unlisted queries keep
 # registration order after the prioritized block.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # --- new this round ---
+    "text_gopher_repetition_signals",
     # --- (a) changed this round ---
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_lsh_pairs",
@@ -133,7 +137,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_stream_stream_join",
     "tablefmt_quoted_identifiers",
     "resample_gapfill_locf",
-    "dedup_drop_duplicates",
+    # dedup_drop_duplicates (unchanged r2 green) displaced by the new
+    # text_gopher_repetition_signals — new queries need driver signal first
 )
 
 

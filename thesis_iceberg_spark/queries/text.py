@@ -296,3 +296,125 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_repetition.alias("ok_repetition"),
         (ok_length & ok_word_len & ok_repetition).alias("keep"),
     )
+
+
+# Gopher repetition thresholds: max fraction of characters inside duplicate
+# n-grams / inside the single most frequent n-gram (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", table A1 — public paper).
+GOPHER_DUP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_TOP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB sliding token n-grams WITH duplicates (unlike shingles)."""
+    toks = _sql_toks()
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {joined})"
+
+
+_SQL_REP_EX = " UNION ALL ".join(
+    f"SELECT doc_id, {n} AS n, unnest({_sql_ngrams(n)}) AS g FROM documents"
+    for n in (2, 3, 4)
+)
+_SQL_REP_WIDE_COLS = ", ".join(
+    f"MAX(CASE WHEN n = {n} THEN CAST({agg} AS DOUBLE) / total END) AS {agg}{n}"
+    for n in (2, 3, 4)
+    for agg in ("dup", "top")
+)
+_SQL_REP_OUT = ", ".join(
+    f"COALESCE({agg}{n}, 0.0) AS {agg}_{n}gram_char_frac"
+    for n in (2, 3, 4)
+    for agg in ("dup", "top")
+)
+_SQL_REP_KEEP = " AND ".join(
+    f"COALESCE({agg}{n}, 0.0) <= {thr[n]}"
+    for n in (2, 3, 4)
+    for agg, thr in (("dup", GOPHER_DUP_FRAC), ("top", GOPHER_TOP_FRAC))
+)
+
+
+@register(
+    "text_gopher_repetition_signals",
+    oracle=f"""
+WITH ex AS ({_SQL_REP_EX}),
+c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3),
+p AS (SELECT doc_id, n,
+             SUM(c * length(g)) AS total,
+             SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup,
+             COALESCE(MAX(CASE WHEN c > 1 THEN c * length(g) END), 0) AS top
+      FROM c GROUP BY 1, 2),
+w AS (SELECT doc_id, {_SQL_REP_WIDE_COLS} FROM p GROUP BY doc_id)
+SELECT d.doc_id, {_SQL_REP_OUT}, ({_SQL_REP_KEEP}) AS keep
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+""",
+    doc="Gopher REPETITION signals — the within-document duplicate-n-gram "
+    "family the flat dup-token fraction in text_gopher_quality_flags "
+    "cannot see: for n in (2,3,4), the fraction of characters inside "
+    "n-grams that occur more than once (dup_Ngram_char_frac) and inside "
+    "the single most frequent REPEATED n-gram (top_Ngram_char_frac; a "
+    "unique gram in a short doc is not repetition), each gated at the "
+    "published Gopher thresholds (0.20/0.18/0.16), plus the "
+    "conjunctive keep. Spark shape: ONE scan explodes all three gram "
+    "sizes (tagged structs, duplicates preserved), a (doc_id, n, gram) "
+    "count, a (doc_id, n) sum/max, and a conditional-agg pivot back to "
+    "one row per document — two keyed shuffles, map-side combinable, "
+    "cardinality bounded by tokens per doc. At 100 TB this is the "
+    "standard pre-training repetition filter pass.",
+)
+def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = _toks()
+
+    def ngrams(n):
+        cnt = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        g = F.slice(t, 1, cnt)
+        for j in range(1, n):
+            g = F.zip_with(g, F.slice(t, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b))
+        return F.transform(g, lambda x: F.struct(F.lit(n).alias("n"), x.alias("g")))
+
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.concat(ngrams(2), ngrams(3), ngrams(4))).alias("x"),
+    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    c = ex.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    chars = F.col("c") * F.length("g")
+    # top counts only grams that occur MORE THAN ONCE: a unique gram in a
+    # short document can near 1/num_grams of the characters without any
+    # repetition — the rule targets repeated content, not short content
+    p = c.groupBy("doc_id", "n").agg(
+        F.sum(chars).alias("total"),
+        F.sum(F.when(F.col("c") > 1, chars).otherwise(0)).alias("dup"),
+        F.coalesce(F.max(F.when(F.col("c") > 1, chars)), F.lit(0)).alias("top"),
+    )
+    wide = p.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col(agg).cast("double") / F.col("total"))
+            ).alias(f"{agg}{n}")
+            for n in (2, 3, 4)
+            for agg in ("dup", "top")
+        ]
+    )
+    fr = {
+        (agg, n): F.coalesce(F.col(f"{agg}{n}"), F.lit(0.0))
+        for n in (2, 3, 4)
+        for agg in ("dup", "top")
+    }
+    keep = F.lit(True)
+    for n in (2, 3, 4):
+        keep = keep & (fr[("dup", n)] <= GOPHER_DUP_FRAC[n]) & (
+            fr[("top", n)] <= GOPHER_TOP_FRAC[n]
+        )
+    return (
+        docs.select("doc_id")
+        .join(wide, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                fr[(agg, n)].alias(f"{agg}_{n}gram_char_frac")
+                for n in (2, 3, 4)
+                for agg in ("dup", "top")
+            ],
+            keep.alias("keep"),
+        )
+    )
