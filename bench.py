@@ -53,6 +53,10 @@ def main() -> None:
         "dedup_embedding_lsh_pairs",
         "ann_cosine_topk",
         "text_quality_scores",
+        # round 4: widen the measured surface to the pipeline family
+        "pipeline_decontaminate",
+        "ann_batch_topk",
+        "text_gopher_repetition_signals",
     ):
         if extra in REGISTRY:
             headline.append(extra)

@@ -67,3 +67,30 @@ def test_embedding_lsh_sf01_candidates_subquadratic_and_recall(spark):
     }
     recall = len(lsh & brute) / len(brute)
     assert recall >= 0.85, f"sf0.1 recall {recall:.3f} < 0.85"
+
+
+def test_embedding_lsh_big_corpus_tier_executes(spark, sf_dir, monkeypatch):
+    """The >=1M-vector tier (quads over top-16 + anchor triples) is dead
+    code at test scale; force it via SIG_TIERS so the arity-4 join chain
+    and anchor union actually execute, produce only verified-true pairs,
+    and keep a non-cartesian plan."""
+    from thesis_iceberg_spark.queries import dedup
+
+    monkeypatch.setattr(
+        dedup, "SIG_TIERS", ((1, 2, 16, 0), (2, 3, 12, 6), (None, 4, 16, 8))
+    )
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["dedup_embedding_lsh_pairs"]
+        .fn(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in dedup_embedding_cosine_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    assert lsh <= brute  # exact verification: precision 1.0 by construction
+    assert brute and len(lsh & brute) / len(brute) >= 0.85

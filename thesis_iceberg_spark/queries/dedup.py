@@ -635,7 +635,10 @@ def _embedding_lsh_candidates(
             # anchor components require ALL member dims in the top-max_rank
             for i in range(k):
                 out = out.filter(F.col(f"rn{i}") <= max_rank)
-        key = F.col("d0")
+        # build the key in LONG: an arity-4 key reaches ~1.28e11 and the
+        # anchor offset is 1e12 — int32 arithmetic would overflow (ANSI
+        # mode raises; the big tier is the only one past 2^31)
+        key = F.col("d0").cast("long")
         for i in range(1, k):
             key = key * 1000 + F.col(f"d{i}")
         return out.select("vec_id", (key + F.lit(offset)).alias("bucket"))
