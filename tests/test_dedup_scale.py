@@ -5,10 +5,16 @@ verified, so precision is 1.0 by construction and we assert it."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from thesis_iceberg_spark.queries import REGISTRY, queries
 from thesis_iceberg_spark.queries.dedup import dedup_embedding_cosine_pairs
 
 queries()
+
+SF01 = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
 
 
 def test_embedding_lsh_recall_and_precision(spark, sf_dir):
@@ -33,6 +39,9 @@ def test_embedding_lsh_recall_and_precision(spark, sf_dir):
     assert recall >= 0.85, f"recall {recall:.2f} < 0.85 ({len(lsh)}/{len(brute)})"
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.1 testdata not present on this machine"
+)
 def test_embedding_lsh_sf01_candidates_subquadratic_and_recall(spark):
     """The VERDICT r3 scale gate, pinned to sf0.1 (n=2000 — the smallest
     corpus where the compound triple+anchor tier engages): candidate
@@ -46,7 +55,7 @@ def test_embedding_lsh_sf01_candidates_subquadratic_and_recall(spark):
     )
     from thesis_iceberg_spark.sources.registry import load_table
 
-    sf01 = "/root/testdata/sf0.1"
+    sf01 = SF01
     raw = load_table(spark, sf01, "embeddings")
     n = raw.count()
     cand = _embedding_lsh_candidates(spark, raw, _emb_norms(raw)).count()

@@ -22,25 +22,28 @@ def test_repetitive_doc_flagged(spark, tmp_path):
         spark,
         tmp_path,
         [
-            # doc 1: "spam ham " * 12 — every 2-gram duplicated
+            # doc 1: "spam ham" * 12 — the top 2-gram covers 96/184 chars
+            # (> 0.20) and every 5-gram is duplicated (dup_5 = 1.0 > 0.15)
             (1, " ".join(["spam ham"] * 12)),
-            # doc 2: all-distinct tokens, no repeated n-gram
+            # doc 2: all-distinct tokens, no repeated n-gram of any size
             (2, "alpha beta gamma delta epsilon zeta eta theta"),
             # doc 3: too short for any n-gram — vacuously clean
             (3, "one"),
         ],
     )
     assert got[1]["keep"] is False
-    assert got[1]["dup_2gram_char_frac"] == 1.0  # every 2-gram occurs twice+
+    assert abs(got[1]["top_2gram_char_frac"] - 96 / 184) < 1e-12
+    assert got[1]["dup_5gram_char_frac"] == 1.0
     assert got[2]["keep"] is True
-    assert got[2]["dup_3gram_char_frac"] == 0.0
+    assert got[2]["dup_5gram_char_frac"] == 0.0
     assert got[3]["keep"] is True
     assert got[3]["top_4gram_char_frac"] == 0.0
 
 
 def test_top_ngram_fraction(spark, tmp_path):
     # "a b c d a b" -> 2-grams: "a b","b c","c d","d a","a b";
-    # top 2-gram "a b" has 2 occurrences * 3 chars = 6 of 15 chars
+    # top REPEATED 2-gram "a b" has 2 occurrences * 3 chars = 6 of 15 chars
     got = _run(spark, tmp_path, [(1, "a b c d a b")])
     assert abs(got[1]["top_2gram_char_frac"] - 6 / 15) < 1e-12
-    assert abs(got[1]["dup_2gram_char_frac"] - 6 / 15) < 1e-12
+    assert got[1]["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
+    assert got[1]["keep"] is False  # 0.4 > the 0.20 top-2gram gate

@@ -78,11 +78,14 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
             "anti-correlated (skyline is O(n)); partition the domain and "
             "merge per-range skylines, or raise MAX_GLOBAL_POINTS"
         )
-    # tree-reduce: fold FAN_IN partitions per round (coalesce is shuffle-
-    # free), re-sweeping each fold — no single task ever concatenates more
-    # than FAN_IN partitions' survivors
+    # tree-reduce: fold partitions FAN_IN-to-1 per round, re-sweeping each
+    # fold.  repartition (NOT coalesce) on purpose: coalesce is a narrow
+    # dependency, so chained coalesce+mapInPandas rounds would pipeline
+    # into the single final task and the per-round bound would be fiction;
+    # the shuffle is a stage barrier that actually executes each round in
+    # its own bounded tasks, and it moves only survivors (tiny)
     p = locally.rdd.getNumPartitions()
     while p > 1:
         p = max(1, -(-p // FAN_IN))
-        locally = locally.coalesce(p).mapInPandas(local, schema)
+        locally = locally.repartition(p).mapInPandas(local, schema)
     return locally

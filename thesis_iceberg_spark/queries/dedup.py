@@ -113,7 +113,12 @@ def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
         .filter(F.col("df") > _df_cap(n_docs))
         .select("s")
     )
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    # both consumers (ngram-jaccard: counts + two join sides; decontaminate:
+    # train/eval/eval-counts) read this THREE times — materialize the
+    # explode + df-cap pass once, same rationale and same measured win as
+    # the minhash checkpoint above (eager: a lazy checkpoint can be
+    # recomputed after stage cleanup)
+    return sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=True)
 
 
 # DuckDB twin of _capped_shingles: sh0 -> hot -> anti join.
@@ -401,6 +406,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", simhash.alias("simhash"))
 
 
+def _dot(u, w):
+    """Exact double dot product as a sequential HOF fold — DuckDB's
+    list_dot_product over DOUBLE[] reproduces it bit-for-bit (measured
+    faster than an unrolled codegen expression, see PERFORMANCE.md)."""
+    return F.aggregate(
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
+    )
+
+
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force O(n^2) embedding-cosine near-dup pairs (threshold 0.45).
 
@@ -412,9 +426,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
-    )
+    dot = _dot
     n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
     # the corpus arrives as one file split; spread the O(n^2) pair work
     # across all cores (stream side of the nested-loop join)
@@ -566,9 +578,7 @@ WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
     "(tests/test_dedup_scale.py).",
 )
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
-    )
+    dot = _dot
     raw = load_table(spark, sf_dir, "embeddings")
     n = _emb_norms(raw)
     cand = _embedding_lsh_candidates(spark, raw, n)
@@ -588,13 +598,10 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_norms(raw: DataFrame) -> DataFrame:
     """(vec_id, v double[], nm) — norm once per vector, cosines are one dot."""
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
-    )
     e = raw.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    return e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
+    return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nm"))
 
 
 def _embedding_lsh_candidates(

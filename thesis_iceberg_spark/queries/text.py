@@ -298,86 +298,159 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Gopher repetition thresholds: max fraction of characters inside duplicate
-# n-grams / inside the single most frequent n-gram (Rae et al. 2021,
-# "Scaling Language Models: ... Gopher", table A1 — public paper).
-GOPHER_DUP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+# Gopher repetition rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public
+# paper): a document is removed when the fraction of characters inside the
+# single most frequent n-gram exceeds the TOP threshold (n = 2, 3, 4), or
+# the fraction of characters inside n-grams that occur more than once
+# exceeds the DUP threshold (n = 5..10).  These are the published pairs;
+# the line/paragraph duplicate rules need line structure the synthetic
+# corpus does not carry and are out of scope.
 GOPHER_TOP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_TOP_NS = tuple(GOPHER_TOP_FRAC)  # aggregate needed per n: top for 2-4,
+_DUP_NS = tuple(GOPHER_DUP_FRAC)  # dup for 5-10
+
+# Gram identity is a ROLLING HASH over per-token 40-bit md5 values, not the
+# concatenated string: building string n-grams for nine gram sizes copies
+# O(sum n^2) ~ 380 characters per token position (measured 16 s at sf0.1);
+# the integer fold is ~50 bigint ops per position (measured ~4 s).  Both
+# engines compute the identical fold, so collisions (~grams^2 / 2^41 per
+# document per n — negligible) are SYMMETRIC and results stay hash-equal.
+# Character counts come from token-length sums: len(gram) = sum(len(tok))
+# + (n-1) separators, exactly the concatenated string's length.
+_HASH_BASE = 1 << 20
+_HASH_MOD = 1 << 40  # base*mod + mod < 2^63: the fold never overflows int64
 
 
-def _sql_ngrams(n: int) -> str:
-    """DuckDB sliding token n-grams WITH duplicates (unlike shingles)."""
+def _sql_rep_tt() -> str:
     toks = _sql_toks()
-    joined = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
-    return f"list_transform(range(1, len({toks}) - {n - 1} + 1), i -> {joined})"
+    return (
+        f"SELECT doc_id, "
+        f"list_transform({toks}, x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th, "
+        f"list_transform({toks}, x -> length(x)) AS tl FROM documents"
+    )
 
 
-_SQL_REP_EX = " UNION ALL ".join(
-    f"SELECT doc_id, {n} AS n, unnest({_sql_ngrams(n)}) AS g FROM documents"
-    for n in (2, 3, 4)
-)
+def _sql_rep_grams(n: int) -> str:
+    """Per-n parallel unnest of (rolling hash, char length) lists."""
+    h = "th[i]"
+    for j in range(1, n):
+        h = f"(({h}) * {_HASH_BASE} + th[i+{j}]) % {_HASH_MOD}"
+    ln = " + ".join(f"tl[i+{j}]" for j in range(n)) + f" + {n - 1}"
+    rng = f"range(1, len(th) - {n - 1} + 1)"
+    return (
+        f"SELECT doc_id, {n} AS n, "
+        f"unnest(list_transform({rng}, i -> {h})) AS h, "
+        f"unnest(list_transform({rng}, i -> {ln})) AS len FROM tt"
+    )
+
+
+_SQL_REP_EX = " UNION ALL ".join(_sql_rep_grams(n) for n in _TOP_NS + _DUP_NS)
 _SQL_REP_WIDE_COLS = ", ".join(
     f"MAX(CASE WHEN n = {n} THEN CAST({agg} AS DOUBLE) / total END) AS {agg}{n}"
-    for n in (2, 3, 4)
-    for agg in ("dup", "top")
+    for agg, ns in (("top", _TOP_NS), ("dup", _DUP_NS))
+    for n in ns
 )
 _SQL_REP_OUT = ", ".join(
     f"COALESCE({agg}{n}, 0.0) AS {agg}_{n}gram_char_frac"
-    for n in (2, 3, 4)
-    for agg in ("dup", "top")
+    for agg, ns in (("top", _TOP_NS), ("dup", _DUP_NS))
+    for n in ns
 )
 _SQL_REP_KEEP = " AND ".join(
     f"COALESCE({agg}{n}, 0.0) <= {thr[n]}"
-    for n in (2, 3, 4)
-    for agg, thr in (("dup", GOPHER_DUP_FRAC), ("top", GOPHER_TOP_FRAC))
+    for agg, ns, thr in (("top", _TOP_NS, GOPHER_TOP_FRAC),
+                         ("dup", _DUP_NS, GOPHER_DUP_FRAC))
+    for n in ns
 )
 
 
 @register(
     "text_gopher_repetition_signals",
     oracle=f"""
-WITH ex AS ({_SQL_REP_EX}),
-c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3),
+WITH tt AS ({_sql_rep_tt()}),
+ex AS ({_SQL_REP_EX}),
+c AS (SELECT doc_id, n, h, MAX(len) AS len, COUNT(*) AS c
+      FROM ex GROUP BY 1, 2, 3),
 p AS (SELECT doc_id, n,
-             SUM(c * length(g)) AS total,
-             SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup,
-             COALESCE(MAX(CASE WHEN c > 1 THEN c * length(g) END), 0) AS top
+             SUM(c * len) AS total,
+             SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup,
+             COALESCE(MAX(CASE WHEN c > 1 THEN c * len END), 0) AS top
       FROM c GROUP BY 1, 2),
 w AS (SELECT doc_id, {_SQL_REP_WIDE_COLS} FROM p GROUP BY doc_id)
 SELECT d.doc_id, {_SQL_REP_OUT}, ({_SQL_REP_KEEP}) AS keep
 FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
 """,
-    doc="Gopher REPETITION signals — the within-document duplicate-n-gram "
+    doc="Gopher REPETITION rules — the within-document duplicate-n-gram "
     "family the flat dup-token fraction in text_gopher_quality_flags "
-    "cannot see: for n in (2,3,4), the fraction of characters inside "
-    "n-grams that occur more than once (dup_Ngram_char_frac) and inside "
-    "the single most frequent REPEATED n-gram (top_Ngram_char_frac; a "
-    "unique gram in a short doc is not repetition), each gated at the "
-    "published Gopher thresholds (0.20/0.18/0.16), plus the "
-    "conjunctive keep. Spark shape: ONE scan explodes all three gram "
-    "sizes (tagged structs, duplicates preserved), a (doc_id, n, gram) "
-    "count, a (doc_id, n) sum/max, and a conditional-agg pivot back to "
-    "one row per document — two keyed shuffles, map-side combinable, "
-    "cardinality bounded by tokens per doc. At 100 TB this is the "
-    "standard pre-training repetition filter pass.",
+    "cannot see, at the PUBLISHED threshold pairs (Rae et al. table A1): "
+    "fraction of characters inside the most frequent REPEATED n-gram for "
+    "n=2,3,4 (0.20/0.18/0.16; a unique gram in a short doc is not "
+    "repetition) and fraction of characters inside duplicated n-grams for "
+    "n=5..10 (0.15 down to 0.10), plus the conjunctive keep. Spark shape: "
+    "ONE scan hashes each token once (40-bit md5 int), builds all nine "
+    "gram sizes as ROLLING-HASH + char-length integer folds (no gram "
+    "strings are ever materialized), explodes tagged structs, then a "
+    "(doc_id, n, hash) count, a (doc_id, n) sum/max, and a conditional-"
+    "agg pivot back to one row per document — two keyed shuffles, "
+    "map-side combinable, cardinality bounded by tokens per doc. At "
+    "100 TB this is the standard pre-training repetition filter pass.",
 )
 def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = _docs(spark, sf_dir)
-    t = _toks()
-
-    def ngrams(n):
-        cnt = F.greatest(F.size(t) - (n - 1), F.lit(0))
-        g = F.slice(t, 1, cnt)
-        for j in range(1, n):
-            g = F.zip_with(g, F.slice(t, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b))
-        return F.transform(g, lambda x: F.struct(F.lit(n).alias("n"), x.alias("g")))
-
-    ex = docs.select(
+    # ONE posexplode to token rows, ONE window pass computing lead(hash, j)
+    # / lead(len, j) for j=1..9, then every gram's rolling hash and char
+    # length are plain integer arithmetic over those columns — all inside
+    # whole-stage codegen.  (String-concat grams measured 16 s at sf0.1;
+    # zip_with integer folds — ~90 interpreted HOF passes per row — 7.5 s;
+    # this form 5.3 s, identical results.)
+    max_n = max(_TOP_NS + _DUP_NS)
+    tok = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "tk")
+    ).select(
         "doc_id",
-        F.explode(F.concat(ngrams(2), ngrams(3), ngrams(4))).alias("x"),
-    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-    c = ex.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
-    chars = F.col("c") * F.length("g")
+        "pos",
+        F.conv(F.substring(F.md5(F.col("tk").cast("binary")), 1, 10), 16, 10)
+        .cast("bigint")
+        .alias("h0"),
+        F.length("tk").alias("l0"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [
+        F.lead(c, j).over(w).alias(f"{c[0]}{j}")
+        for j in range(1, max_n)
+        for c in ("h0", "l0")
+    ]
+    led = tok.select("doc_id", "h0", "l0", *lead_cols)
+
+    def gram(n):
+        h = F.col("h0")
+        ln = F.col("l0")
+        for j in range(1, n):
+            h = (h * _HASH_BASE + F.col(f"h{j}")) % _HASH_MOD
+            ln = ln + F.col(f"l{j}")
+        # the gram starting here exists iff its last token does
+        return F.struct(
+            F.lit(n).alias("n"),
+            F.when(F.col(f"h{n - 1}").isNotNull(), h).alias("h"),
+            (ln + F.lit(n - 1)).alias("len"),
+        )
+
+    pairs = [("top", n) for n in _TOP_NS] + [("dup", n) for n in _DUP_NS]
+    ex = (
+        led.select(
+            "doc_id",
+            F.explode(F.array(*[gram(n) for n in _TOP_NS + _DUP_NS])).alias("x"),
+        )
+        .select("doc_id", "x.n", "x.h", "x.len")
+        .filter(F.col("h").isNotNull())
+    )
+    c = ex.groupBy("doc_id", "n", "h").agg(
+        F.max("len").alias("len"), F.count("*").alias("c")
+    )
+    chars = F.col("c") * F.col("len")
     # top counts only grams that occur MORE THAN ONCE: a unique gram in a
     # short document can near 1/num_grams of the characters without any
     # repetition — the rule targets repeated content, not short content
@@ -391,30 +464,21 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
             F.max(
                 F.when(F.col("n") == n, F.col(agg).cast("double") / F.col("total"))
             ).alias(f"{agg}{n}")
-            for n in (2, 3, 4)
-            for agg in ("dup", "top")
+            for agg, n in pairs
         ]
     )
-    fr = {
-        (agg, n): F.coalesce(F.col(f"{agg}{n}"), F.lit(0.0))
-        for n in (2, 3, 4)
-        for agg in ("dup", "top")
-    }
+    fr = {(agg, n): F.coalesce(F.col(f"{agg}{n}"), F.lit(0.0)) for agg, n in pairs}
     keep = F.lit(True)
-    for n in (2, 3, 4):
-        keep = keep & (fr[("dup", n)] <= GOPHER_DUP_FRAC[n]) & (
-            fr[("top", n)] <= GOPHER_TOP_FRAC[n]
-        )
+    for n in _TOP_NS:
+        keep = keep & (fr[("top", n)] <= GOPHER_TOP_FRAC[n])
+    for n in _DUP_NS:
+        keep = keep & (fr[("dup", n)] <= GOPHER_DUP_FRAC[n])
     return (
         docs.select("doc_id")
         .join(wide, "doc_id", "left")
         .select(
             "doc_id",
-            *[
-                fr[(agg, n)].alias(f"{agg}_{n}gram_char_frac")
-                for n in (2, 3, 4)
-                for agg in ("dup", "top")
-            ],
+            *[fr[(agg, n)].alias(f"{agg}_{n}gram_char_frac") for agg, n in pairs],
             keep.alias("keep"),
         )
     )

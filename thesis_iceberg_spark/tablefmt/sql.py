@@ -299,7 +299,11 @@ class TableSQL:
             self._alter(vt, m.group("rest"))
             return None
         m = _REPLACE_HEAD.match(statement)
-        if m:
+        if m and (
+            self._table(m.group("table")) is not None or self._catalog is not None
+        ):
+            # ours only if the name resolves or a catalog could create it;
+            # otherwise fall through so Spark's own catalog handles it
             self._replace(m)
             return None
         m = _DESCRIBE.match(statement)
