@@ -47,17 +47,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _CACHE_BASE = "/tmp/tisw_layout_cache"
 _ROWS_PER_FILE = 20_000
+_MIN_BYTES_TO_RELAYOUT = 256 << 10  # fat-row tables: split by bytes
+_BYTES_PER_FILE = 64 << 10
+_LAYOUT_RULE = 2  # bump to invalidate markers written under an older rule
 _MIN_ROWS_TO_RELAYOUT = 50_000
 
 
 def _relayout(spark: SparkSession, src: str, dst: str) -> None:
     df = spark.read.parquet(src)
     n = df.count()
-    if n < _MIN_ROWS_TO_RELAYOUT:
+    size = os.stat(src).st_size
+    if n >= _MIN_ROWS_TO_RELAYOUT:
+        files = min(64, max(1, n // _ROWS_PER_FILE))
+    elif size >= _MIN_BYTES_TO_RELAYOUT:
+        # BYTES trigger (rule 2): a few-thousand-row table of fat text/
+        # vector rows (documents, embeddings) is one file under the row
+        # rule, so every shingle/gram/signature EXPLODE inherits scan
+        # parallelism 1-2. Iceberg bin-packs by bytes for the same reason.
+        files = min(32, max(2, size // _BYTES_PER_FILE))
+    else:
+        files = 0
+    if files == 0:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         marker = {"src": src, "passthrough": True}
     else:
-        files = min(64, max(1, n // _ROWS_PER_FILE))
         tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
         df.repartition(files).write.mode("overwrite").parquet(tmp)
         try:
@@ -68,7 +81,7 @@ def _relayout(spark: SparkSession, src: str, dst: str) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
         marker = {"src": src, "passthrough": False, "files": files}
     stat = os.stat(src)
-    marker.update({"size": stat.st_size, "mtime": stat.st_mtime})
+    marker.update({"size": stat.st_size, "mtime": stat.st_mtime, "rule": _LAYOUT_RULE})
     with open(dst + ".marker", "w") as f:
         json.dump(marker, f)
 
@@ -84,7 +97,11 @@ def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     if os.path.exists(marker_path):
         with open(marker_path) as f:
             marker = json.load(f)
-        if marker["size"] == stat.st_size and marker["mtime"] == stat.st_mtime:
+        if (
+            marker["size"] == stat.st_size
+            and marker["mtime"] == stat.st_mtime
+            and marker.get("rule") == _LAYOUT_RULE
+        ):
             return src if marker["passthrough"] else dst
     _relayout(spark, src, dst)
     return _cached_path(spark, sf_dir, name)
