@@ -31,9 +31,13 @@ def test_repetitive_doc_flagged(spark, tmp_path):
             (3, "one"),
         ],
     )
+    # doc 1 has 107 normalized chars; fractions are per DOCUMENT chars
+    # (the paper's statistic), so overlapping duplicates exceed 1.0:
+    # top-2gram "spam ham" = 12 occurrences * 8 chars = 96/107; the 20
+    # 5-grams (10 of 22 chars + 10 of 21) are all duplicated = 430/107.
     assert got[1]["keep"] is False
-    assert abs(got[1]["top_2gram_char_frac"] - 96 / 184) < 1e-12
-    assert got[1]["dup_5gram_char_frac"] == 1.0
+    assert abs(got[1]["top_2gram_char_frac"] - 96 / 107) < 1e-12
+    assert abs(got[1]["dup_5gram_char_frac"] - 430 / 107) < 1e-12
     assert got[2]["keep"] is True
     assert got[2]["dup_5gram_char_frac"] == 0.0
     assert got[3]["keep"] is True
@@ -41,9 +45,9 @@ def test_repetitive_doc_flagged(spark, tmp_path):
 
 
 def test_top_ngram_fraction(spark, tmp_path):
-    # "a b c d a b" -> 2-grams: "a b","b c","c d","d a","a b";
-    # top REPEATED 2-gram "a b" has 2 occurrences * 3 chars = 6 of 15 chars
+    # "a b c d a b" (11 chars) -> 2-grams: "a b","b c","c d","d a","a b";
+    # top REPEATED 2-gram "a b": 2 occurrences * 3 chars over 11 doc chars
     got = _run(spark, tmp_path, [(1, "a b c d a b")])
-    assert abs(got[1]["top_2gram_char_frac"] - 6 / 15) < 1e-12
+    assert abs(got[1]["top_2gram_char_frac"] - 6 / 11) < 1e-12
     assert got[1]["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
-    assert got[1]["keep"] is False  # 0.4 > the 0.20 top-2gram gate
+    assert got[1]["keep"] is False  # 6/11 > the 0.20 top-2gram gate

@@ -426,8 +426,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    dot = _dot
-    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nm"))
+    n = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nm"))
     # the corpus arrives as one file split; spread the O(n^2) pair work
     # across all cores (stream side of the nested-loop join)
     a = n.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).select(
@@ -436,7 +435,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = n.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -578,7 +577,6 @@ WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
     "(tests/test_dedup_scale.py).",
 )
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dot = _dot
     raw = load_table(spark, sf_dir, "embeddings")
     n = _emb_norms(raw)
     cand = _embedding_lsh_candidates(spark, raw, n)
@@ -590,7 +588,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.45)
     )

@@ -318,7 +318,12 @@ _DUP_NS = tuple(GOPHER_DUP_FRAC)  # dup for 5-10
 # engines compute the identical fold, so collisions (~grams^2 / 2^41 per
 # document per n — negligible) are SYMMETRIC and results stay hash-equal.
 # Character counts come from token-length sums: len(gram) = sum(len(tok))
-# + (n-1) separators, exactly the concatenated string's length.
+# + (n-1) separators, exactly the concatenated string's length.  Fractions
+# are normalized by DOCUMENT characters (the normalized text's length) —
+# the paper's statistic — so overlapping duplicate grams can push a
+# fraction above 1.0; normalizing by total gram-character mass instead
+# would systematically deflate every fraction (~2x at n=2) and misapply
+# the published thresholds.
 _HASH_BASE = 1 << 20
 _HASH_MOD = 1 << 40  # base*mod + mod < 2^63: the fold never overflows int64
 
@@ -348,7 +353,7 @@ def _sql_rep_grams(n: int) -> str:
 
 _SQL_REP_EX = " UNION ALL ".join(_sql_rep_grams(n) for n in _TOP_NS + _DUP_NS)
 _SQL_REP_WIDE_COLS = ", ".join(
-    f"MAX(CASE WHEN n = {n} THEN CAST({agg} AS DOUBLE) / total END) AS {agg}{n}"
+    f"MAX(CASE WHEN n = {n} THEN CAST({agg} AS DOUBLE) / dl.dl END) AS {agg}{n}"
     for agg, ns in (("top", _TOP_NS), ("dup", _DUP_NS))
     for n in ns
 )
@@ -372,12 +377,13 @@ WITH tt AS ({_sql_rep_tt()}),
 ex AS ({_SQL_REP_EX}),
 c AS (SELECT doc_id, n, h, MAX(len) AS len, COUNT(*) AS c
       FROM ex GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, list_aggregate(tl, 'sum') + len(tl) - 1 AS dl FROM tt),
 p AS (SELECT doc_id, n,
-             SUM(c * len) AS total,
              SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup,
              COALESCE(MAX(CASE WHEN c > 1 THEN c * len END), 0) AS top
       FROM c GROUP BY 1, 2),
-w AS (SELECT doc_id, {_SQL_REP_WIDE_COLS} FROM p GROUP BY doc_id)
+w AS (SELECT p.doc_id, {_SQL_REP_WIDE_COLS}
+      FROM p JOIN dl ON dl.doc_id = p.doc_id GROUP BY p.doc_id)
 SELECT d.doc_id, {_SQL_REP_OUT}, ({_SQL_REP_KEEP}) AS keep
 FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
 """,
@@ -451,18 +457,22 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("len").alias("len"), F.count("*").alias("c")
     )
     chars = F.col("c") * F.col("len")
+    # normalized-document character count: sum of token lengths plus the
+    # single-space separators — the paper's denominator
+    dl = tok.groupBy("doc_id").agg(
+        (F.sum("l0") + F.count("*") - 1).alias("dl")
+    )
     # top counts only grams that occur MORE THAN ONCE: a unique gram in a
     # short document can near 1/num_grams of the characters without any
     # repetition — the rule targets repeated content, not short content
     p = c.groupBy("doc_id", "n").agg(
-        F.sum(chars).alias("total"),
         F.sum(F.when(F.col("c") > 1, chars).otherwise(0)).alias("dup"),
         F.coalesce(F.max(F.when(F.col("c") > 1, chars)), F.lit(0)).alias("top"),
     )
-    wide = p.groupBy("doc_id").agg(
+    wide = p.join(dl, "doc_id").groupBy("doc_id").agg(
         *[
             F.max(
-                F.when(F.col("n") == n, F.col(agg).cast("double") / F.col("total"))
+                F.when(F.col("n") == n, F.col(agg).cast("double") / F.col("dl"))
             ).alias(f"{agg}{n}")
             for agg, n in pairs
         ]

@@ -53,10 +53,31 @@ _LAYOUT_RULE = 2  # bump to invalidate markers written under an older rule
 _MIN_ROWS_TO_RELAYOUT = 50_000
 
 
-def _relayout(spark: SparkSession, src: str, dst: str) -> None:
+def _src_bytes(src: str) -> int:
+    """Data bytes of a parquet source: a directory-shaped table's inode
+    size (~4 KB) would silently defeat the bytes rule, so sum its files."""
+    if os.path.isdir(src):
+        return sum(
+            e.stat().st_size for e in os.scandir(src) if e.is_file()
+        )
+    return os.stat(src).st_size
+
+
+def _layout_key(src: str) -> str:
+    """Cache-dir suffix unique per (source content, layout rule): rule
+    bumps and in-place testdata regeneration get a FRESH directory, so the
+    rename below can only collide with a concurrent writer of the SAME
+    content — for whom either result is correct.  (Renaming onto an
+    existing non-empty dir raises ENOTEMPTY, so a reused path could never
+    actually be replaced — the old layout would win forever.)"""
+    stat = os.stat(src)
+    return f"{stat.st_size}-{int(stat.st_mtime)}-{_src_bytes(src)}-r{_LAYOUT_RULE}"
+
+
+def _relayout(spark: SparkSession, src: str, dst: str, marker_path: str) -> None:
     df = spark.read.parquet(src)
     n = df.count()
-    size = os.stat(src).st_size
+    size = _src_bytes(src)
     if n >= _MIN_ROWS_TO_RELAYOUT:
         files = min(64, max(1, n // _ROWS_PER_FILE))
     elif size >= _MIN_BYTES_TO_RELAYOUT:
@@ -75,14 +96,14 @@ def _relayout(spark: SparkSession, src: str, dst: str) -> None:
         df.repartition(files).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, dst)
-        except OSError:  # concurrent writer won the race
+        except OSError:  # concurrent writer of the same content won
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-        marker = {"src": src, "passthrough": False, "files": files}
+        marker = {"src": src, "passthrough": False, "files": files, "dst": dst}
     stat = os.stat(src)
     marker.update({"size": stat.st_size, "mtime": stat.st_mtime, "rule": _LAYOUT_RULE})
-    with open(dst + ".marker", "w") as f:
+    with open(marker_path, "w") as f:
         json.dump(marker, f)
 
 
@@ -91,7 +112,7 @@ def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "1") != "1":
         return src
     tag = os.path.basename(os.path.normpath(sf_dir))
-    dst = os.path.join(_CACHE_BASE, tag, name)
+    dst = os.path.join(_CACHE_BASE, tag, f"{name}-{_layout_key(src)}")
     marker_path = dst + ".marker"
     stat = os.stat(src)
     if os.path.exists(marker_path):
@@ -101,9 +122,10 @@ def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
             marker["size"] == stat.st_size
             and marker["mtime"] == stat.st_mtime
             and marker.get("rule") == _LAYOUT_RULE
+            and (marker["passthrough"] or os.path.isdir(dst))
         ):
             return src if marker["passthrough"] else dst
-    _relayout(spark, src, dst)
+    _relayout(spark, src, dst, marker_path)
     return _cached_path(spark, sf_dir, name)
 
 
