@@ -106,3 +106,16 @@ def test_batch_ann_not_cartesian(spark, sf_dir):
 def test_decontaminate_not_cartesian(spark, sf_dir):
     # train x eval docs meet ONLY through the shared-shingle inverted index
     assert_no_cartesian(_q("pipeline_decontaminate", spark, sf_dir))
+
+
+def test_repetition_signals_plan_shape(spark, sf_dir):
+    """Gopher repetition: no nested-loop anywhere, aggregates are
+    partial+final (map-side combinable), and the gram fold is projected
+    arithmetic — no Python/UDF nodes in the plan."""
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    df = _q("text_gopher_repetition_signals", spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan  # partial+final keyed aggregation
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
