@@ -682,53 +682,107 @@ FROM walk GROUP BY node
 """,
     doc="Near-dup CLUSTER resolution: the MinHash-LSH pair list is only "
     "half of dedup — keeping one doc per duplicate GROUP needs the "
-    "transitive closure. Connected components via iterative min-label "
-    "propagation (labels only decrease; a monotone checksum detects the "
-    "fixpoint), all as DataFrame joins — the shuffle per round is "
-    "O(edges), rounds = component diameter (tiny for near-dup cliques). "
-    "At 100 TB the large-star/small-star variant halves rounds; the "
-    "per-round plan is identical. Output: every clustered doc with its "
-    "canonical (minimum) doc_id. Oracle: DuckDB recursive CTE over the "
-    "same pair list.",
+    "transitive closure. Connected components via ALTERNATING large-star/"
+    "small-star rounds (Kiveris et al., 'Connected Components in "
+    "MapReduce and Beyond' — public paper), all as DataFrame groupBy/"
+    "joins: each round is two keyed O(edges) shuffles, and the edge set "
+    "contracts toward a star per component in O(log n) rounds even on "
+    "CHAIN-shaped components, where plain min-label propagation needs "
+    "diameter rounds (pytest-proven on a 64-node chain under a 12-round "
+    "budget, tests/test_connected_components.py). Raises loudly on "
+    "non-convergence. Output: every clustered doc with its canonical "
+    "(minimum) doc_id. Oracle: DuckDB recursive CTE over the same pair "
+    "list — algorithm-agnostic.",
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionAll(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("a", "b")
-    # edges are reused every round: materialize once
-    edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    prev_sum = None
-    converged = False
-    max_rounds = 20  # >> any real near-dup component diameter
-    for _ in range(max_rounds):
-        prop = edges.join(labels, edges.a == labels.node).select(
-            F.col("b").alias("node"), "label"
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # cut the iterative lineage
-        )
-        s = labels.agg(F.sum("label")).first()[0]
-        if s == prev_sum:  # labels are monotone non-increasing: fixpoint
-            converged = True
-            break
-        prev_sum = s
-    if not converged:
-        # a chain-shaped component with diameter > max_rounds would exit
-        # here with NON-canonical labels; that is a wrong answer, so fail
-        # loudly instead of returning it (min-label propagation halves
-        # effective diameter per round only along already-labeled paths)
-        raise RuntimeError(
-            f"dedup_cluster_canonical: label propagation did not converge "
-            f"within {max_rounds} rounds — a near-dup component has "
-            f"diameter > {max_rounds}; raise max_rounds for this corpus"
-        )
-    return labels.select(
+    return connected_components(pairs.toDF("a", "b")).select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_doc_id")
     )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """(node, label) component labels for an undirected edge list (a, b).
+
+    Alternating large-star / small-star contraction:
+
+      * large-star: every node points its LARGER neighbors at its minimum
+        neighborhood member — long paths fold toward local minima;
+      * small-star: every node bundles its smaller neighbors (and itself)
+        onto the minimum — components contract into stars.
+
+    Both steps preserve connectivity and only ever lower the reachable
+    minimum, so the edge multiset reaches a fixpoint: one star per
+    component rooted at its minimum node.  Rounds are O(log n) (the paper
+    proves O(log^2 n) worst-case; measured ~log on chains) versus
+    DIAMETER rounds for plain min-label propagation.  Per round: two
+    groupBy + two join shuffles, all keyed on node ids, checkpointed
+    eagerly to cut the iterative lineage.  Isolated nodes never appear in
+    ``pairs`` and so are absent from the output (near-dup semantics:
+    unpaired docs are their own canonical).
+    """
+    edges = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # --- large-star ---------------------------------------------------
+        und = edges.unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("mb"), F.col("a")).alias("mn"))
+        )
+        edges = (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star ---------------------------------------------------
+        sm = edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        smins = sm.groupBy("u").agg(F.min("v").alias("mn"))
+        edges = (
+            sm.join(smins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .unionAll(smins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut the iterative lineage
+        )
+        # bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
+        sig = edges.agg(
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        sig = (sig["c"], sig["h"])
+        if sig == prev_sig:  # edge multiset stable: stars everywhere
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge "
+            f"within {max_rounds} rounds; raise max_rounds for this graph"
+        )
+    # final state: (non-root, root) star edges; roots label themselves
+    labels = edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    roots = all_nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return labels.unionByName(roots)
