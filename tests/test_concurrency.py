@@ -78,3 +78,36 @@ def test_append_rebases_across_mor_delete(spark, loc):
     vt2.append(_df(spark, 10, 15))  # pure append composes with anything
     final = VersionedTable(spark, loc).read()
     assert sorted(r.id for r in final.collect()) == list(range(2, 15))
+
+
+def test_parallel_appends_all_land(spark, loc):
+    """Real races, not simulated staleness: 4 threads each append 3 times
+    through their own handle. Every commit must land (fcntl lock + rebase
+    retry), history must be linear, and no rows may be lost."""
+    import threading
+
+    VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
+    errors: list = []
+
+    def writer(t):
+        try:
+            vt = VersionedTable(spark, loc)
+            for k in range(3):
+                lo = 1000 * (t + 1) + 100 * k
+                vt.append(_df(spark, lo, lo + 10))
+        except Exception as ex:  # surfaced after join
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    final = VersionedTable(spark, loc)
+    assert final.read().count() == 10 + 12 * 10
+    snaps = final._meta["snapshots"]
+    assert len(snaps) == 13
+    assert [s["parent_id"] for s in snaps] == [None] + [
+        s["snapshot_id"] for s in snaps[:-1]
+    ]

@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 
 _PARTITION_COL = "_p_day"  # materialized hidden-partition column
 
-COMMIT_RETRIES = 3  # rebase attempts before a CommitConflict surfaces
+COMMIT_RETRIES = 5  # rebase attempts before a CommitConflict surfaces
 
 
 class CommitConflict(RuntimeError):
