@@ -51,3 +51,26 @@ def test_top_ngram_fraction(spark, tmp_path):
     assert abs(got[1]["top_2gram_char_frac"] - 6 / 11) < 1e-12
     assert got[1]["dup_5gram_char_frac"] == 0.0  # both 5-grams unique
     assert got[1]["keep"] is False  # 6/11 > the 0.20 top-2gram gate
+
+
+def test_lexical_flags_crafted_docs(spark, tmp_path):
+    sf_dir = str(tmp_path / "lex")
+    rows = [
+        # clean English prose: alphabetic, no symbols, >=2 stop words
+        (1, "the cat sat with the hat and left"),
+        # numeric junk: 1 of 5 words alphabetic (0.2 < 0.8)
+        (2, "12 34 56 78 ok"),
+        # hashtag spam: 4 '#' over 6 words ~ 0.67 > 0.1
+        (3, "#a #b #c #d the of"),
+        # alphabetic but only ONE required stop word ('the')
+        (4, "purple monkey dishwasher near the river"),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    fn = REGISTRY["text_gopher_lexical_flags"].fn
+    got = {r.doc_id: r.asDict() for r in fn(spark, sf_dir).collect()}
+    assert got[1]["keep"] is True and got[1]["n_stop_hits"] >= 2
+    assert got[2]["keep"] is False and got[2]["alpha_word_frac"] == 0.2
+    assert got[3]["keep"] is False and got[3]["symbol_word_ratio"] > 0.1
+    assert got[4]["keep"] is False and got[4]["n_stop_hits"] == 1

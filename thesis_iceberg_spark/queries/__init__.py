@@ -73,18 +73,20 @@ def _load_all() -> None:
 #       diff even though all were green in r3;
 #   (b) all 33 queries whose newest green row is ROUND 1 (three rounds of
 #       code churn since their last driver check);
-#   (c) 10 of the 18 round-2-checked queries, preferring streaming (the
+#   (c) 9 of the 18 round-2-checked queries, preferring streaming (the
 #       events.py cast touches their source), tablefmt, and one-of-a-kind
-#       shapes.  The 8 left out (window_lag/running, orderby_multi_col,
+#       shapes.  The 9 left out (window_lag/running, orderby_multi_col,
 #       values_inline_dim_join, set_ops_multiset, conditional_funcs,
-#       unpivot, dedup_drop_duplicates) are unchanged r2-greens — exactly
-#       2 rounds old at r4 — displaced so the round's NEW query
-#       (text_gopher_repetition_signals) gets driver signal immediately.
+#       unpivot, dedup_drop_duplicates, join_full_outer_nation_presence)
+#       are unchanged r2-greens — exactly 2 rounds old at r4 — displaced
+#       so the round's NEW queries (text_gopher_repetition_signals,
+#       text_gopher_lexical_flags) get driver signal immediately.
 # Names not (yet) registered are skipped harmlessly; unlisted queries keep
 # registration order after the prioritized block.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- new this round ---
     "text_gopher_repetition_signals",
+    "text_gopher_lexical_flags",
     # --- (a) changed this round ---
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_lsh_pairs",
@@ -130,7 +132,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "rollup_order_stats",
     "cube_lineitem_flags",
     "correlated_scalar_subquery",
-    "join_full_outer_nation_presence",
+    # join_full_outer_nation_presence (unchanged r2 green) displaced by
+    # the second new query, text_gopher_lexical_flags
     "streaming_stateful_user_counts",
     "streaming_stateful_dedup",
     "streaming_static_dim_join",

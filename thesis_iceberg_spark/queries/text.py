@@ -492,3 +492,79 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
             keep.alias("keep"),
         )
     )
+
+
+# Gopher lexical gates (Rae et al. table A1, same public paper): at least
+# 80% of words must contain an alphabetic character, the symbol-to-word
+# ratio for '#' and '...' must not exceed 0.1, and the document must
+# contain at least two of eight required English stop words.  (The mean-
+# word-length rule lives in text_gopher_quality_flags.)
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+_SQL_LEX_STOP_HITS = " + ".join(
+    f"CASE WHEN list_contains({_sql_toks()}, '{w}') THEN 1 ELSE 0 END"
+    for w in GOPHER_STOP_WORDS
+)
+
+
+@register(
+    "text_gopher_lexical_flags",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len({_sql_toks()}) AS n_tokens,
+         list_sum(list_transform({_sql_toks()},
+           x -> CASE WHEN regexp_matches(x, '[a-z]') THEN 1 ELSE 0 END))
+           AS n_alpha,
+         length(regexp_extract_all(text, '#')) +
+         length(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+         {_SQL_LEX_STOP_HITS} AS n_stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_word_frac,
+       CAST(n_symbols AS DOUBLE) / n_tokens AS symbol_word_ratio,
+       n_stop_hits,
+       (CAST(n_alpha AS DOUBLE) / n_tokens >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND CAST(n_symbols AS DOUBLE) / n_tokens <= {GOPHER_MAX_SYMBOL_WORD_RATIO}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+""",
+    doc="Gopher LEXICAL gates (Rae et al. table A1) — the rule family "
+    "between length stats and repetition: fraction of words containing an "
+    "alphabetic character (>= 0.8), symbol-to-word ratio for '#' and "
+    "'...' (<= 0.1), and presence of at least two of the paper's eight "
+    "required English stop words. Pure narrow map over documents — "
+    "builtins inside whole-stage codegen, zero shuffle; at 100 TB this "
+    "fuses into the ingest scan alongside the other quality gates.",
+)
+def text_gopher_lexical_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_symbols = F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(
+        F.col("text"), F.lit(r"\.\.\.")
+    )
+    n_stop_hits = sum(
+        F.when(F.array_contains(toks, w), 1).otherwise(0) for w in GOPHER_STOP_WORDS
+    )
+    m = _docs(spark, sf_dir).select(
+        "doc_id",
+        (n_alpha.cast("double") / n_tokens).alias("alpha_word_frac"),
+        (n_symbols.cast("double") / n_tokens).alias("symbol_word_ratio"),
+        n_stop_hits.alias("n_stop_hits"),
+    )
+    keep = (
+        (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return m.select(
+        "doc_id",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "n_stop_hits",
+        keep.alias("keep"),
+    )
