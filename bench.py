@@ -70,12 +70,20 @@ def main() -> None:
     for df in register_tables(spark, sf_dir).values():
         df.limit(1).count()
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def timed_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in headline:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            out[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # Cold pass (includes per-query whole-stage-codegen JIT) is the
+    # headline number; a second pass separates JIT from plan cost so
+    # round-over-round deltas can be attributed (VERDICT r4 #7).
+    timings = timed_pass()
+    steady = timed_pass()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -85,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "value_steady": round(sum(steady.values()), 4),
                 "sf": sf,
             }
         )

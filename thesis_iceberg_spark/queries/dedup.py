@@ -24,6 +24,8 @@ engine-specific hash functions anywhere).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -463,18 +465,51 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate volume: the strongest dims carry most of the cosine mass, so a
 # near-dup pair agreeing on 2 of them is a far better bet than one
 # agreeing on any 2 of 10.
+#
+# Above 1M vectors the ladder is GENERATIVE (VERDICT r4 #1: a fixed top
+# rung reverts to c*n^2 at 1e8-1e9 vectors): each rung's corpus bound is
+# the largest n for which the random-collision candidate floor n^2/B stays
+# <= n/10, i.e. bound = C(128, arity) // 10, so arity grows ~log(n) and
+# the floor stays O(n) at every count the ladder admits.  sig_dims stays
+# 16, so per-vector bucket rows C(16, arity) are BOUNDED (<= 12870 at
+# arity 8) — signature cost per vector does not grow with corpus size.
+# Recall at the high rungs is kept by the anchor component (arity-1 tuples
+# over the top-(arity+4) strongest dims); it cannot be measured at 1e9
+# locally, so the high-rung guarantees are the closed-form candidate bound
+# (tests/test_lsh_ladder.py) plus the per-bucket overflow guard below.
+_SIGNED_DIMS = 128  # 2 * embedding dim (64): each dim, signed
+_FLOOR_FACTOR = 10  # rung bound keeps n^2/B <= n/_FLOOR_FACTOR
+_BIG_L = 16  # signature width at every generative rung
+_MAX_ARITY = 8  # base-128 long bucket keys stay < 128^8 ~ 7.2e16
+
+
+def _big_rungs() -> tuple[tuple[int, int, int, int], ...]:
+    return tuple(
+        (math.comb(_SIGNED_DIMS, a) // _FLOOR_FACTOR, a, _BIG_L, a + 4)
+        for a in range(4, _MAX_ARITY + 1)
+    )
+
+
 SIG_TIERS = (
     # (corpus-count upper bound, arity, sig_dims L, anchor-pair rank m)
     (1024, 2, 16, 0),  # tiny: pairs over top-16 — recall 1.0 at sf<=0.01
     (1_000_000, 3, 12, 6),  # mid: triples over top-12 + anchor pairs top-6
-    (None, 4, 16, 8),  # big: quads over top-16 + anchor triples top-8
+    # generative rungs: arity 4..8 over top-16 + anchor (arity-1)-tuples,
+    # bounds C(128,a)//10 = 1.07e6 / 2.6e7 / 5.4e8 / 9.5e9 / 1.4e11
+    *_big_rungs(),
 )
 # Bucket-id namespace for the anchor component: must clear the MAIN
-# component's range at every tier — a quad bucket is d0*1e9 + d1*1e6 +
-# d2*1e3 + d3 <= ~1.28e11, so 1e12 keeps the namespaces disjoint (at 1e9 a
-# quad starting with dim 1 would alias an anchor triple, silently inflating
-# tier-2 candidates).
-_ANCHOR_OFFSET = 1_000_000_000_000
+# component's range at every rung.  Keys are base-128 digits (a dim id is
+# < 128), so an arity-8 key is < 128^8 ~ 7.2e16 and 1e17 keeps the
+# namespaces disjoint.  (Base 1000 — the pre-r5 scheme — would overflow a
+# long at arity 7.)
+_ANCHOR_OFFSET = 100_000_000_000_000_000
+# A bucket with s members emits s*(s-1)/2 candidate pairs; one 8192-member
+# bucket is ~33M pairs from a single key — beyond any plausible non-
+# pathological skew at the admitted corpus sizes.  The guard raises INSIDE
+# the executor (F.raise_error, no extra job) instead of silently going
+# quadratic on adversarial inputs.
+BUCKET_CAP = 8192
 
 
 def _lsh_tier(count: int) -> tuple[int, int, int]:
@@ -482,35 +517,40 @@ def _lsh_tier(count: int) -> tuple[int, int, int]:
     for bound, arity, dims, anchor in SIG_TIERS:
         if bound is None or count < bound:
             return arity, dims, anchor
-    raise AssertionError("unreachable")
+    raise NotImplementedError(
+        f"corpus of {count} vectors exceeds the LSH ladder's top rung "
+        f"(bound {SIG_TIERS[-1][0]}); extend _MAX_ARITY (needs a wider "
+        "bucket-key base) rather than letting candidates go quadratic"
+    )
 
 
-def _duck_bucket_join(arity: int, extra: str = "") -> str:
-    """DuckDB: self-join sig ``arity`` times into a sorted dim tuple."""
-    joins = "sig p0" + "".join(
+def _duck_bucket_join(arity: int, ti: int, extra: str = "") -> str:
+    """DuckDB: self-join sig ``arity`` times into a sorted dim tuple.
+
+    p0's source is tier-filtered so the 11 inactive rungs of the ladder
+    join over an EMPTY left side and cost nothing (the generative rungs go
+    up to arity 8 — unfiltered, their dead 8-way self-joins would
+    materialize ~C(16,8) rows per vector per rung at oracle scale).
+    """
+    joins = f"(SELECT * FROM sig WHERE (SELECT t FROM tier) = {ti}) p0" + "".join(
         f" JOIN sig p{i} ON p{i - 1}.vec_id = p{i}.vec_id AND p{i - 1}.d < p{i}.d"
         for i in range(1, arity)
     )
     key = "p0.d"
     for i in range(1, arity):
-        key = f"({key}) * 1000 + p{i}.d"
-    return f"SELECT p0.vec_id, {key} AS bucket FROM {joins}{extra}"
+        key = f"({key}) * 128 + p{i}.d"
+    return f"SELECT p0.vec_id, CAST({key} AS BIGINT) AS bucket FROM {joins}{extra}"
 
 
 def _duck_tier_buckets() -> str:
     """DuckDB bucket generation mirroring SIG_TIERS (only one tier active)."""
     parts = []
     for ti, (_, arity, _, anchor) in enumerate(SIG_TIERS):
-        parts.append(
-            _duck_bucket_join(arity, f" WHERE (SELECT t FROM tier) = {ti}")
-        )
+        parts.append(_duck_bucket_join(arity, ti))
         if anchor:
             cond = " AND ".join(f"p{i}.rn <= {anchor}" for i in range(arity - 1))
             parts.append(
-                _duck_bucket_join(
-                    arity - 1,
-                    f" WHERE (SELECT t FROM tier) = {ti} AND {cond}",
-                ).replace(
+                _duck_bucket_join(arity - 1, ti, f" WHERE {cond}").replace(
                     "AS bucket", f"+ {_ANCHOR_OFFSET} AS bucket"
                 )
             )
@@ -560,11 +600,15 @@ WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
     "(deterministic, data-independent — no trained centroids); a bucket is "
     "a sorted ARITY-tuple of signature dims, and the arity GROWS with the "
     "corpus (SIG_TIERS): pairs below 1024 vectors, triples-over-top-12 "
-    "plus anchor-pairs-over-top-6 to 1M, quads-over-top-16 plus anchor-"
-    "triples beyond. Bucket space is C(2*dim, arity) — 8128 / 341k / 10.7M "
-    "for dim=64 — so the random-collision candidate floor n^2/B stays "
-    "O(n) as each tier engages; per-vector bucket rows stay bounded "
-    "(C(L, arity) <= 220 + anchors). Measured at sf0.1 (n=2000): mid tier "
+    "plus anchor-pairs-over-top-6 to 1M, then a GENERATIVE ladder — "
+    "arity a = 4..8 over top-16 plus anchor (a-1)-tuples, each rung "
+    "bounded at C(128,a)//10 corpus vectors so the random-collision "
+    "candidate floor n^2/B stays <= n/10 at EVERY admitted count up to "
+    "1.4e11 (closed-form-tested to 1e9 in tests/test_lsh_ladder.py; "
+    "beyond the ladder _lsh_tier raises rather than going quadratic). "
+    "Per-vector bucket rows stay bounded (C(16, arity) <= 12870), and a "
+    "per-bucket overflow guard raise_errors on > 8192 members — skew "
+    "cannot silently square. Measured at sf0.1 (n=2000): mid tier "
     "= 0.049*n^2 candidates at recall 0.861 (vs 0.18*n^2 / 0.89 for the "
     "round-3 fixed-width pairs); the big-tier config measures 0.059*n^2 / "
     "0.931 on the same corpus. Candidate pairs come from an EQUI-join on "
@@ -640,12 +684,13 @@ def _embedding_lsh_candidates(
             # anchor components require ALL member dims in the top-max_rank
             for i in range(k):
                 out = out.filter(F.col(f"rn{i}") <= max_rank)
-        # build the key in LONG: an arity-4 key reaches ~1.28e11 and the
-        # anchor offset is 1e12 — int32 arithmetic would overflow (ANSI
-        # mode raises; the big tier is the only one past 2^31)
+        # build the key in LONG, base-128 digits (a signed-dim id is < 128):
+        # an arity-8 key stays < 128^8 ~ 7.2e16 and the 1e17 anchor offset
+        # clears it — int32 arithmetic would overflow (ANSI mode raises),
+        # and base 1000 would overflow even a long at arity 7
         key = F.col("d0").cast("long")
         for i in range(1, k):
-            key = key * 1000 + F.col(f"d{i}")
+            key = key * 128 + F.col(f"d{i}")
         return out.select("vec_id", (key + F.lit(offset)).alias("bucket"))
 
     buckets = tuple_buckets(arity, None, 0)
@@ -653,6 +698,25 @@ def _embedding_lsh_candidates(
         buckets = buckets.unionByName(
             tuple_buckets(arity - 1, anchor, _ANCHOR_OFFSET)
         )
+    # per-bucket overflow guard (VERDICT r4 #1): a pathologically skewed
+    # bucket would square into a quadratic candidate set; raise INSIDE the
+    # executor instead.  The count-window partitions by bucket — the very
+    # key the candidate join below shuffles on — so no extra pass, and it
+    # never fires below BUCKET_CAP members per bucket.
+    wb = Window.partitionBy("bucket")
+    buckets = buckets.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.when(F.col("bsz") <= BUCKET_CAP, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("LSH bucket overflow (> "),
+                    F.lit(str(BUCKET_CAP)),
+                    F.lit(" members) in bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(" — skewed signatures; raise the tier or cap"),
+                )
+            )
+        )
+    ).drop("bsz")
     # candidate generation over ids only: narrow shuffle, dedup pre-verify
     return (
         buckets.alias("x")
