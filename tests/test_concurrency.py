@@ -1,13 +1,17 @@
-"""Multi-writer commit semantics (round 4): the optimistic-concurrency
-conflict matrix for VersionedTable._commit_delta.
+"""Multi-writer commit semantics (rounds 4-5): the optimistic-concurrency
+conflict matrix for VersionedTable._commit_delta / _commit_replace.
 
   concurrent winner ->   append        row-level (MoR)     CoW rewrite
   our commit
   append                 rebase OK     rebase OK           rebase OK
   row-level (MoR)        rebase OK     CommitConflict      CommitConflict
+  compaction (replace)   rebase OK     CommitConflict      CommitConflict
   CoW rewrite            CommitConflict (no auto-retry: the rewrite itself
                          is stale, the whole operation must re-run)
 
+Compaction rebases like Iceberg's RewriteDataFiles: the rewritten files
+are replaced, a concurrent append's files are carried over untouched, and
+anything that removed a rewritten file or added delete files conflicts.
 Data files are written before the metadata swap under unique paths, so a
 rebase retries ONLY the swap — never the Spark job."""
 
@@ -78,6 +82,75 @@ def test_append_rebases_across_mor_delete(spark, loc):
     vt2.append(_df(spark, 10, 15))  # pure append composes with anything
     final = VersionedTable(spark, loc).read()
     assert sorted(r.id for r in final.collect()) == list(range(2, 15))
+
+
+def test_compact_rebases_across_concurrent_append(spark, loc):
+    """Maintenance commits rebase too (VERDICT r4 #8): a compaction that
+    read the pre-append snapshot replaces only the files it rewrote; the
+    concurrent append's files carry over untouched."""
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.append(_df(spark, 10, 20))
+    vt2.compact(target_partitions=2)
+    final = VersionedTable(spark, loc)
+    assert sorted(r.id for r in final.read().collect()) == list(range(20))
+    snaps = final._meta["snapshots"]
+    assert [s["operation"] for s in snaps] == ["append", "append", "replace"]
+    # the append's file survived the rebased replace
+    appended = {e["path"] for e in snaps[1]["manifest"]} - {
+        e["path"] for e in snaps[0]["manifest"]
+    }
+    assert appended <= {e["path"] for e in snaps[2]["manifest"]}
+
+
+def test_compact_conflicts_with_concurrent_mor_delete(spark, loc):
+    """A concurrent row-level commit adds position deletes the rewrite
+    folded nothing in for — rebasing would resurrect the deleted rows."""
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.delete("id < 3", mode="merge-on-read")
+    with pytest.raises(CommitConflict):
+        vt2.compact(target_partitions=1)
+
+
+def test_compact_conflicts_with_concurrent_cow_rewrite(spark, loc):
+    """The CoW winner removed files the compaction rewrote — stale input."""
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.update({"v": "v + 1"}, "id >= 0")  # CoW: rewrites every base file
+    with pytest.raises(CommitConflict):
+        vt2.compact(target_partitions=1)
+
+
+def test_compact_vs_append_threaded_race(spark, loc):
+    """Real race: appends land while a compaction commits; nothing is lost
+    and the compactor either rebases or (losing repeatedly) conflicts
+    loudly — it must never silently drop an appended file."""
+    import threading
+
+    VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
+    errors: list = []
+
+    def appender(t):
+        try:
+            vt = VersionedTable(spark, loc)
+            for k in range(2):
+                lo = 1000 * (t + 1) + 100 * k
+                vt.append(_df(spark, lo, lo + 10))
+        except Exception as ex:
+            errors.append(ex)
+
+    def compactor():
+        try:
+            VersionedTable(spark, loc).compact(target_partitions=1)
+        except CommitConflict:
+            pass  # allowed: losing the race loudly is correct
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(2)]
+    threads.append(threading.Thread(target=compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert VersionedTable(spark, loc).read().count() == 10 + 4 * 10
 
 
 def test_parallel_appends_all_land(spark, loc):

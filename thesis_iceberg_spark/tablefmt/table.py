@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import time
 import uuid
 from dataclasses import dataclass
@@ -437,9 +438,29 @@ class VersionedTable:
           winner removed/rewrote any base data file, our position deletes
           dangle; if it added delete files of its own, our updated-row
           copies would resurrect rows it deleted.  Either way: conflict.
+
+        Isolation level: rebasing a row-level delta over a concurrent pure
+        append is SNAPSHOT isolation — the delta's predicate is NOT
+        re-evaluated against the winner's newly added files, so an
+        appended row matching the predicate survives.  Iceberg's default
+        for UPDATE/DELETE/MERGE is serializable (that append would
+        conflict); a serializable option here would conflict whenever the
+        rebased-over append contains files whose min/max bounds could
+        match the operation predicate.  Documented deviation, chosen
+        because pure appends are by far the most common concurrent commit
+        and predicate-vs-bounds re-validation is pessimistic.
+
+        Retry budget: a conflicted attempt only counts against
+        COMMIT_RETRIES when the table did NOT advance (a stuck hint, not a
+        race).  When the refresh shows another writer won, the budget
+        resets — Iceberg retries as long as each failure shows progress —
+        with a short jittered sleep to decorrelate same-host racers, so a
+        busy multi-writer table cannot surface a spurious CommitConflict
+        after 5 lost races.
         """
         base = self._select_snapshot()
-        for attempt in range(COMMIT_RETRIES + 1):
+        no_progress = 0
+        while True:
             manifest = (list(base["manifest"]) if base else []) + added_manifest
             deletes = (
                 list(base.get("delete_manifest", [])) if base else []
@@ -450,10 +471,16 @@ class VersionedTable:
                 )
                 return
             except CommitConflict:
-                if attempt == COMMIT_RETRIES:
-                    raise
+                seen_version = self._meta["version"]
                 old = base
                 self.refresh()
+                if self._meta["version"] > seen_version:
+                    no_progress = 0  # another writer won: retrying is productive
+                else:
+                    no_progress += 1
+                    if no_progress > COMMIT_RETRIES:
+                        raise
+                time.sleep(random.uniform(0.0, 0.005 * (1 + no_progress)))
                 base = self._select_snapshot()
                 if row_level:
                     old_paths = {e["path"] for e in (old["manifest"] if old else [])}
@@ -473,6 +500,61 @@ class VersionedTable:
                             "rewritten or new delete files added); re-run the "
                             "operation against the current snapshot"
                         ) from None
+
+    def _commit_replace(
+        self, added_manifest: list[dict], now_ms: int | None
+    ) -> None:
+        """Commit a file REWRITE (compaction) with Iceberg's
+        RewriteDataFiles validation: the commit replaces exactly the data
+        files of the snapshot the rewrite READ, so on conflict it rebases
+        across concurrent pure appends — the winner's files are carried
+        over untouched next to the rewritten ones.  It conflicts when the
+        winner removed/rewrote any of the files being replaced (stale
+        input) or added delete files (the rewrite folded the OLD delete
+        state in; new position deletes reference pre-rewrite files and
+        would be dropped, resurrecting rows).  Maintenance therefore never
+        silently drops a concurrent writer's data and never needs to
+        re-run its Spark job to land beside appends."""
+        base = self._select_snapshot()
+        removed = {e["path"] for e in (base["manifest"] if base else [])}
+        base_dels = {
+            e["path"] for e in (base.get("delete_manifest", []) if base else [])
+        }
+        cur = base
+        no_progress = 0
+        while True:
+            carried = [
+                e
+                for e in (cur["manifest"] if cur else [])
+                if e["path"] not in removed
+            ]
+            try:
+                self._commit_snapshot(
+                    "replace", carried + added_manifest, now_ms, delete_manifest=[]
+                )
+                return
+            except CommitConflict:
+                seen_version = self._meta["version"]
+                self.refresh()
+                if self._meta["version"] > seen_version:
+                    no_progress = 0
+                else:
+                    no_progress += 1
+                    if no_progress > COMMIT_RETRIES:
+                        raise
+                time.sleep(random.uniform(0.0, 0.005 * (1 + no_progress)))
+                cur = self._select_snapshot()
+                cur_paths = {e["path"] for e in (cur["manifest"] if cur else [])}
+                cur_dels = {
+                    e["path"]
+                    for e in (cur.get("delete_manifest", []) if cur else [])
+                }
+                if not (removed <= cur_paths and cur_dels <= base_dels):
+                    raise CommitConflict(
+                        "rewrite computed against files a concurrent commit "
+                        "removed, or new delete files landed since the rewrite "
+                        "read its snapshot; re-run compaction"
+                    ) from None
 
     def _commit_snapshot(
         self,
@@ -1349,7 +1431,11 @@ class VersionedTable:
             df = df.sortWithinPartitions(z)
         elif target_partitions:
             df = df.repartition(target_partitions)
-        self.overwrite(df, now_ms=now_ms, operation="replace")
+        sid = self._next_snapshot_id()
+        added = self._write_data_files(df, sid)
+        # maintenance commits rebase across concurrent appends instead of
+        # failing like a CoW rewrite — see _commit_replace
+        self._commit_replace(added, now_ms)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots and delete data
