@@ -74,3 +74,54 @@ def test_lexical_flags_crafted_docs(spark, tmp_path):
     assert got[2]["keep"] is False and got[2]["alpha_word_frac"] == 0.2
     assert got[3]["keep"] is False and got[3]["symbol_word_ratio"] > 0.1
     assert got[4]["keep"] is False and got[4]["n_stop_hits"] == 1
+
+
+def test_line_flags_newline_text(spark):
+    """gopher_line_flags_df over REAL newline structure: duplicate lines
+    and duplicate paragraphs each counted with the all-occurrence
+    convention, char fractions over raw text length."""
+    from thesis_iceberg_spark.queries.text import gopher_line_flags_df
+
+    rows = [
+        # "aaa" line appears twice of 4 lines -> 2/4 = 0.5 > 0.30; its
+        # 6 chars over the 15-char text = 0.4 > 0.20; one paragraph only
+        (1, "aaa\nbbb\naaa\nccc"),
+        # duplicate PARAGRAPHS: "xxx" para twice of 3 -> 2/3; lines too
+        (2, "xxx\n\nyyy\n\nxxx"),
+        # all lines and paragraphs unique -> keep
+        (3, "one two\nthree four\n\nfive six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.asDict() for r in gopher_line_flags_df(df).collect()}
+    assert abs(got[1]["dup_line_frac"] - 0.5) < 1e-12
+    assert abs(got[1]["dup_line_char_frac"] - 6 / 15) < 1e-12
+    assert got[1]["dup_para_frac"] == 0.0 and got[1]["keep"] is False
+    assert abs(got[2]["dup_para_frac"] - 2 / 3) < 1e-12
+    assert abs(got[2]["dup_para_char_frac"] - 6 / 13) < 1e-12
+    assert abs(got[2]["dup_line_frac"] - 2 / 3) < 1e-12
+    assert got[2]["keep"] is False
+    assert got[3]["keep"] is True
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_para_frac"] == 0.0
+
+
+def test_line_flags_registered_chunked(spark, tmp_path):
+    """The registered query derives 8-token lines / 32-token paragraphs
+    from the flat corpus: a 16-token doc whose halves repeat has two
+    identical lines (frac 1.0) but a single paragraph (frac 0)."""
+    sf_dir = str(tmp_path / "lines")
+    rows = [
+        (1, " ".join(["ab"] * 16)),
+        (2, " ".join(f"w{i}" for i in range(16))),  # all-distinct chunks
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    fn = REGISTRY["text_gopher_line_flags"].fn
+    got = {r.doc_id: r.asDict() for r in fn(spark, sf_dir).collect()}
+    # doc 1: dl = 16*2 + 15 = 47; each 8-token line is 23 chars, both
+    # occurrences duplicated -> 46/47 of characters
+    assert got[1]["dup_line_frac"] == 1.0
+    assert abs(got[1]["dup_line_char_frac"] - 46 / 47) < 1e-12
+    assert got[1]["dup_para_frac"] == 0.0  # one 32-token paragraph
+    assert got[1]["keep"] is False
+    assert got[2]["keep"] is True and got[2]["dup_line_frac"] == 0.0

@@ -304,8 +304,15 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # single most frequent n-gram exceeds the TOP threshold (n = 2, 3, 4), or
 # the fraction of characters inside n-grams that occur more than once
 # exceeds the DUP threshold (n = 5..10).  These are the published pairs;
-# the line/paragraph duplicate rules need line structure the synthetic
-# corpus does not carry and are out of scope.
+# the line/paragraph duplicate rules are text_gopher_line_flags below.
+#
+# DELIBERATE DEVIATION from the paper's TOP statistic (ADVICE r4): Rae et
+# al. define it over the most frequent n-gram with NO repetition
+# requirement; here the top gram must occur MORE THAN ONCE, because in a
+# short all-unique document every gram is "most frequent" at count 1 and
+# the published thresholds (calibrated on web-scale docs) would flag mere
+# shortness as repetition.  Both engines apply the same definition, so
+# oracles agree; thresholds are the paper's.
 GOPHER_TOP_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 _TOP_NS = tuple(GOPHER_TOP_FRAC)  # aggregate needed per n: top for 2-4,
@@ -458,34 +465,45 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     )
     chars = F.col("c") * F.col("len")
     # normalized-document character count: sum of token lengths plus the
-    # single-space separators — the paper's denominator
+    # single-space separators — the paper's denominator.  Kept as an
+    # aggregation over the exploded token rows: the tempting narrow form
+    # (F.aggregate over the token array) re-reads the fat text column and
+    # runs INTERPRETED higher-order lambdas — measured 6.0-6.7 s vs
+    # 4.3-4.7 s for this shape at sf0.1 (r5 A/B; same finding as the r4
+    # zip_with-vs-lead experiment).
     dl = tok.groupBy("doc_id").agg(
         (F.sum("l0") + F.count("*") - 1).alias("dl")
     )
     # top counts only grams that occur MORE THAN ONCE: a unique gram in a
     # short document can near 1/num_grams of the characters without any
-    # repetition — the rule targets repeated content, not short content
-    p = c.groupBy("doc_id", "n").agg(
-        F.sum(F.when(F.col("c") > 1, chars).otherwise(0)).alias("dup"),
-        F.coalesce(F.max(F.when(F.col("c") > 1, chars)), F.lit(0)).alias("top"),
-    )
-    wide = p.join(dl, "doc_id").groupBy("doc_id").agg(
+    # repetition — see the GOPHER_TOP_FRAC deviation note.
+    # ONE groupBy(doc_id) with 18 conditional aggregates replaces the old
+    # (doc_id, n) aggregate + (doc_id) pivot pair — the (doc_id, n, h)
+    # partial output flows through a single exchange (r5 trim: fused
+    # aggregates, one shuffle fewer).
+    wide = c.groupBy("doc_id").agg(
         *[
-            F.max(
-                F.when(F.col("n") == n, F.col(agg).cast("double") / F.col("dl"))
+            (
+                F.max(F.when((F.col("n") == n) & (F.col("c") > 1), chars))
+                if agg == "top"
+                else F.sum(F.when((F.col("n") == n) & (F.col("c") > 1), chars))
             ).alias(f"{agg}{n}")
             for agg, n in pairs
         ]
     )
-    fr = {(agg, n): F.coalesce(F.col(f"{agg}{n}"), F.lit(0.0)) for agg, n in pairs}
+    fr = {
+        (agg, n): F.coalesce(
+            F.col(f"{agg}{n}").cast("double") / F.col("dl"), F.lit(0.0)
+        )
+        for agg, n in pairs
+    }
     keep = F.lit(True)
     for n in _TOP_NS:
         keep = keep & (fr[("top", n)] <= GOPHER_TOP_FRAC[n])
     for n in _DUP_NS:
         keep = keep & (fr[("dup", n)] <= GOPHER_DUP_FRAC[n])
     return (
-        docs.select("doc_id")
-        .join(wide, "doc_id", "left")
+        dl.join(wide, "doc_id", "left")
         .select(
             "doc_id",
             *[fr[(agg, n)].alias(f"{agg}_{n}gram_char_frac") for agg, n in pairs],
@@ -568,3 +586,188 @@ def text_gopher_lexical_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stop_hits",
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher duplicate-LINE / duplicate-PARAGRAPH rules (Rae et al. table A1 —
+# the last 2 of the 6 repetition sub-families; VERDICT r4 #3): a document
+# is removed when the fraction of lines (paragraphs) that are duplicates
+# exceeds 0.30, or the fraction of characters inside duplicated lines
+# (paragraphs) exceeds 0.20.  "Duplicate" counts ALL occurrences of any
+# piece appearing more than once WITHIN the document — the same
+# all-occurrence convention as the n-gram DUP rules above, identical in
+# both engines so oracles agree.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+# The driver's synthetic corpus carries no newline structure (flat token
+# streams), so the REGISTERED query derives deterministic lines — fixed
+# 8-token chunks — and paragraphs — 4 consecutive lines (32 tokens) — in
+# both engines; real corpora go through gopher_line_flags_df, which splits
+# on '\n' / '\n\n' (crafted-document pytest coverage).
+_LINE_TOKS = 8
+_PARA_TOKS = 32
+
+
+def _dup_piece_flags(base: DataFrame) -> DataFrame:
+    """(doc_id, dl, lines, paras) -> the four duplicate fractions + keep.
+
+    Shape: one explode per piece kind tagged L/P, a (doc_id, kind, piece)
+    count, a (doc_id, kind) roll-up, and a conditional-agg pivot to one
+    row per document — two keyed map-side-combinable shuffles whose
+    cardinality is bounded by pieces per document.  At 100 TB this is the
+    standard pre-training structural-repetition pass next to the n-gram
+    rules."""
+    pieces = base.select(
+        "doc_id", "dl", F.lit("L").alias("kind"), F.explode("lines").alias("piece")
+    ).unionByName(
+        base.select(
+            "doc_id", "dl", F.lit("P").alias("kind"), F.explode("paras").alias("piece")
+        )
+    )
+    cnt = pieces.groupBy("doc_id", "dl", "kind", "piece").agg(
+        F.count("*").alias("c")
+    )
+    dup_c = F.when(F.col("c") > 1, F.col("c")).otherwise(0)
+    stats = cnt.groupBy("doc_id", "dl", "kind").agg(
+        F.sum("c").alias("np"),
+        F.sum(dup_c).alias("dp"),
+        F.sum(dup_c * F.length("piece")).alias("dc"),
+    )
+    is_l = F.col("kind") == "L"
+    wide = stats.groupBy("doc_id").agg(
+        F.max(F.when(is_l, F.col("dp").cast("double") / F.col("np"))).alias("lf"),
+        F.max(F.when(~is_l, F.col("dp").cast("double") / F.col("np"))).alias("pf"),
+        F.max(F.when(is_l, F.col("dc").cast("double") / F.col("dl"))).alias("lcf"),
+        F.max(F.when(~is_l, F.col("dc").cast("double") / F.col("dl"))).alias("pcf"),
+    )
+    z = {
+        "dup_line_frac": F.coalesce(F.col("lf"), F.lit(0.0)),
+        "dup_para_frac": F.coalesce(F.col("pf"), F.lit(0.0)),
+        "dup_line_char_frac": F.coalesce(F.col("lcf"), F.lit(0.0)),
+        "dup_para_char_frac": F.coalesce(F.col("pcf"), F.lit(0.0)),
+    }
+    keep = (
+        (z["dup_line_frac"] <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (z["dup_para_frac"] <= GOPHER_MAX_DUP_PARA_FRAC)
+        & (z["dup_line_char_frac"] <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (z["dup_para_char_frac"] <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
+    )
+    return (
+        base.select("doc_id")
+        .join(wide, "doc_id", "left")
+        .select(
+            "doc_id", *[c.alias(n) for n, c in z.items()], keep.alias("keep")
+        )
+    )
+
+
+def gopher_line_flags_df(docs: DataFrame) -> DataFrame:
+    """The line rules over REAL newline-structured text: lines split on
+    '\\n', paragraphs on '\\n\\n', blank/whitespace pieces dropped,
+    character fractions over the raw text length."""
+
+    def clean(col):
+        return F.filter(
+            F.transform(col, lambda x: F.trim(x)), lambda x: F.length(x) > 0
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("dl"),
+        clean(F.split(F.col("text"), r"\n")).alias("lines"),
+        clean(F.split(F.col("text"), r"\n\n")).alias("paras"),
+    )
+    return _dup_piece_flags(base)
+
+
+def _chunks(toks, size: int):
+    """Fixed ``size``-token chunks of the token array as joined strings."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(size)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * size + 1, size), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sql_chunks(toks: str, size: int) -> str:
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_transform(range(1, CAST(ceil(len({toks}) / {size}.0) AS INT) + 1), "
+        f"i -> array_to_string(list_slice({toks}, (i - 1) * {size} + 1, i * {size}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+_SQL_LINE_DL = (
+    f"list_sum(list_transform({_sql_toks()}, x -> length(x))) + len({_sql_toks()}) - 1"
+)
+
+
+@register(
+    "text_gopher_line_flags",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_SQL_LINE_DL} AS dl,
+         {_sql_chunks(_sql_toks(), _LINE_TOKS)} AS lines,
+         {_sql_chunks(_sql_toks(), _PARA_TOKS)} AS paras
+  FROM documents),
+lp AS (
+  SELECT doc_id, dl, 'L' AS kind, unnest(lines) AS piece FROM base
+  UNION ALL
+  SELECT doc_id, dl, 'P' AS kind, unnest(paras) AS piece FROM base),
+c AS (SELECT doc_id, dl, kind, piece, COUNT(*) AS c
+      FROM lp GROUP BY doc_id, dl, kind, piece),
+s AS (SELECT doc_id, dl, kind, SUM(c) AS np,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dp,
+             SUM(CASE WHEN c > 1 THEN c * length(piece) ELSE 0 END) AS dc
+      FROM c GROUP BY doc_id, dl, kind),
+w AS (SELECT doc_id,
+             MAX(CASE WHEN kind = 'L' THEN CAST(dp AS DOUBLE) / np END) AS lf,
+             MAX(CASE WHEN kind = 'P' THEN CAST(dp AS DOUBLE) / np END) AS pf,
+             MAX(CASE WHEN kind = 'L' THEN CAST(dc AS DOUBLE) / dl END) AS lcf,
+             MAX(CASE WHEN kind = 'P' THEN CAST(dc AS DOUBLE) / dl END) AS pcf
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(lf, 0.0) AS dup_line_frac,
+       COALESCE(pf, 0.0) AS dup_para_frac,
+       COALESCE(lcf, 0.0) AS dup_line_char_frac,
+       COALESCE(pcf, 0.0) AS dup_para_char_frac,
+       (COALESCE(lf, 0.0) <= {GOPHER_MAX_DUP_LINE_FRAC}
+        AND COALESCE(pf, 0.0) <= {GOPHER_MAX_DUP_PARA_FRAC}
+        AND COALESCE(lcf, 0.0) <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}
+        AND COALESCE(pcf, 0.0) <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}) AS keep
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+""",
+    doc="Gopher duplicate-LINE / duplicate-PARAGRAPH rules (Rae et al. "
+    "table A1) — the last two repetition sub-families, closing the "
+    "published rule set (with text_gopher_repetition_signals and "
+    "text_gopher_quality_flags): fraction of duplicate lines/paragraphs "
+    "<= 0.30 and of characters inside them <= 0.20. The synthetic corpus "
+    "is flat, so the registered entry derives deterministic 8-token lines "
+    "and 32-token paragraphs in BOTH engines for a meaningful value "
+    "oracle; real newline text goes through gopher_line_flags_df (split "
+    "on \\n / \\n\\n, crafted-document pytests). Two keyed shuffles, "
+    "map-side combinable, no row UDFs.",
+)
+def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks()
+    dl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        )
+        + F.size(toks)
+        - F.lit(1)
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        dl.alias("dl"),
+        _chunks(toks, _LINE_TOKS).alias("lines"),
+        _chunks(toks, _PARA_TOKS).alias("paras"),
+    )
+    return _dup_piece_flags(base)
