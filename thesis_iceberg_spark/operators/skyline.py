@@ -52,13 +52,17 @@ FAN_IN = 8  # partitions folded per tree-reduce round
 MAX_GLOBAL_POINTS = 4_000_000  # survivor cap: ~few hundred MB of points
 
 
-def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
+def skyline_2d(df: DataFrame, x: str, y: str, check_cap: bool = True) -> DataFrame:
     """Distributed exact skyline over (x, y), both minimized.
 
-    Phase 1 materializes (eager localCheckpoint) so the survivor count can
-    gate the fold: anti-correlated data can leave the skyline itself O(n),
-    and no exact fold can bound that — better a loud error before the
-    reduce than an executor OOM inside it.
+    With ``check_cap`` (default), phase 1 materializes (eager
+    localCheckpoint) so the survivor count can gate the fold:
+    anti-correlated data can leave the skyline itself O(n), and no exact
+    fold can bound that — better a loud error before the reduce than an
+    executor OOM inside it.  That gate runs a Spark job at DataFrame-BUILD
+    time, which surprises composition (building a larger plan around the
+    skyline triggers work); pass ``check_cap=False`` to stay fully lazy
+    and accept the OOM risk on anti-correlated inputs.
     """
 
     schema = df.schema
@@ -69,15 +73,17 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
             return
         yield _sweep(pd.concat(parts, ignore_index=True), x, y)
 
-    locally = df.mapInPandas(local, schema).localCheckpoint(eager=True)
-    survivors = locally.count()
-    if survivors > MAX_GLOBAL_POINTS:
-        raise RuntimeError(
-            f"skyline_2d: {survivors} local-skyline survivors exceed the "
-            f"{MAX_GLOBAL_POINTS} global-phase cap — the input looks "
-            "anti-correlated (skyline is O(n)); partition the domain and "
-            "merge per-range skylines, or raise MAX_GLOBAL_POINTS"
-        )
+    locally = df.mapInPandas(local, schema)
+    if check_cap:
+        locally = locally.localCheckpoint(eager=True)
+        survivors = locally.count()
+        if survivors > MAX_GLOBAL_POINTS:
+            raise RuntimeError(
+                f"skyline_2d: {survivors} local-skyline survivors exceed the "
+                f"{MAX_GLOBAL_POINTS} global-phase cap — the input looks "
+                "anti-correlated (skyline is O(n)); partition the domain and "
+                "merge per-range skylines, or raise MAX_GLOBAL_POINTS"
+            )
     # tree-reduce: fold partitions FAN_IN-to-1 per round, re-sweeping each
     # fold.  repartition (NOT coalesce) on purpose: coalesce is a narrow
     # dependency, so chained coalesce+mapInPandas rounds would pipeline
