@@ -107,6 +107,35 @@ def _relayout(spark: SparkSession, src: str, dst: str, marker_path: str) -> None
         json.dump(marker, f)
 
 
+def _gc_stale_layouts(parent: str, name: str, keep: set[str]) -> None:
+    """Content+rule-keyed cache dirs strand their predecessors whenever
+    the testdata regenerates or the layout rule bumps (ADVICE r4:
+    unbounded /tmp growth): a sibling ``{name}-*`` entry with a different
+    key is unreachable — keys derive solely from the CURRENT source stat
+    and rule — so delete it.  A ``.tmp-`` dir for the CURRENT key is a
+    concurrent writer of the same content and is left alone; old-key tmp
+    dirs are dead writers' debris."""
+    import shutil
+
+    current = next(iter(keep)).split(".marker")[0] if keep else ""
+    try:
+        entries = list(os.scandir(parent))
+    except FileNotFoundError:
+        return
+    for e in entries:
+        if not e.name.startswith(f"{name}-") or e.name in keep:
+            continue
+        if ".tmp-" in e.name and e.name.startswith(current):
+            continue
+        if e.is_dir(follow_symlinks=False):
+            shutil.rmtree(e.path, ignore_errors=True)
+        else:
+            try:
+                os.unlink(e.path)
+            except OSError:
+                pass
+
+
 def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     src = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "1") != "1":
@@ -126,6 +155,11 @@ def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
         ):
             return src if marker["passthrough"] else dst
     _relayout(spark, src, dst, marker_path)
+    _gc_stale_layouts(
+        os.path.dirname(dst),
+        name,
+        keep={os.path.basename(dst), os.path.basename(marker_path)},
+    )
     return _cached_path(spark, sf_dir, name)
 
 
