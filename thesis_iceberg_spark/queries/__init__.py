@@ -65,83 +65,81 @@ def _load_all() -> None:
 
 
 # The driver's correctness gate oracles the FIRST 50 registry entries per
-# round, so ordering is rotation control.  Round-4 window policy (VERDICT
-# r3 ask #6: "every query's newest green row <= 2 rounds old"):
-#   (a) the 6 queries whose CODE changed this round — eager minhash
-#       checkpoint, tiered embedding LSH, shingle df-cap, RTAS/SHOW/
-#       DESCRIBE lifecycle, events-stream timestamp cast — re-verify the
-#       diff even though all were green in r3;
-#   (b) all 33 queries whose newest green row is ROUND 1 (three rounds of
-#       code churn since their last driver check);
-#   (c) 9 of the 18 round-2-checked queries, preferring streaming (the
-#       events.py cast touches their source), tablefmt, and one-of-a-kind
-#       shapes.  The 9 left out (window_lag/running, orderby_multi_col,
-#       values_inline_dim_join, set_ops_multiset, conditional_funcs,
-#       unpivot, dedup_drop_duplicates, join_full_outer_nation_presence)
-#       are unchanged r2-greens — exactly 2 rounds old at r4 — displaced
-#       so the round's NEW queries (text_gopher_repetition_signals,
-#       text_gopher_lexical_flags) get driver signal immediately.
+# round, so ordering is rotation control.  Round-5 window policy (VERDICT
+# r4 ask #1: "every query's newest green row <= 2 rounds old" — after r4,
+# 50 queries are r4-green, 44 r3-green, and 9 r2-green):
+#   (a) the round's NEW query (text_gopher_line_flags) plus the 3 whose
+#       CODE changed — generative LSH ladder + bucket cap, fused
+#       repetition aggregates, skyline check_cap signature;
+#   (b) the 9 queries whose newest green is ROUND 2 (three rounds old at
+#       r5 — the only staleness violations; VERDICT r4 named them);
+#   (c) filter_range_ts + distinct_values as the filter/distinct family
+#       regression guards (ADVICE r4);
+#   (d) 35 of the 44 r3-greens — including every tablefmt/sql entry, since
+#       table.py's commit-retry/_commit_replace changed this round.  The 9
+#       left out (scan_full, text_token_stats, text_lang_id,
+#       multimodal_metadata, pipeline_chunk_documents,
+#       pipeline_pack_sequences, in_exists_subqueries, grouping_sets_sql,
+#       agg_count_distinct) are unchanged r3-greens — exactly 2 rounds old
+#       at r5, each with an r4-green family sibling — and MUST lead the
+#       r6 window.
 # Names not (yet) registered are skipped harmlessly; unlisted queries keep
 # registration order after the prioritized block.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- new this round ---
-    "text_gopher_repetition_signals",
-    "text_gopher_lexical_flags",
-    # --- (a) changed this round ---
-    "dedup_minhash_lsh_pairs",
+    # --- (a) new, then changed this round ---
+    "text_gopher_line_flags",
     "dedup_embedding_lsh_pairs",
-    "dedup_cluster_canonical",
-    "pipeline_decontaminate",
-    "sql_ddl_lifecycle",
-    "streaming_windowed_event_stats",
-    # --- (b) last green in round 1 ---
-    "dedup_ngram_jaccard_pairs",  # also changed: shingle df-cap
-    "dedup_simhash",
-    "range_join_event_window",
-    "pandas_udf_scalar_text",
-    "pandas_udf_grouped_median",
-    "csv_ingest_repair",
-    "skyline_price_size",  # also changed: tree-reduce global phase
-    "udtf_tokenize_positions",
-    "json_extract_props",
-    "string_funcs_profile",
-    "array_funcs_embeddings",
-    "math_funcs_profile",
-    "map_funcs_event_props",
-    "agg_collect_sorted",
-    "pivot_status_by_year",
-    "time_funcs_profile",
-    "agg_percentiles",
-    "q14_promo_revenue",
-    "text_quality_scores",
-    "text_fingerprint",
-    "text_top_bigrams_by_lang",
-    "pipeline_clean_corpus",
-    "scan_sql",
-    "project_columns",
-    "point_lookup",
-    "filter_eq_string",
+    "text_gopher_repetition_signals",
+    "skyline_price_size",
+    # --- (b) last green in round 2 ---
+    "window_lag_user_values",
+    "window_running_total",
+    "orderby_multi_col",
+    "values_inline_dim_join",
+    "set_ops_multiset",
+    "conditional_funcs_profile",
+    "unpivot_order_measures",
+    "dedup_drop_duplicates",
+    "join_full_outer_nation_presence",
+    # --- (c) filter/distinct family guards ---
     "filter_range_ts",
-    "filter_year_func",
-    "filter_null",
-    "filter_neq",
     "distinct_values",
-    "join_left_order_counts",
-    "join_semi_active_customers",
-    # --- (c) last green in round 2 ---
-    "rollup_order_stats",
-    "cube_lineitem_flags",
-    "correlated_scalar_subquery",
-    # join_full_outer_nation_presence (unchanged r2 green) displaced by
-    # the second new query, text_gopher_lexical_flags
-    "streaming_stateful_user_counts",
-    "streaming_stateful_dedup",
-    "streaming_static_dim_join",
-    "streaming_stream_stream_join",
-    "tablefmt_quoted_identifiers",
-    "resample_gapfill_locf",
-    # dedup_drop_duplicates (unchanged r2 green) displaced by the new
-    # text_gopher_repetition_signals — new queries need driver signal first
+    # --- (d) last green in round 3 ---
+    "tablefmt_lifecycle_final_state",
+    "tablefmt_time_travel",
+    "tablefmt_changelog",
+    "tablefmt_schema_evolution",
+    "tablefmt_merge_incremental",
+    "sql_time_travel",
+    "sql_dml_update_delete",
+    "dedup_exact_hash",
+    "asof_join_last_event",
+    "agg_q6_revenue",
+    "agg_salted_skew",
+    "join_bucketed_colocated",
+    "q3_unshipped_topk",
+    "multimodal_features",
+    "text_gopher_quality_flags",
+    "pipeline_train_eval_split",
+    "pipeline_pii_scrub",
+    "pipeline_stratified_sample",
+    "pipeline_topk_per_lang_sample",
+    "topk_orders",
+    "agg_pricing_summary",
+    "join_inner_cust_orders",
+    "join_anti_inactive_customers",
+    "star_join_revenue_by_nation",
+    "window_rank_orders",
+    "set_ops_customer_segments",
+    "agg_approx_count_distinct",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_batch_topk",
+    "window_funcs_extended",
+    "sessionize_events",
+    "streaming_batch_parity",
+    "time_bucket_rollup",
 )
 
 

@@ -26,6 +26,12 @@ Grammar (case-insensitive keywords):
         [TBLPROPERTIES (...)] AS SELECT ...     -- CTAS, needs a Catalog
     [CREATE OR] REPLACE TABLE <table> [PARTITIONED BY (day(col))]
         [TBLPROPERTIES (...)] AS SELECT ...     -- RTAS (history-preserving)
+        -- DEVIATION from Iceberg RTAS: omitting PARTITIONED BY PRESERVES
+        -- the existing partition spec (Iceberg replaces it with unpartit-
+        -- ioned), and a schema-changing SELECT is REJECTED rather than
+        -- replacing the schema — replacement here is content-only, so
+        -- time travel across the replace keeps resolving by field id.
+        -- Port reference notebooks accordingly.
     DROP TABLE [IF EXISTS] <table>              -- needs a Catalog
     CREATE {DATABASE | SCHEMA | NAMESPACE} [IF NOT EXISTS] <db>
     SHOW TABLES [{IN | FROM} <db>]              -- needs a Catalog
