@@ -184,3 +184,104 @@ def test_parallel_appends_all_land(spark, loc):
     assert [s["parent_id"] for s in snaps] == [None] + [
         s["snapshot_id"] for s in snaps[:-1]
     ]
+
+
+# ---------------------------------------------------------------------------
+# serializable isolation (round 5): write.isolation-level=serializable makes a
+# row-level rebase over a concurrent pure append CONFLICT whenever the
+# append's file bounds could satisfy the operation predicate — Iceberg's
+# default UPDATE/DELETE/MERGE behavior (this table's default stays snapshot).
+# ---------------------------------------------------------------------------
+
+
+def _stale_serializable_pair(spark, loc):
+    vt1 = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 10),
+        properties={"write.isolation-level": "serializable"},
+    )
+    vt2 = VersionedTable(spark, loc)
+    return vt1, vt2
+
+
+def test_serializable_delete_conflicts_with_matching_append(spark, loc):
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(_df(spark, 1, 3))  # ids 1,2 — inside the delete predicate
+    with pytest.raises(CommitConflict, match="serializable isolation"):
+        vt2.delete("id < 5", mode="merge-on-read")
+    # re-run on a fresh handle deletes the appended matches too
+    fresh = VersionedTable(spark, loc)
+    fresh.delete("id < 5", mode="merge-on-read")
+    assert sorted(r.id for r in fresh.read().collect()) == list(range(5, 10))
+
+
+def test_serializable_delete_rebases_when_append_provably_disjoint(spark, loc):
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(_df(spark, 100, 110))  # bounds [100,110): cannot match id < 5
+    vt2.delete("id < 5", mode="merge-on-read")  # rebases — no conflict
+    final = VersionedTable(spark, loc).read()
+    assert sorted(r.id for r in final.collect()) == list(range(5, 10)) + list(
+        range(100, 110)
+    )
+
+
+def test_serializable_update_unparseable_predicate_is_pessimistic(spark, loc):
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(_df(spark, 100, 110))  # disjoint from any id < 5 row
+    # OR-predicate: ranges unknown -> any concurrent append conflicts
+    with pytest.raises(CommitConflict, match="serializable isolation"):
+        vt2.update({"v": "v + 1"}, "id < 2 or id > 8", mode="merge-on-read")
+
+
+def test_serializable_merge_uses_source_key_bounds(spark, loc):
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(_df(spark, 100, 110))
+    # source keys [0,3]: outside the append's [100,110) bounds -> rebase OK
+    src = _df(spark, 0, 4).withColumn("v", F.lit(-1).cast("bigint"))
+    vt2.merge(src, on="id", when_matched_update={"v": "s.v"}, mode="merge-on-read")
+    rows = {r.id: r.v for r in VersionedTable(spark, loc).read().collect()}
+    assert rows[0] == -1 and rows[3] == -1 and rows[100] == 200
+    # source key RANGE overlapping the append's bounds -> conflict (105
+    # matches a stale row so the MoR path runs; 205 stretches the key
+    # bounds over the concurrent append's [200,210) files)
+    vt3 = VersionedTable(spark, loc)
+    VersionedTable(spark, loc).append(_df(spark, 200, 210))
+    src2 = (
+        spark.createDataFrame([(105,), (205,)], "id bigint")
+        .withColumn("v", F.lit(-2).cast("bigint"))
+    )
+    with pytest.raises(CommitConflict, match="serializable isolation"):
+        vt3.merge(src2, on="id", when_matched_update={"v": "s.v"},
+                  mode="merge-on-read")
+
+
+def test_snapshot_default_still_rebases_matching_append(spark, loc):
+    # without the property the pre-round-5 snapshot-isolation behavior holds
+    vt1, vt2 = _stale_pair(spark, loc)
+    vt1.append(_df(spark, 1, 3))
+    vt2.delete("id < 5", mode="merge-on-read")  # no conflict under snapshot
+    ids = sorted(r.id for r in VersionedTable(spark, loc).read().collect())
+    assert 1 in ids and 2 in ids  # appended matches survive (snapshot iso)
+
+
+def test_ranges_from_predicate_shapes():
+    from thesis_iceberg_spark.tablefmt.table import (
+        _MAX, _MIN, _ranges_from_predicate,
+    )
+
+    assert _ranges_from_predicate("id < 5") == {"id": (_MIN, 5)}
+    assert _ranges_from_predicate("id >= 3 and id <= 7") == {"id": (3, 7)}
+    assert _ranges_from_predicate("id between 3 and 7") == {"id": (3, 7)}
+    assert _ranges_from_predicate("name = 'it''s'") == {"name": ("it's", "it's")}
+    assert _ranges_from_predicate("a = 1 and b > 2.5") == {
+        "a": (1, 1), "b": (2.5, _MAX),
+    }
+    # unbounded sentinels compare below/above everything
+    assert not (_MIN > 0) and not (_MAX < 10**9) and (_MIN < -1) and (_MAX > 1)
+    # unparseable shapes -> None (pessimistic)
+    assert _ranges_from_predicate("id < 5 or id > 8") is None
+    assert _ranges_from_predicate(None) is None
+    assert _ranges_from_predicate("not id = 1") is None
+    assert _ranges_from_predicate("(id = 1)") is None
+    assert _ranges_from_predicate(F.col("id") < 5) is None
+    # AND inside a string literal collapses safely to None
+    assert _ranges_from_predicate("name = 'rock and roll'") is None

@@ -125,3 +125,33 @@ def test_line_flags_registered_chunked(spark, tmp_path):
     assert got[1]["dup_para_frac"] == 0.0  # one 32-token paragraph
     assert got[1]["keep"] is False
     assert got[2]["keep"] is True and got[2]["dup_line_frac"] == 0.0
+
+
+def test_c4_flags_newline_text(spark):
+    """c4_quality_flags_df over REAL newline structure: per-line terminal
+    punctuation / >=3 words / no-'javascript' rules and the page-level
+    sentence-count, lorem-ipsum, and curly-brace gates."""
+    from thesis_iceberg_spark.queries.text import c4_quality_flags_df
+
+    rows = [
+        # 4 lines: kept; dropped (no terminal punct); dropped (2 words);
+        # dropped (javascript) -> kept_line_frac 0.25; 5 sentences -> keep
+        (1, "The cat sat down here.\nno punctuation line\nToo short.\n"
+            "Please enable JavaScript now!\nOne. Two. Three. Four?"),
+        # clean lines but only 2 sentences -> page dropped
+        (2, "A good line ends well.\nAnother proper line follows!"),
+        # lorem ipsum -> page dropped even with enough sentences
+        (3, "Lorem ipsum dolor sit amet. One. Two. Three. Four. Five."),
+        # curly brace -> page dropped
+        (4, "Code follows {x}. One. Two. Three. Four. Five."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.asDict() for r in c4_quality_flags_df(df).collect()}
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept_lines"] == 2
+    # "Too short." has 2 words; "no punctuation line" fails the punct rule;
+    # the JavaScript line fails the word rule; the last line is kept
+    assert abs(got[1]["kept_line_frac"] - 0.4) < 1e-12
+    assert got[1]["n_sentences"] >= 5 and got[1]["keep"] is True
+    assert got[2]["n_kept_lines"] == 2 and got[2]["keep"] is False
+    assert got[3]["has_lorem_ipsum"] is True and got[3]["keep"] is False
+    assert got[4]["has_curly_brace"] is True and got[4]["keep"] is False

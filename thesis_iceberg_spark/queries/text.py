@@ -771,3 +771,103 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         _chunks(toks, _PARA_TOKS).alias("paras"),
     )
     return _dup_piece_flags(base)
+
+
+# ---------------------------------------------------------------------------
+# C4 quality rules (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", §2.2) — the OTHER canonical published cleaning rule set next
+# to Gopher, closing the pre-training quality-filter family:
+#   * keep only lines ending in a terminal punctuation mark (. ! ? ");
+#   * keep only lines with >= 3 words;
+#   * drop lines containing the word "javascript";
+#   * drop any page with < 5 sentences;
+#   * drop any page containing "lorem ipsum" or a curly bracket.
+# (The paper's bad-words list and three-sentence-span dedup are out of
+# scope here: the former is a blocklist lookup, the latter lives with the
+# dedup operators.)  Like the Gopher line rules, the flat synthetic corpus
+# gets deterministic 8-token lines IN BOTH ENGINES for a value oracle;
+# real newline text goes through c4_quality_flags_df.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+# terminal punctuation: period / exclamation / question / closing quote
+_C4_TERMINAL_RE = '[.!?"]$'
+_C4_JS_RE = r"\bjavascript\b"
+
+
+def _c4_flags(docs: DataFrame, lines_col) -> DataFrame:
+    """(doc_id, text, <lines array>) -> per-page C4 columns.  Pure narrow
+    map — every rule is a per-row expression over the line array and the
+    raw text, zero shuffles, whole-stage codegen end to end; the 100 TB
+    cost is exactly one scan."""
+    kept = F.filter(
+        lines_col,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(l).rlike(_C4_JS_RE),
+    )
+    n_lines = F.size(lines_col)
+    n_kept = F.size(kept)
+    n_sent = F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), F.lit(0)))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_curly = F.col("text").contains("{")
+    keep = (n_sent >= C4_MIN_SENTENCES) & ~has_lorem & ~has_curly
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.when(n_lines > 0, n_kept.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("kept_line_frac"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_curly.alias("has_curly_brace"),
+        keep.alias("keep"),
+    )
+
+
+def c4_quality_flags_df(docs: DataFrame) -> DataFrame:
+    """C4 rules over REAL newline-structured text: lines split on '\\n',
+    blank/whitespace lines dropped before the per-line rules."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return _c4_flags(docs, lines)
+
+
+@register(
+    "text_c4_quality_flags",
+    oracle=f"""
+SELECT doc_id,
+       len({_sql_chunks(_sql_toks(), _LINE_TOKS)}) AS n_lines,
+       len(list_filter({_sql_chunks(_sql_toks(), _LINE_TOKS)},
+           l -> regexp_matches(l, '{_C4_TERMINAL_RE}')
+                AND len(regexp_split_to_array(trim(l), '\\s+')) >= {C4_MIN_WORDS_PER_LINE}
+                AND NOT regexp_matches(lower(l), '\\bjavascript\\b')))
+           AS n_kept_lines,
+       CASE WHEN len({_sql_chunks(_sql_toks(), _LINE_TOKS)}) > 0 THEN
+            CAST(len(list_filter({_sql_chunks(_sql_toks(), _LINE_TOKS)},
+                l -> regexp_matches(l, '{_C4_TERMINAL_RE}')
+                     AND len(regexp_split_to_array(trim(l), '\\s+')) >= {C4_MIN_WORDS_PER_LINE}
+                     AND NOT regexp_matches(lower(l), '\\bjavascript\\b'))) AS DOUBLE)
+            / len({_sql_chunks(_sql_toks(), _LINE_TOKS)})
+            ELSE 0.0 END AS kept_line_frac,
+       length(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(text, '{{') AS has_curly_brace,
+       (length(regexp_extract_all(text, '[.!?]')) >= {C4_MIN_SENTENCES}
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS keep
+FROM documents
+""",
+    doc="C4 cleaning rules (Raffel et al. §2.2): terminal-punctuation + "
+    ">=3-word + no-'javascript' line filters, >=5-sentence / no-'lorem "
+    "ipsum' / no-curly-brace page filters. Flat corpus -> deterministic "
+    "8-token lines in both engines (same convention as "
+    "text_gopher_line_flags); real newline text via c4_quality_flags_df. "
+    "Narrow per-row map, zero shuffle.",
+)
+def text_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _c4_flags(_docs(spark, sf_dir), _chunks(_toks(), _LINE_TOKS))

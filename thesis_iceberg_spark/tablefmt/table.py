@@ -54,6 +54,93 @@ _PARTITION_COL = "_p_day"  # materialized hidden-partition column
 COMMIT_RETRIES = 5  # rebase attempts before a CommitConflict surfaces
 
 
+class _Unbounded:
+    """Open interval end for predicate ranges: ``_MIN`` compares below and
+    ``_MAX`` above every stats value, so one-sided predicates (col < 5)
+    reuse the same (lo, hi) range checks as closed ones."""
+
+    def __init__(self, low: bool):
+        self._low = low
+
+    def __lt__(self, other):  # _MIN < x, _MAX < nothing
+        return self._low
+
+    def __gt__(self, other):  # _MAX > x, _MIN > nothing
+        return not self._low
+
+
+_MIN = _Unbounded(low=True)
+_MAX = _Unbounded(low=False)
+
+# one conjunct of a simple predicate: ident <op> literal (number or
+# single-quoted SQL string); anything richer -> ranges unknown
+_CONJUNCT_RE = None  # compiled lazily in _ranges_from_predicate
+
+
+def _ranges_from_predicate(condition) -> dict[str, tuple] | None:
+    """Best-effort column ranges from a predicate STRING of AND-ed simple
+    comparisons (``col = lit``, ``col < lit``, ``col BETWEEN a AND b``...).
+    Returns None — "cannot bound the predicate" — for Column objects,
+    OR/NOT/parenthesized text, or any unrecognized conjunct; callers treat
+    None conservatively (the predicate could match anything).  A split on
+    AND inside a string literal produces conjuncts that fail the
+    comparison regex, which also collapses to the safe None."""
+    import re as _re
+
+    global _CONJUNCT_RE
+    if _CONJUNCT_RE is None:
+        _CONJUNCT_RE = _re.compile(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|==|=|<|>)\s*"
+            r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+        )
+    if not isinstance(condition, str):
+        return None
+
+    def lit(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1].replace("''", "'")
+        return float(tok) if "." in tok else int(tok)
+
+    # protect BETWEEN's inner AND from the conjunct split
+    guarded = _re.sub(
+        r"(?i)\s+between\s+('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s+and\s+",
+        r" between \1 @AND@ ",
+        condition.strip(),
+    )
+    ranges: dict[str, tuple] = {}
+    for part in _re.split(r"(?i)\s+and\s+", guarded):
+        m = _re.match(
+            r"(?i)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+between\s+"
+            r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s+@AND@\s+"
+            r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$",
+            part,
+        )
+        if m:
+            col, lo, hi = m.group(1), lit(m.group(2)), lit(m.group(3))
+        else:
+            m = _CONJUNCT_RE.match(part)
+            if not m:
+                return None
+            col, op, v = m.group(1), m.group(2), lit(m.group(3))
+            lo, hi = {
+                "=": (v, v),
+                "==": (v, v),
+                "<": (_MIN, v),
+                "<=": (_MIN, v),
+                ">": (v, _MAX),
+                ">=": (v, _MAX),
+            }[op]
+        if col in ranges:  # intersect repeated-column conjuncts
+            plo, phi = ranges[col]
+            try:
+                lo = lo if plo is _MIN else (plo if lo is _MIN else max(lo, plo))
+                hi = hi if phi is _MAX else (phi if hi is _MAX else min(hi, phi))
+            except TypeError:  # mixed literal types: cannot bound
+                return None
+        ranges[col] = (lo, hi)
+    return ranges or None
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed since this handle loaded its metadata."""
 
@@ -413,6 +500,34 @@ class VersionedTable:
         (Iceberg's Table.refresh())."""
         self._meta = self._load_meta()
 
+    def _isolation(self, which: str) -> str:
+        """Isolation level for a row-level operation, from the Iceberg table
+        properties ``write.<op>.isolation-level`` (falling back to
+        ``write.isolation-level``).  DEFAULT IS ``snapshot`` — a documented
+        deviation from Iceberg, whose row-level default is serializable —
+        because pure appends are the overwhelmingly common concurrent
+        commit; set the property to ``serializable`` for Iceberg's
+        default conflict behavior."""
+        lvl = self.properties.get(
+            f"write.{which}.isolation-level",
+            self.properties.get("write.isolation-level", "snapshot"),
+        )
+        if lvl not in ("snapshot", "serializable"):
+            raise ValueError(f"unknown write.{which}.isolation-level: {lvl}")
+        return lvl
+
+    def _entry_could_match(self, entry: dict, ranges: dict | None) -> bool:
+        """Conservative: could any row of this manifest entry satisfy a
+        predicate bounded by ``ranges``?  Unknown predicate shape, a
+        directory-level entry (no per-file stats), or bounds that overlap
+        all answer yes."""
+        if ranges is None:
+            return True
+        files = entry.get("files")
+        if files is None:
+            return True
+        return any(self._file_in_ranges(f, ranges) for f in files)
+
     def _commit_delta(
         self,
         operation: str,
@@ -420,6 +535,7 @@ class VersionedTable:
         added_deletes: list[dict],
         now_ms: int | None,
         row_level: bool,
+        predicate_ranges: dict | None = None,
     ) -> None:
         """Commit a DELTA (new data-file entries and/or new position-delete
         entries) on top of the CURRENT snapshot, rebasing and retrying on
@@ -440,15 +556,19 @@ class VersionedTable:
           copies would resurrect rows it deleted.  Either way: conflict.
 
         Isolation level: rebasing a row-level delta over a concurrent pure
-        append is SNAPSHOT isolation — the delta's predicate is NOT
-        re-evaluated against the winner's newly added files, so an
-        appended row matching the predicate survives.  Iceberg's default
-        for UPDATE/DELETE/MERGE is serializable (that append would
-        conflict); a serializable option here would conflict whenever the
-        rebased-over append contains files whose min/max bounds could
-        match the operation predicate.  Documented deviation, chosen
-        because pure appends are by far the most common concurrent commit
-        and predicate-vs-bounds re-validation is pessimistic.
+        append is SNAPSHOT isolation (the default) — the delta's predicate
+        is NOT re-evaluated against the winner's newly added files, so an
+        appended row matching the predicate survives.  With the table
+        property ``write.isolation-level=serializable`` (or the per-op
+        ``write.<op>.isolation-level``, Iceberg's property names and its
+        DEFAULT behavior for UPDATE/DELETE/MERGE), the rebase additionally
+        CONFLICTS whenever a rebased-over append contains files whose
+        min/max bounds could satisfy the operation predicate
+        (``predicate_ranges``; None = shape unknown = any file could
+        match).  The bounds check mirrors Iceberg's
+        validateAddedDataFiles conflict detection: conservative in the
+        conflict direction — a file with no stats, a directory-level
+        entry, or an unparseable predicate all count as possible matches.
 
         Retry budget: a conflicted attempt only counts against
         COMMIT_RETRIES when the table did NOT advance (a stuck hint, not a
@@ -500,6 +620,20 @@ class VersionedTable:
                             "rewritten or new delete files added); re-run the "
                             "operation against the current snapshot"
                         ) from None
+                    if self._isolation(operation) == "serializable":
+                        clashing = [
+                            e
+                            for e in (base["manifest"] if base else [])
+                            if e["path"] not in old_paths
+                            and self._entry_could_match(e, predicate_ranges)
+                        ]
+                        if clashing:
+                            raise CommitConflict(
+                                f"serializable isolation: {operation} predicate "
+                                "could match rows a concurrent append added "
+                                f"({clashing[0]['path']}); re-run the operation "
+                                "against the current snapshot"
+                            ) from None
 
     def _commit_replace(
         self, added_manifest: list[dict], now_ms: int | None
@@ -954,13 +1088,18 @@ class VersionedTable:
         compact() folds the deletes back into data files."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if self._dml_mode("delete", mode) == "merge-on-read":
-            self._mor_delete(cond, now_ms)
+            self._mor_delete(cond, now_ms, ranges=_ranges_from_predicate(condition))
             return
         self._cow_rewrite(
             cond, lambda df, match: df.filter(~match), "delete", now_ms
         )
 
-    def _mor_delete(self, condition: Column, now_ms: int | None = None) -> None:
+    def _mor_delete(
+        self,
+        condition: Column,
+        now_ms: int | None = None,
+        ranges: dict | None = None,
+    ) -> None:
         snap = self._select_snapshot()
         if snap is None:
             return
@@ -970,7 +1109,10 @@ class VersionedTable:
         del_entries = self._write_delete_files(scan.filter(match), sid)
         if not del_entries:
             return  # no rows match: no new snapshot
-        self._commit_delta("delete", [], del_entries, now_ms, row_level=True)
+        self._commit_delta(
+            "delete", [], del_entries, now_ms, row_level=True,
+            predicate_ranges=ranges,
+        )
 
     def update(
         self,
@@ -1005,12 +1147,18 @@ class VersionedTable:
             )
 
         if self._dml_mode("update", mode) == "merge-on-read":
-            self._mor_update(cond, assigns, now_ms)
+            self._mor_update(
+                cond, assigns, now_ms, ranges=_ranges_from_predicate(condition)
+            )
             return
         self._cow_rewrite(cond, rewrite, "update", now_ms)
 
     def _mor_update(
-        self, condition: Column, assigns: dict[str, Column], now_ms: int | None
+        self,
+        condition: Column,
+        assigns: dict[str, Column],
+        now_ms: int | None,
+        ranges: dict | None = None,
     ) -> None:
         """Merge-on-read UPDATE: position-delete every matched row, append a
         new data file containing only the updated versions. Untouched data
@@ -1031,7 +1179,10 @@ class VersionedTable:
             ]
         )
         data_entries = self._write_data_files(updated, sid)
-        self._commit_delta("update", data_entries, del_entries, now_ms, row_level=True)
+        self._commit_delta(
+            "update", data_entries, del_entries, now_ms, row_level=True,
+            predicate_ranges=ranges,
+        )
 
     def merge(
         self,
@@ -1213,7 +1364,20 @@ class VersionedTable:
             data_entries = []
         if not del_entries and not data_entries:
             return  # nothing matched, nothing inserted: no new snapshot
-        self._commit_delta("merge", data_entries, del_entries, now_ms, row_level=True)
+        ranges = None
+        if self._isolation("merge") == "serializable":
+            # a MERGE's "predicate" is key membership in the source set:
+            # bound it by the source keys' min/max so concurrent appends
+            # whose key bounds lie outside the source range still rebase
+            lo, hi = src.agg(F.min(on), F.max(on)).first()
+            if lo is not None:
+                if hasattr(lo, "isoformat"):  # match footer-stat encoding
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                ranges = {on: (lo, hi)}
+        self._commit_delta(
+            "merge", data_entries, del_entries, now_ms, row_level=True,
+            predicate_ranges=ranges,
+        )
 
     # ------------------------------------------------------------------
     # schema evolution (field-id based — ref: api.py:170-215)
