@@ -155,3 +155,26 @@ def test_c4_flags_newline_text(spark):
     assert got[2]["n_kept_lines"] == 2 and got[2]["keep"] is False
     assert got[3]["has_lorem_ipsum"] is True and got[3]["keep"] is False
     assert got[4]["has_curly_brace"] is True and got[4]["keep"] is False
+
+
+def test_dedup_paragraphs_real_text(spark):
+    """dedup_paragraphs_df: a paragraph that already occurred anywhere in
+    the corpus (first occurrence by doc_id, position) is dropped from
+    later documents; within-document repeats count too."""
+    from thesis_iceberg_spark.queries.pipeline_q import dedup_paragraphs_df
+
+    rows = [
+        (1, "alpha beta\n\ngamma delta"),            # both first -> kept
+        (2, "gamma delta\n\nunique here"),           # first para is a dup
+        (3, "same same\n\nsame same\n\nsame same"),  # self-repeats: keep 1 of 3
+        (4, ""),                                     # empty doc edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.asDict() for r in dedup_paragraphs_df(df).collect()}
+    assert got[1]["n_paras"] == 2 and got[1]["n_kept_paras"] == 2
+    assert got[2]["n_kept_paras"] == 1  # "gamma delta" dropped (doc 1 owns it)
+    assert abs(got[2]["kept_char_frac"] - 11 / 22) < 1e-12
+    assert got[3]["n_paras"] == 3 and got[3]["n_kept_paras"] == 1
+    assert got[4]["n_paras"] == 0 and got[4]["kept_char_frac"] == 1.0
+    # fingerprints: doc1's kept set differs from doc2's
+    assert got[1]["cleaned_fingerprint"] != got[2]["cleaned_fingerprint"]

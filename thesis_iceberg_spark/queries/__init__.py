@@ -75,18 +75,21 @@ def _load_all() -> None:
 #       r5 — the only staleness violations; VERDICT r4 named them);
 #   (c) filter_range_ts + distinct_values as the filter/distinct family
 #       regression guards (ADVICE r4);
-#   (d) 35 of the 44 r3-greens — including every tablefmt/sql entry, since
-#       table.py's commit-retry/_commit_replace changed this round.  The 9
+#   (d) 33 of the 44 r3-greens — including every tablefmt/sql entry, since
+#       table.py's commit-retry/_commit_replace changed this round.  The 11
 #       left out (scan_full, text_token_stats, text_lang_id,
 #       multimodal_metadata, pipeline_chunk_documents,
 #       pipeline_pack_sequences, in_exists_subqueries, grouping_sets_sql,
-#       agg_count_distinct) are unchanged r3-greens — exactly 2 rounds old
-#       at r5, each with an r4-green family sibling — and MUST lead the
-#       r6 window.
+#       agg_count_distinct, streaming_batch_parity, time_bucket_rollup —
+#       the last two displaced late in r5 by the two new queries below)
+#       are unchanged r3-greens — exactly 2 rounds old at r5, each with an
+#       r4-green family sibling — and MUST lead the r6 window.
 # Names not (yet) registered are skipped harmlessly; unlisted queries keep
 # registration order after the prioritized block.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # --- (a) new, then changed this round ---
+    "text_c4_quality_flags",
+    "pipeline_dedup_paragraphs",
     "text_gopher_line_flags",
     "dedup_embedding_lsh_pairs",
     "text_gopher_repetition_signals",
@@ -138,8 +141,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_batch_topk",
     "window_funcs_extended",
     "sessionize_events",
-    "streaming_batch_parity",
-    "time_bucket_rollup",
 )
 
 

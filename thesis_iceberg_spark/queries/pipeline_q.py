@@ -465,3 +465,134 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_containment") >= DECON_THRESHOLD)
         .select(F.col("train_doc").alias("doc_id"), "max_containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-paragraph removal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — ExactSubstr at paragraph
+# granularity, the practical large-scale variant): every paragraph that
+# already occurred ANYWHERE in the corpus (first occurrence by (doc_id,
+# position)) is dropped from later documents.  Like the Gopher/C4 line
+# rules, the flat synthetic corpus gets deterministic 32-token paragraphs
+# in BOTH engines for a value oracle; real text goes through
+# dedup_paragraphs_df ('\n\n' splits).
+# ---------------------------------------------------------------------------
+
+
+def _dedup_paragraphs(docs: DataFrame, paras_col) -> DataFrame:
+    """(doc_id, <paras array>) -> per-doc paragraph-dedup summary.
+
+    Scale shape: paragraph TEXT never shuffles — each paragraph becomes a
+    32-char md5 + its char length before the exchange; the canonical-
+    occurrence pass is one window over the hash (uniform key, no skew,
+    per-group size = duplicate count), then one groupBy(doc_id) back.
+    cleaned_fingerprint = md5 of the kept paragraph hashes in position
+    order proves the surviving text is reconstructable without emitting
+    it."""
+    from pyspark.sql.window import Window
+
+    px = (
+        docs.select("doc_id", F.posexplode(paras_col).alias("pos", "piece"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("pos"),
+            F.md5("piece").alias("h"),
+            F.length("piece").alias("plen"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+    r = px.withColumn("rn", rn)
+    is_first = F.col("rn") == 1
+    kept_h = F.when(is_first, F.struct("pos", "h"))
+    agg = r.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(is_first, 1).otherwise(0)).alias("n_kept_paras"),
+        (
+            F.sum(F.when(is_first, F.col("plen")).otherwise(0)).cast("double")
+            / F.sum("plen")
+        ).alias("kept_char_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_h)), lambda x: x["h"]),
+                " ",
+            )
+        ).alias("cleaned_fingerprint"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept_paras", F.lit(0)).alias("n_kept_paras"),
+            F.coalesce("kept_char_frac", F.lit(1.0)).alias("kept_char_frac"),
+            F.coalesce("cleaned_fingerprint", F.md5(F.lit(""))).alias(
+                "cleaned_fingerprint"
+            ),
+        )
+    )
+
+
+def dedup_paragraphs_df(docs: DataFrame) -> DataFrame:
+    """Paragraph dedup over REAL text: paragraphs split on '\\n\\n',
+    blank/whitespace pieces dropped."""
+    paras = F.filter(
+        F.transform(F.split(F.col("text"), r"\n\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return _dedup_paragraphs(docs, paras)
+
+
+def _sql_dedup_paras() -> str:
+    from thesis_iceberg_spark.queries.text import (
+        _PARA_TOKS,
+        _sql_chunks,
+        _sql_toks,
+    )
+
+    chunks = _sql_chunks(_sql_toks(), _PARA_TOKS)
+    rng = "range(1, len(paras) + 1)"
+    return f"""
+WITH base AS (SELECT doc_id, {chunks} AS paras FROM documents),
+px AS (SELECT doc_id,
+              unnest(list_transform({rng}, i -> i)) AS pos,
+              unnest(list_transform({rng}, i -> md5(paras[i]))) AS h,
+              unnest(list_transform({rng}, i -> length(paras[i]))) AS plen
+       FROM base),
+r AS (SELECT doc_id, pos, h, plen,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM px),
+agg AS (SELECT doc_id,
+               COUNT(*) AS n_paras,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept_paras,
+               CAST(SUM(CASE WHEN rn = 1 THEN plen ELSE 0 END) AS DOUBLE)
+                   / SUM(plen) AS kept_char_frac,
+               md5(string_agg(CASE WHEN rn = 1 THEN h END, ' ' ORDER BY pos))
+                   AS cleaned_fingerprint
+        FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(n_kept_paras, 0) AS BIGINT) AS n_kept_paras,
+       COALESCE(kept_char_frac, 1.0) AS kept_char_frac,
+       COALESCE(cleaned_fingerprint, md5('')) AS cleaned_fingerprint
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+@register(
+    "pipeline_dedup_paragraphs",
+    oracle=_sql_dedup_paras(),
+    doc="Corpus-wide exact duplicate-paragraph removal (Lee et al. 2022 "
+    "ExactSubstr at paragraph granularity): only the FIRST occurrence of "
+    "each paragraph — ordered by (doc_id, position) — survives anywhere "
+    "in the corpus. Registered entry derives deterministic 32-token "
+    "paragraphs from the flat corpus in both engines; real text via "
+    "dedup_paragraphs_df. Paragraph text never shuffles (md5 + length "
+    "only); one uniform-key window + one doc_id groupBy.",
+)
+def pipeline_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.queries.text import _chunks, _PARA_TOKS, _toks
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup_paragraphs(docs, _chunks(_toks(), _PARA_TOKS))
