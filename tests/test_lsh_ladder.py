@@ -64,7 +64,8 @@ def test_ladder_shape_and_key_arithmetic():
         rows = math.comb(dims, arity) + (
             math.comb(anchor, arity - 1) if anchor else 0
         )
-        assert rows <= 12870 + 792, (n, rows)
+        # C(16,8) main + C(13,7) anchor at the top rung
+        assert rows <= 12870 + 1716, (n, rows)
         # main keys stay below the anchor namespace; anchor keys fit a long
         assert 128**arity <= _ANCHOR_OFFSET
         assert _ANCHOR_OFFSET + 128 ** (arity - 1) < 2**63
@@ -111,3 +112,83 @@ def test_bucket_overflow_guard_fires(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "BUCKET_CAP", 1)
     with pytest.raises(Exception, match="LSH bucket overflow"):
         REGISTRY["dedup_embedding_lsh_pairs"].fn(spark, sf_dir).collect()
+
+
+def _planted_fixture(tmp_path):
+    """n=1200 embeddings: 600 random unit vectors + 150 planted near-dups
+    at each pair cosine in {0.7, 0.8, 0.9, 0.95} (v' = c*v + sqrt(1-c^2)*u
+    with u orthonormal — the pair cosine is exact by construction).
+    Deterministic seed: the measurement is exactly reproducible."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    dim, nbase = 64, 600
+    base = rng.standard_normal((nbase, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, pairs = [], {}
+    for i in range(nbase):
+        rows.append(base[i])
+    vid = nbase
+    for c in (0.7, 0.8, 0.9, 0.95):
+        for i in range(0, nbase, 4):
+            v = base[i]
+            g = rng.standard_normal(dim)
+            g -= g @ v * v
+            g /= np.linalg.norm(g)
+            rows.append(c * v + math.sqrt(1 - c * c) * g)
+            pairs[(i, vid)] = c
+            vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in r] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array(["x"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path), pairs
+
+
+@pytest.mark.parametrize(
+    "arity,gates",
+    [
+        (5, {0.7: 0.95, 0.8: 0.95, 0.9: 0.95}),  # measured 1.0 everywhere
+        (8, {0.8: 0.90, 0.9: 0.95}),  # measured 0.94 / 1.0
+    ],
+)
+def test_generative_rung_recall_on_planted_near_dups(
+    spark, tmp_path, monkeypatch, arity, gates
+):
+    """MEASURED recall at the generative rungs (round-5 sweep, documented
+    at SIG_TIERS): on planted near-dups the first (a=5) and top (a=8)
+    rungs hold recall at the similarity grades near-dup mining actually
+    targets at 1e8-1e9 vectors (cosine >= 0.8); the a=8 gate at 0.8 is
+    deliberately the weakest measured point (0.94).  Deterministic
+    fixture + deterministic algorithm -> no flake margin needed beyond
+    the documented gates."""
+    from thesis_iceberg_spark.queries import dedup
+
+    loc, pairs = _planted_fixture(tmp_path)
+    monkeypatch.setattr(
+        dedup,
+        "SIG_TIERS",
+        ((1, 2, 16, 0), (2, 3, 12, 6), (None, arity, 16, dedup._ANCHOR_RANK)),
+    )
+    raw = dedup.load_table(spark, loc, "embeddings")
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in dedup._embedding_lsh_candidates(
+            spark, raw, dedup._emb_norms(raw)
+        ).collect()
+    }
+    cand = {(min(a, b), max(a, b)) for a, b in cand}
+    n = 1200
+    assert len(cand) <= 0.05 * n * n, f"candidates {len(cand)} > 0.05*n^2"
+    for cos, floor in gates.items():
+        tp = {p for p, c in pairs.items() if c == cos}
+        recall = len(cand & tp) / len(tp)
+        assert recall >= floor, f"arity {arity} recall@{cos} {recall:.3f} < {floor}"

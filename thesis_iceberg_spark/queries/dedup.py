@@ -473,19 +473,38 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the floor stays O(n) at every count the ladder admits.  sig_dims stays
 # 16, so per-vector bucket rows C(16, arity) are BOUNDED (<= 12870 at
 # arity 8) — signature cost per vector does not grow with corpus size.
-# Recall at the high rungs is kept by the anchor component (arity-1 tuples
-# over the top-(arity+4) strongest dims); it cannot be measured at 1e9
-# locally, so the high-rung guarantees are the closed-form candidate bound
-# (tests/test_lsh_ladder.py) plus the per-bucket overflow guard below.
+# Recall at the high rungs is kept by the anchor component ((arity-1)-
+# tuples over the top-_ANCHOR_RANK strongest dims).  MEASURED (round 5,
+# forced rungs; anchor rank 13 — raised from arity+4 after the sweep
+# below):
+#
+#   at the 0.45 threshold (sf0.1 corpus, its true pairs sit at 0.45-0.55,
+#   the hardest LSH regime):      a5 0.819   a6 0.521   a7 0.208
+#   on PLANTED near-dups (tests/test_lsh_ladder.py fixture, n=1200):
+#     pair cosine 0.7:            a5 1.000   a6 0.967   a7 0.887  a8 0.567
+#     pair cosine 0.8:            a5 1.000   a6 1.000   a7 0.993  a8 0.940
+#     pair cosine >= 0.9:         all rungs 1.000
+#
+# Interpretation: marginal-similarity recall decays with arity — LSH at a
+# 0.45 threshold is near the theoretical hardness floor, and no
+# sub-quadratic scheme holds it at 1e9 — but the high rungs only engage
+# at 1e8-1e9 vectors, where near-dup mining targets genuine duplicates
+# (cosine >= 0.8, the SemDeDup operating regime) and recall holds at
+# 0.94-1.0.  The anchor sweep (rank 9/11/12/13/14 at a5: recall 0.764/
+# 0.771/0.792/0.819/0.819, candidates 0.016->0.029 n^2) picked 13 as the
+# knee.  The closed-form candidate bound (tests/test_lsh_ladder.py) and
+# the per-bucket overflow guard below are unchanged.
 _SIGNED_DIMS = 128  # 2 * embedding dim (64): each dim, signed
 _FLOOR_FACTOR = 10  # rung bound keeps n^2/B <= n/_FLOOR_FACTOR
 _BIG_L = 16  # signature width at every generative rung
 _MAX_ARITY = 8  # base-128 long bucket keys stay < 128^8 ~ 7.2e16
+_ANCHOR_RANK = 13  # anchor (a-1)-tuples drawn from the top-13 dims (sweep
+# above: the recall/candidate knee; per-vector anchor rows <= C(13,7)=1716)
 
 
 def _big_rungs() -> tuple[tuple[int, int, int, int], ...]:
     return tuple(
-        (math.comb(_SIGNED_DIMS, a) // _FLOOR_FACTOR, a, _BIG_L, a + 4)
+        (math.comb(_SIGNED_DIMS, a) // _FLOOR_FACTOR, a, _BIG_L, _ANCHOR_RANK)
         for a in range(4, _MAX_ARITY + 1)
     )
 
