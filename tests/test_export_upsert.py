@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.sources.export import export_jsonl
@@ -97,3 +99,55 @@ def test_stream_upsert_mor_writes_o_batch_per_epoch(spark, tmp_path):
     assert vt.read().count() == 10_015
     assert {r.v for r in vt.read().filter(F.col("k") >= 100_000).collect()} == {-2}
     assert vt.read().filter((F.col("k") < 15) & (F.col("v") == -1)).count() == 15
+
+
+def test_stream_cdc_apply_upserts_and_eq_deletes(spark, tmp_path):
+    """Full CDC apply (round 5): per micro-batch, upserts land as one MERGE
+    and deletes as one EQUALITY-delete file — the delete half never reads
+    the target table."""
+    from thesis_iceberg_spark.streaming.ingest import stream_cdc_apply_into_table
+
+    loc = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k INT, s STRING, v INT"
+    )
+    vt = VersionedTable.create(spark, loc, df=base, now_ms=1_000)
+    src_dir = str(tmp_path / "cdc")
+    cdc = spark.createDataFrame(
+        [
+            (2, "B", 200, "upsert"),   # update
+            (9, "z", 90, "upsert"),    # insert
+            (1, None, None, "delete"), # delete
+        ],
+        "k INT, s STRING, v INT, _op STRING",
+    )
+    cdc.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(cdc.schema).parquet(src_dir)
+    stream_cdc_apply_into_table(
+        stream, vt, key="k", now_ms_base=2_000, mode="merge-on-read"
+    )
+    got = {r.k: (r.s, r.v) for r in vt.read().collect()}
+    assert got == {2: ("B", 200), 3: ("c", 30), 9: ("z", 90)}
+    # the delete is an equality-delete file, not a position delete
+    _pos, eq = vt._split_deletes(vt._current_delete_manifest())
+    assert len(eq) == 1 and eq[0]["eq_cols"] == ["k"]
+
+
+def test_stream_cdc_apply_rejects_ambiguous_batch(spark, tmp_path):
+    from thesis_iceberg_spark.streaming.ingest import stream_cdc_apply_into_table
+
+    loc = str(tmp_path / "t")
+    vt = VersionedTable.create(
+        spark,
+        loc,
+        df=spark.createDataFrame([(1, 1)], "k INT, v INT"),
+        now_ms=1_000,
+    )
+    src_dir = str(tmp_path / "cdc")
+    cdc = spark.createDataFrame(
+        [(1, 5, "upsert"), (1, None, "delete")], "k INT, v INT, _op STRING"
+    )
+    cdc.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(cdc.schema).parquet(src_dir)
+    with pytest.raises(Exception, match="both upserts and deletes"):
+        stream_cdc_apply_into_table(stream, vt, key="k", now_ms_base=2_000)

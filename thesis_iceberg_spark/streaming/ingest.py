@@ -15,6 +15,7 @@ protocol + the source's replayable offsets, like any foreachBatch sink.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.tablefmt import VersionedTable
 
@@ -85,6 +86,54 @@ def stream_upsert_into_table(
             now_ms=now,
             mode=mode,
         )
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return table
+
+
+def stream_cdc_apply_into_table(
+    stream: DataFrame,
+    table: VersionedTable,
+    key: str,
+    op_col: str = "_op",
+    now_ms_base: int | None = None,
+    mode: str | None = None,
+) -> VersionedTable:
+    """FULL CDC apply: a change stream whose ``op_col`` is 'upsert' or
+    'delete' lands per micro-batch as one MERGE (upserts) plus one
+    EQUALITY-delete file (deletes).  The delete half never reads the
+    target — delete_by_key() just writes the batch's key set, applied at
+    read time by sequence number — so a delete-heavy CDC feed stays
+    O(batch) per epoch even on a table position deletes would have to
+    scan.  Within a batch, a key both upserted and deleted is an error
+    (ambiguous order inside one epoch; make the source emit the final
+    image per key per batch, the standard CDC-compaction contract)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        now = (now_ms_base + batch_id) if now_ms_base is not None else None
+        ups = batch_df.filter(F.col(op_col) == "upsert").drop(op_col)
+        dels = batch_df.filter(F.col(op_col) == "delete").select(key)
+        both = ups.select(key).join(dels, key, "left_semi").limit(1).collect()
+        if both:
+            raise ValueError(
+                f"CDC batch {batch_id} both upserts and deletes key "
+                f"{key}={both[0][0]!r}; emit one final image per key per batch"
+            )
+        if not dels.isEmpty():
+            table.delete_by_key(dels, columns=[key], now_ms=now)
+        if not ups.isEmpty():
+            cols = table.columns
+            table.merge(
+                ups.select(*cols),
+                on=key,
+                when_matched_update={c: f"s.`{c}`" for c in cols if c != key},
+                when_not_matched_insert=True,
+                now_ms=now,
+                mode=mode,
+            )
 
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()

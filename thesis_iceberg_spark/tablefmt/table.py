@@ -453,6 +453,17 @@ class VersionedTable:
         delete_manifest: list[dict] | None = None,
     ) -> dict:
         sid = self._next_snapshot_id()
+        # COMMIT-TIME sequence stamping (Iceberg's data sequence numbers):
+        # entries first committed by this snapshot get seq = its id; carried
+        # entries keep their stamp.  Equality deletes apply to data entries
+        # with a STRICTLY SMALLER seq, so a slow append that wrote its files
+        # before a concurrent equality delete but commits after it (rebase)
+        # is correctly NOT affected — write-time ids in file paths cannot
+        # give that ordering.
+        manifest = [e if "seq" in e else {**e, "seq": sid} for e in manifest]
+        delete_manifest = [
+            e if "seq" in e else {**e, "seq": sid} for e in (delete_manifest or [])
+        ]
         parent = self._meta["current_snapshot_id"]
         return {
             "snapshot_id": sid,
@@ -836,13 +847,86 @@ class VersionedTable:
         }
         return self._scan_snapshot(pruned, with_pos=False)
 
+    @staticmethod
+    def _split_deletes(deletes: list[dict]) -> tuple[list[dict], list[dict]]:
+        """(position-delete entries, equality-delete entries)."""
+        pos = [d for d in deletes if "eq_field_ids" not in d]
+        eq = [d for d in deletes if "eq_field_ids" in d]
+        return pos, eq
+
+    @staticmethod
+    def _entry_seq(entry: dict) -> int:
+        """Data sequence number of a manifest entry: the commit-time stamp,
+        falling back to the write-time id in the path for entries committed
+        before stamping existed (close enough: those all predate any
+        equality delete)."""
+        import re as _re
+
+        if "seq" in entry:
+            return entry["seq"]
+        m = _re.search(r"snap-(\d+)-", entry["path"])
+        return int(m.group(1)) if m else 0
+
+    def _apply_eq_deletes(
+        self, df: DataFrame, entry: dict, eq_entries: list[dict]
+    ) -> DataFrame:
+        """Subtract equality-deleted rows from one data entry's scan.  An
+        equality delete applies only to data entries with a strictly
+        smaller sequence number (Iceberg v2 scoping): rows appended AFTER
+        the delete keep living even if their keys match.  Key columns are
+        tracked by FIELD ID, so renames between delete time and read time
+        resolve; a dropped key column raises.  The key sets are tiny
+        relative to data, so AQE broadcasts each anti-join at scale."""
+        seq = self._entry_seq(entry)
+        applicable = [d for d in eq_entries if seq < d["seq"]]
+        if not applicable:
+            return df
+        id_to_field = {f.id: f for f in self.current_schema}
+        groups: dict[tuple, list[dict]] = {}
+        for d in applicable:
+            groups.setdefault(tuple(d["eq_field_ids"]), []).append(d)
+        for ids, ds in groups.items():
+            dropped = [i for i in ids if i not in id_to_field]
+            if dropped:
+                raise ValueError(
+                    f"equality-delete file {ds[0]['path']} keys on dropped "
+                    f"field id(s) {dropped}; rewrite the table (compact) "
+                    "before dropping an equality-delete key column"
+                )
+            cur = [id_to_field[i] for i in ids]
+            parts = []
+            for d in ds:
+                k = self.spark.read.parquet(os.path.join(self.location, d["path"]))
+                # written under the names at delete time; re-map by id
+                parts.append(
+                    k.select(
+                        *[
+                            F.col(w).cast(f.type).alias(f"_eqk_{f.name}")
+                            for w, f in zip(d["eq_cols"], cur)
+                        ]
+                    )
+                )
+            keys = parts[0]
+            for p in parts[1:]:
+                keys = keys.unionByName(p)
+            keys = keys.distinct()
+            cond = None
+            for f in cur:
+                # null-safe: an equality delete with a NULL key deletes
+                # NULL-keyed rows (Iceberg's eq-delete semantics)
+                e = df[f.name].eqNullSafe(keys[f"_eqk_{f.name}"])
+                cond = e if cond is None else (cond & e)
+            df = df.join(keys, cond, "left_anti")
+        return df
+
     def _scan_snapshot(self, snap: dict, with_pos: bool) -> DataFrame:
         """Union all manifest entries of ``snap`` and anti-join away
-        position-deleted rows. ``with_pos=True`` keeps the (_del_file,
-        _del_pos) row-identity columns for DML that writes delete files."""
+        position-deleted and equality-deleted rows. ``with_pos=True`` keeps
+        the (_del_file, _del_pos) row-identity columns for DML that writes
+        delete files."""
         entries = [e for e in snap["manifest"] if e["rows"] > 0]
-        deletes = snap.get("delete_manifest", [])
-        need_pos = with_pos or bool(deletes)
+        pos_dels, eq_dels = self._split_deletes(snap.get("delete_manifest", []))
+        need_pos = with_pos or bool(pos_dels)
         if not entries:
             empty = self.spark.createDataFrame([], self.spark_schema())
             if with_pos:
@@ -851,17 +935,24 @@ class VersionedTable:
             return empty
         # each manifest entry is its own directory root (possibly with
         # partition subdirs), so read per-entry and union — mixing roots in
-        # one read() call trips CONFLICTING_DIRECTORY_STRUCTURES
-        parts = [self._read_entry(e, with_pos=need_pos) for e in entries]
+        # one read() call trips CONFLICTING_DIRECTORY_STRUCTURES.
+        # Equality deletes apply PER ENTRY (sequence scoping differs by
+        # entry); position deletes apply once over the union.
+        parts = [
+            self._apply_eq_deletes(
+                self._read_entry(e, with_pos=need_pos), e, eq_dels
+            )
+            for e in entries
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if deletes:
+        if pos_dels:
             # merge-on-read: subtract (file, position) pairs recorded by
             # delete snapshots — one anti-join; the delete set is tiny
             # relative to data (it holds deleted row ids only), so at scale
             # AQE broadcasts it
-            paths = [os.path.join(self.location, d["path"]) for d in deletes]
+            paths = [os.path.join(self.location, d["path"]) for d in pos_dels]
             dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
             out = out.join(dels, ["_del_file", "_del_pos"], "left_anti")
         if need_pos and not with_pos:
@@ -1011,15 +1102,19 @@ class VersionedTable:
         return kept_entries, touched_subsets
 
     def _live_union(self, snap: dict, entries: list[dict]) -> DataFrame:
-        """Union the LIVE rows (position deletes applied — a CoW rewrite
-        over MoR state must not resurrect MoR-deleted rows) of the given
-        file-granular manifest entries, row-identity columns dropped."""
-        deletes = snap.get("delete_manifest", [])
+        """Union the LIVE rows (position AND equality deletes applied — a
+        CoW rewrite over MoR state must not resurrect MoR-deleted rows; a
+        rewritten file gets a NEW sequence number, which would silently
+        detach outstanding equality deletes from resurrected rows) of the
+        given file-granular manifest entries, row-identity columns
+        dropped."""
+        pos_dels, eq_dels = self._split_deletes(snap.get("delete_manifest", []))
 
         def live_pos(entry: dict) -> DataFrame:
             df = self._read_entry(entry, with_pos=True)
-            if deletes:
-                paths = [os.path.join(self.location, d["path"]) for d in deletes]
+            df = self._apply_eq_deletes(df, entry, eq_dels)
+            if pos_dels:
+                paths = [os.path.join(self.location, d["path"]) for d in pos_dels]
                 dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
                 df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
             return df
@@ -1111,6 +1206,68 @@ class VersionedTable:
             return  # no rows match: no new snapshot
         self._commit_delta(
             "delete", [], del_entries, now_ms, row_level=True,
+            predicate_ranges=ranges,
+        )
+
+    def delete_by_key(
+        self,
+        keys: DataFrame,
+        columns: list[str] | None = None,
+        now_ms: int | None = None,
+    ) -> None:
+        """EQUALITY-delete files (Iceberg v2's second merge-on-read delete
+        flavor): delete every row whose key columns match any row of
+        ``keys`` — WITHOUT reading the table.  A position delete costs one
+        table scan to locate matched rows; an equality delete just writes
+        the key set and is applied at read time to data files with a
+        smaller data sequence number, which is what a streaming CDC DELETE
+        stream needs (O(batch) per epoch, zero scans).  Rows appended
+        AFTER the delete keep living even when their keys match.
+        compact() folds equality deletes into data files exactly like
+        position deletes."""
+        import shutil
+
+        cols = list(columns or keys.columns)
+        by_name = {f.name: f for f in self.current_schema}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(f"unknown equality-delete key columns {missing}")
+        sid = self._next_snapshot_id()
+        rel = f"data/eqdel-snap-{sid}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.location, rel)
+        keys.select(
+            *[F.col(c).cast(by_name[c].type) for c in cols]
+        ).distinct().write.mode("errorifexists").parquet(path)
+        files = self._list_written_files(rel, with_stats=False)
+        n_rows = sum(f["rows"] for f in files)
+        if n_rows == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            return  # empty key set: no new snapshot
+        entry = {
+            "path": rel,
+            "rows": n_rows,
+            "eq_cols": cols,  # names at delete time (files use these)
+            "eq_field_ids": [by_name[c].id for c in cols],  # rename-proof
+        }
+        ranges = None
+        if self._isolation("delete") == "serializable":
+            # bound the "predicate" by each key column's min/max so
+            # provably-disjoint concurrent appends still rebase
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c), F.max(c)]
+            row = keys.agg(*aggs).first()
+            ranges = {}
+            for i, c in enumerate(cols):
+                lo, hi = row[2 * i], row[2 * i + 1]
+                if lo is None:
+                    continue
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                ranges[c] = (lo, hi)
+            ranges = ranges or None
+        self._commit_delta(
+            "delete", [], [entry], now_ms, row_level=True,
             predicate_ranges=ranges,
         )
 
