@@ -401,115 +401,98 @@ FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
     "n=2,3,4 (0.20/0.18/0.16; a unique gram in a short doc is not "
     "repetition) and fraction of characters inside duplicated n-grams for "
     "n=5..10 (0.15 down to 0.10), plus the conjunctive keep. Spark shape: "
-    "ONE scan hashes each token once (40-bit md5 int), builds all nine "
-    "gram sizes as ROLLING-HASH + char-length integer folds (no gram "
-    "strings are ever materialized), explodes tagged structs, then a "
-    "(doc_id, n, hash) count, a (doc_id, n) sum/max, and a conditional-"
-    "agg pivot back to one row per document — two keyed shuffles, "
-    "map-side combinable, cardinality bounded by tokens per doc. At "
-    "100 TB this is the standard pre-training repetition filter pass.",
+    "mapInPandas over Arrow document batches — every statistic is a "
+    "function of ONE document's tokens (bounded state, no cross-document "
+    "term), so the scalable plan is the NARROW one: zero shuffles, zero "
+    "joins, embarrassingly parallel over input splits; inside the batch "
+    "the nine gram sizes are numpy int64 rolling-hash folds extended "
+    "incrementally (n-grams from (n-1)-grams) with sort-based duplicate "
+    "counting. The same 40-bit-md5 fold as the DuckDB oracle, so hash "
+    "collisions are symmetric and results stay hash-equal. At 100 TB "
+    "this is the standard pre-training repetition filter pass.",
 )
 def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    docs = _docs(spark, sf_dir)
-    # ONE posexplode to token rows, ONE window pass computing lead(hash, j)
-    # / lead(len, j) for j=1..9, then every gram's rolling hash and char
-    # length are plain integer arithmetic over those columns — all inside
-    # whole-stage codegen.  (String-concat grams measured 16 s at sf0.1;
-    # zip_with integer folds — ~90 interpreted HOF passes per row — 7.5 s;
-    # this form 5.3 s, identical results.)
-    max_n = max(_TOP_NS + _DUP_NS)
-    tok = docs.select(
-        "doc_id", F.posexplode(_toks()).alias("pos", "tk")
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5(F.col("tk").cast("binary")), 1, 10), 16, 10)
-        .cast("bigint")
-        .alias("h0"),
-        F.length("tk").alias("l0"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [
-        F.lead(c, j).over(w).alias(f"{c[0]}{j}")
-        for j in range(1, max_n)
-        for c in ("h0", "l0")
-    ]
-    led = tok.select("doc_id", "h0", "l0", *lead_cols)
-
-    def gram(n):
-        h = F.col("h0")
-        ln = F.col("l0")
-        for j in range(1, n):
-            h = (h * _HASH_BASE + F.col(f"h{j}")) % _HASH_MOD
-            ln = ln + F.col(f"l{j}")
-        # the gram starting here exists iff its last token does
-        return F.struct(
-            F.lit(n).alias("n"),
-            F.when(F.col(f"h{n - 1}").isNotNull(), h).alias("h"),
-            (ln + F.lit(n - 1)).alias("len"),
-        )
-
+    # Implementation history (all oracle-exact, timed warm at sf0.1):
+    # string-concat grams 16 s; zip_with integer folds (interpreted HOFs)
+    # 7.5 s; posexplode + 18-column lead window + explode(array(9 structs))
+    # + two keyed aggregates — all-JVM codegen — 5.3-6.9 s, dominated by
+    # composition overhead (window sort + 9x generator + a 2.2M-row
+    # aggregate of what is only 270k tokens); THIS Arrow form 1.2-1.3 s.
+    # Per-document bounded state means Python sees each doc once and the
+    # plan has NO exchange at all — strictly better at 1000 executors,
+    # where the JVM form's two doc_id shuffles move the whole gram mass.
+    # Tokenizer twin of _toks()/the oracle's regexp_split: re.ASCII \s+
+    # equals Java's default-ASCII \s ([ \t\n\x0B\f\r], \x0B == \v); the
+    # documents corpus is ASCII (FIXTURES.md), so strip()/lower() agree
+    # with trim()/lower() on every engine.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     pairs = [("top", n) for n in _TOP_NS] + [("dup", n) for n in _DUP_NS]
-    ex = (
-        led.select(
-            "doc_id",
-            F.explode(F.array(*[gram(n) for n in _TOP_NS + _DUP_NS])).alias("x"),
-        )
-        .select("doc_id", "x.n", "x.h", "x.len")
-        .filter(F.col("h").isNotNull())
+    cols = [f"{agg}_{n}gram_char_frac" for agg, n in pairs]
+    schema = (
+        "doc_id bigint, " + ", ".join(f"{c} double" for c in cols) + ", keep boolean"
     )
-    c = ex.groupBy("doc_id", "n", "h").agg(
-        F.max("len").alias("len"), F.count("*").alias("c")
-    )
-    chars = F.col("c") * F.col("len")
-    # normalized-document character count: sum of token lengths plus the
-    # single-space separators — the paper's denominator.  Kept as an
-    # aggregation over the exploded token rows: the tempting narrow form
-    # (F.aggregate over the token array) re-reads the fat text column and
-    # runs INTERPRETED higher-order lambdas — measured 6.0-6.7 s vs
-    # 4.3-4.7 s for this shape at sf0.1 (r5 A/B; same finding as the r4
-    # zip_with-vs-lead experiment).
-    dl = tok.groupBy("doc_id").agg(
-        (F.sum("l0") + F.count("*") - 1).alias("dl")
-    )
-    # top counts only grams that occur MORE THAN ONCE: a unique gram in a
-    # short document can near 1/num_grams of the characters without any
-    # repetition — see the GOPHER_TOP_FRAC deviation note.
-    # ONE groupBy(doc_id) with 18 conditional aggregates replaces the old
-    # (doc_id, n) aggregate + (doc_id) pivot pair — the (doc_id, n, h)
-    # partial output flows through a single exchange (r5 trim: fused
-    # aggregates, one shuffle fewer).
-    wide = c.groupBy("doc_id").agg(
-        *[
-            (
-                F.max(F.when((F.col("n") == n) & (F.col("c") > 1), chars))
-                if agg == "top"
-                else F.sum(F.when((F.col("n") == n) & (F.col("c") > 1), chars))
-            ).alias(f"{agg}{n}")
-            for agg, n in pairs
-        ]
-    )
-    fr = {
-        (agg, n): F.coalesce(
-            F.col(f"{agg}{n}").cast("double") / F.col("dl"), F.lit(0.0)
-        )
-        for agg, n in pairs
-    }
-    keep = F.lit(True)
-    for n in _TOP_NS:
-        keep = keep & (fr[("top", n)] <= GOPHER_TOP_FRAC[n])
-    for n in _DUP_NS:
-        keep = keep & (fr[("dup", n)] <= GOPHER_DUP_FRAC[n])
-    return (
-        dl.join(wide, "doc_id", "left")
-        .select(
-            "doc_id",
-            *[fr[(agg, n)].alias(f"{agg}_{n}gram_char_frac") for agg, n in pairs],
-            keep.alias("keep"),
-        )
-    )
+    top_ns, dup_ns = _TOP_NS, _DUP_NS
+    base, mod = _HASH_BASE, _HASH_MOD
+    top_thr, dup_thr = GOPHER_TOP_FRAC, GOPHER_DUP_FRAC
+
+    def compute(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        max_n = max(top_ns + dup_ns)
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                toks = ws.split(text.strip().lower())
+                t = len(toks)
+                hs = np.fromiter(
+                    (int(hashlib.md5(tk.encode()).hexdigest()[:10], 16) for tk in toks),
+                    dtype=np.int64,
+                    count=t,
+                )
+                ls = np.fromiter((len(tk) for tk in toks), dtype=np.int64, count=t)
+                # paper denominator: document chars of the normalized text
+                # = token chars + single-space separators
+                dl = int(ls.sum()) + t - 1
+                fr = {}
+                g, gl = hs, ls
+                for n in range(2, max_n + 1):
+                    if len(g) <= 1:  # doc shorter than n tokens
+                        g = g[:0]
+                        fr[n] = 0.0
+                        continue
+                    # extend every (n-1)-gram by its next token: hash fold
+                    # stays < 2^60 (base*mod + mod), never overflows int64
+                    g = (g[:-1] * base + hs[n - 1 :]) % mod
+                    gl = gl[:-1] + ls[n - 1 :] + 1
+                    order = np.argsort(g, kind="stable")
+                    sg, sl = g[order], gl[order]
+                    starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+                    counts = np.diff(np.r_[starts, len(sg)])
+                    # max-per-group mirrors the oracle's MAX(len) exactly,
+                    # so 2^-41 hash collisions stay symmetric
+                    maxlen = np.maximum.reduceat(sl, starts)
+                    rep = counts > 1
+                    chars = counts[rep] * maxlen[rep]
+                    # top counts only grams occurring MORE THAN ONCE — see
+                    # the GOPHER_TOP_FRAC deviation note above
+                    if n in top_ns:
+                        fr[n] = (int(chars.max()) / dl) if chars.size else 0.0
+                    else:
+                        fr[n] = (int(chars.sum()) / dl) if chars.size else 0.0
+                keep = all(fr[n] <= top_thr[n] for n in top_ns) and all(
+                    fr[n] <= dup_thr[n] for n in dup_ns
+                )
+                recs.append(
+                    (int(doc_id), *[fr[n] for n in top_ns + dup_ns], keep)
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", *cols, "keep"])
+
+    return docs.mapInPandas(compute, schema)
 
 
 # Gopher lexical gates (Rae et al. table A1, same public paper): at least
