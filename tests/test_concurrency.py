@@ -254,6 +254,56 @@ def test_serializable_merge_uses_source_key_bounds(spark, loc):
                   mode="merge-on-read")
 
 
+def test_serializable_merge_insert_only_conflicts_with_matching_append(spark, loc):
+    """A MERGE that degenerates to a pure insert (no key overlap in ITS
+    snapshot) still read the table to decide that; under serializable
+    isolation the commit must conflict with a concurrent append whose
+    files could contain a matching key — otherwise the pair commits a
+    duplicate key no serial order could produce."""
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(_df(spark, 100, 101))  # key 100 lands concurrently
+    src = spark.createDataFrame([(100, -1)], "id bigint, v bigint")
+    with pytest.raises(CommitConflict, match="serializable isolation"):
+        vt2.merge(src, on="id", when_matched_update={"v": "s.v"})
+    # a fresh re-run sees key 100 and takes the matched path: one row, updated
+    fresh = VersionedTable(spark, loc)
+    fresh.merge(src, on="id", when_matched_update={"v": "s.v"},
+                mode="merge-on-read")
+    rows = [r.v for r in fresh.read().filter("id = 100").collect()]
+    assert rows == [-1]
+
+
+def test_serializable_merge_insert_only_rebases_when_disjoint(spark, loc):
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(_df(spark, 100, 110))  # bounds [100,110): cannot match key 50
+    src = spark.createDataFrame([(50, -1)], "id bigint, v bigint")
+    vt2.merge(src, on="id", when_matched_update={"v": "s.v"})  # rebases
+    ids = sorted(r.id for r in VersionedTable(spark, loc).read().collect())
+    assert 50 in ids and 100 in ids and len(ids) == 21
+
+
+def test_serializable_eq_delete_with_null_key_conflicts(spark, loc):
+    """Equality deletes match null-safely, so a key set containing a NULL
+    must leave that column UNCONSTRAINED in the serializable bounds: a
+    concurrent append whose only matching row is NULL-keyed has
+    null-ignoring footer stats disjoint from the non-null key range, and
+    bounding on min/max alone would rebase over rows a serial re-run of
+    the delete would have removed."""
+    vt1, vt2 = _stale_serializable_pair(spark, loc)
+    vt1.append(
+        spark.createDataFrame([(None, 0), (9, 18)], "id bigint, v bigint")
+    )  # footer stats for id: (9, 9) — disjoint from key 1 — plus a NULL
+    keys = spark.createDataFrame([(1,), (None,)], "id bigint")
+    with pytest.raises(CommitConflict, match="serializable isolation"):
+        vt2.delete_by_key(keys)
+    # non-null key sets with disjoint bounds still rebase
+    vt3 = VersionedTable(spark, loc)
+    VersionedTable(spark, loc).append(_df(spark, 200, 210))
+    vt3.delete_by_key(spark.createDataFrame([(1,)], "id bigint"))
+    ids = [r.id for r in VersionedTable(spark, loc).read().collect()]
+    assert 1 not in ids and 200 in ids
+
+
 def test_snapshot_default_still_rebases_matching_append(spark, loc):
     # without the property the pre-round-5 snapshot-isolation behavior holds
     vt1, vt2 = _stale_pair(spark, loc)

@@ -53,6 +53,20 @@ def test_top_ngram_fraction(spark, tmp_path):
     assert got[1]["keep"] is False  # 6/11 > the 0.20 top-2gram gate
 
 
+def test_null_and_edge_whitespace_text(spark, tmp_path):
+    # NULL text mirrors the oracle's LEFT JOIN row: zero fractions, keep.
+    # Leading '\n' survives the space-only trim() on BOTH engines, so the
+    # \s+ split yields a leading EMPTY token (len 0) exactly like the
+    # oracle's regexp_split — a bare Python strip() would eat it and shift
+    # every gram hash.  "\na b a b": tokens ['','a','b','a','b'], dl = 8,
+    # top repeated 2-gram "a b" = 2 occurrences * 3 chars -> 6/8.
+    got = _run(spark, tmp_path, [(1, None), (2, "\na b a b")])
+    assert got[1]["keep"] is True
+    assert got[1]["top_2gram_char_frac"] == 0.0
+    assert got[1]["dup_10gram_char_frac"] == 0.0
+    assert abs(got[2]["top_2gram_char_frac"] - 6 / 8) < 1e-12
+
+
 def test_lexical_flags_crafted_docs(spark, tmp_path):
     sf_dir = str(tmp_path / "lex")
     rows = [

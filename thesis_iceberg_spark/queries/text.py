@@ -422,9 +422,12 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     # plan has NO exchange at all — strictly better at 1000 executors,
     # where the JVM form's two doc_id shuffles move the whole gram mass.
     # Tokenizer twin of _toks()/the oracle's regexp_split: re.ASCII \s+
-    # equals Java's default-ASCII \s ([ \t\n\x0B\f\r], \x0B == \v); the
-    # documents corpus is ASCII (FIXTURES.md), so strip()/lower() agree
-    # with trim()/lower() on every engine.
+    # equals Java's default-ASCII \s ([ \t\n\x0B\f\r], \x0B == \v); both
+    # engines' trim() removes SPACES only, so the Python twin is
+    # strip(' ') — a bare strip() would also eat edge \n/\t and shift the
+    # tokenization.  The corpus is ASCII (FIXTURES.md) so lower() agrees
+    # across engines.  NULL text mirrors the oracle's LEFT JOIN: zero
+    # fractions, keep=true.
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     pairs = [("top", n) for n in _TOP_NS] + [("dup", n) for n in _DUP_NS]
     cols = [f"{agg}_{n}gram_char_frac" for agg, n in pairs]
@@ -447,7 +450,7 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = ws.split(text.strip().lower())
+                toks = ws.split((text or "").strip(" ").lower())
                 t = len(toks)
                 hs = np.fromiter(
                     (int(hashlib.md5(tk.encode()).hexdigest()[:10], 16) for tk in toks),

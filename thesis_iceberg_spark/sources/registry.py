@@ -14,6 +14,7 @@ available; nothing is materialized driver-side.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -136,12 +137,22 @@ def _gc_stale_layouts(parent: str, name: str, keep: set[str]) -> None:
                 pass
 
 
+def _cache_tag(sf_dir: str) -> str:
+    """Cache namespace for one data root: basename + full-path hash.  The
+    GC in _gc_stale_layouts assumes ONE source root per namespace, so two
+    data roots that happen to share a basename (two checkouts, each with
+    an sf0.1/) must not share a dir — one root's relayout would
+    garbage-collect the other's live layout mid-scan and the pair would
+    thrash the cache on every alternation."""
+    norm = os.path.normpath(sf_dir)
+    return f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+
+
 def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     src = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "1") != "1":
         return src
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    dst = os.path.join(_CACHE_BASE, tag, f"{name}-{_layout_key(src)}")
+    dst = os.path.join(_CACHE_BASE, _cache_tag(sf_dir), f"{name}-{_layout_key(src)}")
     marker_path = dst + ".marker"
     stat = os.stat(src)
     if os.path.exists(marker_path):

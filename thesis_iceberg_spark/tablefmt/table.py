@@ -51,7 +51,12 @@ from pyspark.sql import types as T
 
 _PARTITION_COL = "_p_day"  # materialized hidden-partition column
 
-COMMIT_RETRIES = 5  # rebase attempts before a CommitConflict surfaces
+# Rebase attempts before a CommitConflict surfaces.  _commit only raises
+# when another writer ADVANCED the table, so every retry implies global
+# progress (Iceberg retries indefinitely on that basis); the cap is a
+# LIVENESS backstop against one handle starving forever under sustained
+# contention, sized far above any plausible lost-race streak.
+COMMIT_MAX_REBASES = 100
 
 
 class _Unbounded:
@@ -581,16 +586,16 @@ class VersionedTable:
         conflict direction — a file with no stats, a directory-level
         entry, or an unparseable predicate all count as possible matches.
 
-        Retry budget: a conflicted attempt only counts against
-        COMMIT_RETRIES when the table did NOT advance (a stuck hint, not a
-        race).  When the refresh shows another writer won, the budget
-        resets — Iceberg retries as long as each failure shows progress —
-        with a short jittered sleep to decorrelate same-host racers, so a
-        busy multi-writer table cannot surface a spurious CommitConflict
-        after 5 lost races.
+        Retry budget: _commit only conflicts when another writer ADVANCED
+        the table, so every retry implies system-wide progress and the
+        loop retries through lost races (Iceberg's behavior) with a short
+        jittered sleep to decorrelate same-host racers.  A hard cap of
+        COMMIT_MAX_REBASES total attempts bounds the one remaining
+        pathology — a single handle starving behind sustained contention —
+        with a loud CommitConflict instead of an unbounded loop.
         """
         base = self._select_snapshot()
-        no_progress = 0
+        attempts = 0
         while True:
             manifest = (list(base["manifest"]) if base else []) + added_manifest
             deletes = (
@@ -602,16 +607,12 @@ class VersionedTable:
                 )
                 return
             except CommitConflict:
-                seen_version = self._meta["version"]
+                attempts += 1
+                if attempts > COMMIT_MAX_REBASES:
+                    raise
                 old = base
                 self.refresh()
-                if self._meta["version"] > seen_version:
-                    no_progress = 0  # another writer won: retrying is productive
-                else:
-                    no_progress += 1
-                    if no_progress > COMMIT_RETRIES:
-                        raise
-                time.sleep(random.uniform(0.0, 0.005 * (1 + no_progress)))
+                time.sleep(random.uniform(0.0, 0.005 * min(attempts, 8)))
                 base = self._select_snapshot()
                 if row_level:
                     old_paths = {e["path"] for e in (old["manifest"] if old else [])}
@@ -666,7 +667,7 @@ class VersionedTable:
             e["path"] for e in (base.get("delete_manifest", []) if base else [])
         }
         cur = base
-        no_progress = 0
+        attempts = 0
         while True:
             carried = [
                 e
@@ -679,15 +680,11 @@ class VersionedTable:
                 )
                 return
             except CommitConflict:
-                seen_version = self._meta["version"]
+                attempts += 1
+                if attempts > COMMIT_MAX_REBASES:
+                    raise
                 self.refresh()
-                if self._meta["version"] > seen_version:
-                    no_progress = 0
-                else:
-                    no_progress += 1
-                    if no_progress > COMMIT_RETRIES:
-                        raise
-                time.sleep(random.uniform(0.0, 0.005 * (1 + no_progress)))
+                time.sleep(random.uniform(0.0, 0.005 * min(attempts, 8)))
                 cur = self._select_snapshot()
                 cur_paths = {e["path"] for e in (cur["manifest"] if cur else [])}
                 cur_dels = {
@@ -867,18 +864,35 @@ class VersionedTable:
         m = _re.search(r"snap-(\d+)-", entry["path"])
         return int(m.group(1)) if m else 0
 
-    def _apply_eq_deletes(
-        self, df: DataFrame, entry: dict, eq_entries: list[dict]
-    ) -> DataFrame:
-        """Subtract equality-deleted rows from one data entry's scan.  An
+    def _eq_delete_groups(
+        self, entries: list[dict], eq_dels: list[dict]
+    ) -> list[tuple[list[dict], list[dict]]]:
+        """Group data entries by WHICH equality deletes apply to them.  An
         equality delete applies only to data entries with a strictly
         smaller sequence number (Iceberg v2 scoping): rows appended AFTER
-        the delete keep living even if their keys match.  Key columns are
-        tracked by FIELD ID, so renames between delete time and read time
-        resolve; a dropped key column raises.  The key sets are tiny
-        relative to data, so AQE broadcasts each anti-join at scale."""
-        seq = self._entry_seq(entry)
-        applicable = [d for d in eq_entries if seq < d["seq"]]
+        the delete keep living even if their keys match.  Grouping lets
+        the caller read+union each group and build every delete-key
+        DataFrame ONCE per group instead of once per entry (typically 1-2
+        groups vs E entries — an E-fold smaller plan)."""
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            seq = self._entry_seq(e)
+            key = tuple(d["path"] for d in eq_dels if seq < d["seq"])
+            groups.setdefault(key, []).append(e)
+        by_path = {d["path"]: d for d in eq_dels}
+        return [
+            (es, [by_path[p] for p in key]) for key, es in groups.items()
+        ]
+
+    def _apply_eq_deletes(
+        self, df: DataFrame, applicable: list[dict]
+    ) -> DataFrame:
+        """Subtract the given equality-delete files' keys from a scan (the
+        caller scopes ``applicable`` by sequence number via
+        _eq_delete_groups).  Key columns are tracked by FIELD ID, so
+        renames between delete time and read time resolve; a dropped key
+        column raises.  The key sets are tiny relative to data, so AQE
+        broadcasts each anti-join at scale."""
         if not applicable:
             return df
         id_to_field = {f.id: f for f in self.current_schema}
@@ -936,14 +950,15 @@ class VersionedTable:
         # each manifest entry is its own directory root (possibly with
         # partition subdirs), so read per-entry and union — mixing roots in
         # one read() call trips CONFLICTING_DIRECTORY_STRUCTURES.
-        # Equality deletes apply PER ENTRY (sequence scoping differs by
-        # entry); position deletes apply once over the union.
-        parts = [
-            self._apply_eq_deletes(
-                self._read_entry(e, with_pos=need_pos), e, eq_dels
-            )
-            for e in entries
-        ]
+        # Equality deletes apply per SEQUENCE-SCOPED GROUP of entries (the
+        # delete-key subtrees are built once per group, not per entry);
+        # position deletes apply once over the union.
+        parts = []
+        for es, applicable in self._eq_delete_groups(entries, eq_dels):
+            grp = self._read_entry(es[0], with_pos=need_pos)
+            for e in es[1:]:
+                grp = grp.unionByName(self._read_entry(e, with_pos=need_pos))
+            parts.append(self._apply_eq_deletes(grp, applicable))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1109,20 +1124,21 @@ class VersionedTable:
         given file-granular manifest entries, row-identity columns
         dropped."""
         pos_dels, eq_dels = self._split_deletes(snap.get("delete_manifest", []))
-
-        def live_pos(entry: dict) -> DataFrame:
-            df = self._read_entry(entry, with_pos=True)
-            df = self._apply_eq_deletes(df, entry, eq_dels)
-            if pos_dels:
-                paths = [os.path.join(self.location, d["path"]) for d in pos_dels]
-                dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
-                df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
-            return df
-
-        df = live_pos(entries[0]).drop("_del_file", "_del_pos")
-        for e in entries[1:]:
-            df = df.unionByName(live_pos(e).drop("_del_file", "_del_pos"))
-        return df
+        parts = []
+        for es, applicable in self._eq_delete_groups(entries, eq_dels):
+            grp = self._read_entry(es[0], with_pos=True)
+            for e in es[1:]:
+                grp = grp.unionByName(self._read_entry(e, with_pos=True))
+            parts.append(self._apply_eq_deletes(grp, applicable))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if pos_dels:
+            # (file, position) keys are global: one anti-join over the union
+            paths = [os.path.join(self.location, d["path"]) for d in pos_dels]
+            dels = self._normalize_delete_keys(self.spark.read.parquet(*paths))
+            df = df.join(dels, ["_del_file", "_del_pos"], "left_anti")
+        return df.drop("_del_file", "_del_pos")
 
     def _normalize_delete_keys(self, dels: DataFrame) -> DataFrame:
         """Current delete files store location-RELATIVE _del_file keys; files
@@ -1252,16 +1268,23 @@ class VersionedTable:
         ranges = None
         if self._isolation("delete") == "serializable":
             # bound the "predicate" by each key column's min/max so
-            # provably-disjoint concurrent appends still rebase
+            # provably-disjoint concurrent appends still rebase.  A column
+            # with ANY NULL key value must stay UNCONSTRAINED: equality
+            # deletes match null-safely (_apply_eq_deletes eqNullSafe), so
+            # a concurrent append's NULL-valued rows are deletable even
+            # when the file's (null-ignoring) footer min/max is disjoint
+            # from the non-null key range — constraining on min/max alone
+            # would rebase over an append a serial re-run of this delete
+            # would have emptied.
             aggs = []
             for c in cols:
-                aggs += [F.min(c), F.max(c)]
+                aggs += [F.min(c), F.max(c), F.max(F.isnull(c).cast("int"))]
             row = keys.agg(*aggs).first()
             ranges = {}
             for i, c in enumerate(cols):
-                lo, hi = row[2 * i], row[2 * i + 1]
-                if lo is None:
-                    continue
+                lo, hi, has_null = row[3 * i], row[3 * i + 1], row[3 * i + 2]
+                if lo is None or has_null:
+                    continue  # unconstrained -> conservative (conflicts)
                 if hasattr(lo, "isoformat"):
                     lo, hi = lo.isoformat(), hi.isoformat()
                 ranges[c] = (lo, hi)
@@ -1395,7 +1418,7 @@ class VersionedTable:
         if snap is None:
             # empty table: every source row is an insert (NULL keys included)
             if when_not_matched_insert:
-                self.append(src, now_ms=now_ms, operation="merge")
+                self._merge_insert_only(src, on, now_ms)
             return
         live = self._scan_snapshot(snap, with_pos=True)
         keys = src.select(on).filter(F.col(on).isNotNull()).distinct()
@@ -1403,7 +1426,7 @@ class VersionedTable:
         if not matched_all:
             # no key overlap anywhere: pure-insert MERGE, zero rewrites
             if when_not_matched_insert:
-                self.append(src, now_ms=now_ms, operation="merge")
+                self._merge_insert_only(src, on, now_ms)
             return
         if self._dml_mode("merge", mode) == "merge-on-read":
             self._mor_merge(
@@ -1453,6 +1476,41 @@ class VersionedTable:
         deletes = snap.get("delete_manifest", [])
         self._commit_snapshot(
             "merge", manifest, now_ms, delete_manifest=deletes if kept_entries else []
+        )
+
+    def _merge_key_ranges(self, src: DataFrame, on: str) -> dict | None:
+        """Serializable-isolation bounds for a MERGE: the operation's
+        "predicate" is key membership in the source set, bounded by the
+        source keys' min/max.  NULL source keys never match (ON uses plain
+        equality), so they add no constraint; an all-NULL key set returns
+        None (= unconstrained, conservative in the conflict direction)."""
+        lo, hi = src.agg(F.min(on), F.max(on)).first()
+        if lo is None:
+            return None
+        if hasattr(lo, "isoformat"):  # match footer-stat encoding
+            lo, hi = lo.isoformat(), hi.isoformat()
+        return {on: (lo, hi)}
+
+    def _merge_insert_only(self, src: DataFrame, on: str, now_ms: int | None) -> None:
+        """Commit a MERGE that degenerated to a pure insert (empty table, or
+        no key overlap).  Under snapshot isolation this is a plain
+        fast-append.  Under serializable isolation the degenerate path is
+        still a MERGE: the 'nothing matches' decision came from READING the
+        table, so the commit must conflict with concurrent appends whose
+        file bounds could contain a source key (a serial re-run would have
+        MATCHED those rows instead of inserting beside them) — committing
+        with row_level=True carries the same clashing-append bounds check
+        as the non-degenerate paths (conservative: it also conflicts with
+        concurrent rewrites/delete files, which cannot change the no-match
+        read but are rare next to appends)."""
+        if self._isolation("merge") != "serializable":
+            self.append(src, now_ms=now_ms, operation="merge")
+            return
+        sid = self._next_snapshot_id()
+        added = self._write_data_files(src, sid)
+        self._commit_delta(
+            "merge", added, [], now_ms, row_level=True,
+            predicate_ranges=self._merge_key_ranges(src, on),
         )
 
     def _mor_merge(
@@ -1523,14 +1581,7 @@ class VersionedTable:
             return  # nothing matched, nothing inserted: no new snapshot
         ranges = None
         if self._isolation("merge") == "serializable":
-            # a MERGE's "predicate" is key membership in the source set:
-            # bound it by the source keys' min/max so concurrent appends
-            # whose key bounds lie outside the source range still rebase
-            lo, hi = src.agg(F.min(on), F.max(on)).first()
-            if lo is not None:
-                if hasattr(lo, "isoformat"):  # match footer-stat encoding
-                    lo, hi = lo.isoformat(), hi.isoformat()
-                ranges = {on: (lo, hi)}
+            ranges = self._merge_key_ranges(src, on)
         self._commit_delta(
             "merge", data_entries, del_entries, now_ms, row_level=True,
             predicate_ranges=ranges,
