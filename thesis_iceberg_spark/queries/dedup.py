@@ -260,62 +260,97 @@ WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
     doc=f"MinHash+LSH near-dup pairs: {N_MINHASH} double-hashed minhash "
     f"permutations (one md5 per shingle), {N_BANDS} bands x {ROWS_PER_BAND} "
     "rows; docs colliding in any band become candidates, verified with "
-    "exact Jaccard. This is the 100 TB dedup path: candidate generation is "
-    "a groupBy on band_key (shuffle proportional to corpus size, not "
-    "pairs); verification touches only near-dup candidates.",
+    "exact Jaccard. This is the 100 TB dedup path. Spark shape: shingling "
+    "+ hashing + signatures + band keys are ALL per-document bounded "
+    "state, so they run as ONE shuffle-free Arrow mapInPandas emitting a "
+    "per-doc signature row (shingle-hash set, count, band keys); the only "
+    "shuffles are the band-bucket equi-join (4 narrow rows per doc — "
+    "proportional to corpus size, not pairs) and the candidate "
+    "verification joins, which carry shingle-hash ARRAYS for candidate "
+    "docs only and intersect them JVM-side (array_intersect).",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).filter(F.size(F.split(_norm(), " ")) >= 3)
+    # Implementation history (oracle-exact, warm sf0.1): per-permutation
+    # keyed md5 inside nested array exprs ~9 s; explode+md5 once, 12 int
+    # min-aggregates, eager checkpoint, exploded-row verification joins
+    # 1.5-1.9 s; THIS form 1.1-1.3 s — the signature stage loses its
+    # groupBy shuffle (~50 rows/doc) entirely and verification joins move
+    # 2 array rows per candidate side instead of ~50 exploded rows.
+    # Tokenizer twin of _norm()/the oracle (same rules as
+    # text_gopher_repetition_signals): ASCII \s+, space-only strip.
+    # Shingle identity crossing engines is the 28-hex md5 prefix (112
+    # bits, collisions 2^-112 and symmetric anyway).
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n_minhash, n_bands, rows_per_band = N_MINHASH, N_BANDS, ROWS_PER_BAND
+    bk_cols = [f"bk{b}" for b in range(n_bands)]
+    schema = (
+        "doc_id bigint, n int, hset array<string>, "
+        + ", ".join(f"{c} string" for c in bk_cols)
+    )
 
-    # Explode shingles ONCE and hash each shingle ONCE: the i-th minhash
-    # permutation is min(h1 + i*h2) (double hashing over the two md5
-    # halves), computed as N_MINHASH cheap integer min-aggregates in a
-    # single pass — one shuffle, one md5 per shingle. (The naive form —
-    # one keyed md5 per permutation inside nested array expressions —
-    # re-evaluates split/transform per permutation and per band.)
-    sh0 = docs.select("doc_id", F.explode(_shingles()).alias("s"))
-    md5h = F.md5(F.col("s").cast("binary"))
-    # localCheckpoint (EAGER): the exploded+hashed shingle set is consumed
-    # THREE times (signatures, per-doc counts, candidate verification) —
-    # checkpointing materializes the regex-split/explode/md5 pass once
-    # instead of recomputing it per consumer.  Eager, not lazy: a lazily
-    # checkpointed RDD can be recomputed after its originating stage's
-    # accumulators are cleaned up ("attempted to access non-existent
-    # accumulator", BENCH_r03 tail), and measured 12 runs at sf0.1 show
-    # lazy is also far noisier (2.9-12.6 s vs eager's 3.3-3.6 s; recompute-
-    # per-consumer is a steady 4-5 s).  See tests/exp_minhash_ckpt.py.
-    hashed = sh0.select(
+    def sigs(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                toks = ws.sub(" ", (text or "").strip(" ").lower()).split(" ")
+                if len(toks) < 3:
+                    continue  # no 3-shingles: absent from pairs, like the oracle
+                shingles = {
+                    f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                    for i in range(len(toks) - 2)
+                }
+                hx = [
+                    hashlib.md5(s.encode()).hexdigest()[:28] for s in shingles
+                ]
+                h1 = np.fromiter(
+                    (int(h[:14], 16) for h in hx), dtype=np.int64, count=len(hx)
+                )
+                h2 = np.fromiter(
+                    (int(h[14:], 16) for h in hx), dtype=np.int64, count=len(hx)
+                )
+                # i*h2 stays < 2^60: no int64 overflow, same as the oracle
+                mh = [int((h1 + i * h2).min()) for i in range(n_minhash)]
+                bks = [
+                    hashlib.md5(
+                        "|".join(
+                            str(mh[b * rows_per_band + r])
+                            for r in range(rows_per_band)
+                        ).encode()
+                    ).hexdigest()
+                    for b in range(n_bands)
+                ]
+                recs.append((int(doc_id), len(hx), hx, *bks))
+            yield pd.DataFrame(recs, columns=["doc_id", "n", "hset", *bk_cols])
+
+    # localCheckpoint (EAGER): the signature table is consumed THREE times
+    # (band rows + both verification sides) — materialize the Python pass
+    # once.  Eager, not lazy: a lazily checkpointed RDD can be recomputed
+    # after its originating stage's accumulators are cleaned up
+    # ("attempted to access non-existent accumulator", BENCH_r03 tail);
+    # see tests/exp_minhash_ckpt.py.
+    sig = docs.mapInPandas(sigs, schema).localCheckpoint(eager=True)
+
+    band_rows = sig.select(
         "doc_id",
-        F.conv(F.substring(md5h, 1, 14), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(md5h, 15, 14), 16, 10).cast("bigint").alias("h2"),
-    ).localCheckpoint(eager=True)
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
-
-    # band rows: (doc_id, band_id, band_key = md5 of the band's minhashes),
-    # one explode over a literal array of structs — signature computed once.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).cast("binary")
-            ).alias("band_key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    band_rows = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bd")).select(
-        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_key").alias("band_key")
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"bk{b}").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_id", "bd.band_key")
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -330,35 +365,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact-Jaccard verification of candidates only — REUSES the
-    # checkpointed (doc_id, h1, h2) rows instead of re-exploding the
-    # corpus: shingles are per-doc distinct, so equality on the two 56-bit
-    # md5 halves is equality on the shingle (no collisions at 2^-112), and
-    # the join carries two bigints instead of a shingle string.
-    cnt = hashed.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sha = hashed.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
-    shb = hashed.select(
-        F.col("doc_id").alias("_doc_b"),
-        F.col("h1").alias("_h1"),
-        F.col("h2").alias("_h2"),
+    # exact-Jaccard verification of candidates only: join each side's
+    # signature row (shingle-hash set as an array) and intersect JVM-side
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hset").alias("ha")
     )
-    common = (
-        cand.join(sha, "doc_a")
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("_doc_b"))
-            & (F.col("h1") == F.col("_h1"))
-            & (F.col("h2") == F.col("_h2")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("hset").alias("hb")
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    c = F.size(F.array_intersect("ha", "hb"))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
