@@ -98,6 +98,21 @@ def _df_cap(n_docs: int) -> float:
     return max(DF_CAP_FLOOR, DF_CAP_FRAC * n_docs)
 
 
+def _py_shingles(text: str | None):
+    """Python twin of _shingles()/_SQL_SHINGLES for Arrow kernels: distinct
+    3-token shingles of the normalized text, or an empty set below 3
+    tokens.  Tokenizer rules shared with the oracle: ASCII \\s+ over
+    strip(' ').lower() (both engines' trim() is space-only; the corpus is
+    ASCII, FIXTURES.md)."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    toks = ws.sub(" ", (text or "").strip(" ").lower()).split(" ")
+    if len(toks) < 3:
+        return set()
+    return {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
+
+
 def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
     """(doc_id, s) exploded distinct shingles, heavy-hitters removed.
 
@@ -105,9 +120,27 @@ def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
     frequency.  The hot list is tiny by construction (only shingles in
     >0.1% of the corpus), so it broadcasts; the anti-join is a map-side
     filter, not a shuffle.
+
+    Shingling runs as an Arrow mapInPandas (per-document bounded state,
+    like the minhash/repetition kernels): identical rows to the JVM
+    slice+zip_with explode, but flat-cost — the JVM form pays 3+ s of
+    codegen JIT on its regex/HOF chain cold (4.1 vs 2.4 s cold at sf0.1;
+    both ~0.8 s warm).
     """
-    sh = docs.filter(F.size(F.split(_norm(), " ")) >= 3).select(
-        "doc_id", F.explode(_shingles()).alias("s")
+
+    def shingle_udf(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ss = [], []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                sh = _py_shingles(text)
+                ids.extend([int(doc_id)] * len(sh))
+                ss.extend(sh)
+            yield pd.DataFrame({"doc_id": ids, "s": ss})
+
+    sh = docs.select("doc_id", "text").mapInPandas(
+        shingle_udf, "doc_id bigint, s string"
     )
     hot = (
         sh.groupBy("s")
@@ -290,22 +323,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sigs(batches):
         import hashlib
-        import re
 
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = ws.sub(" ", (text or "").strip(" ").lower()).split(" ")
-                if len(toks) < 3:
+                shingles = _py_shingles(text)
+                if not shingles:
                     continue  # no 3-shingles: absent from pairs, like the oracle
-                shingles = {
-                    f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
-                    for i in range(len(toks) - 2)
-                }
                 hx = [
                     hashlib.md5(s.encode()).hexdigest()[:28] for s in shingles
                 ]
