@@ -68,14 +68,20 @@ def _load_all() -> None:
 # round, so ordering is rotation control.  Round-5 window policy (VERDICT
 # r4 ask #1: "every query's newest green row <= 2 rounds old" — after r4,
 # 50 queries are r4-green, 44 r3-green, and 9 r2-green):
-#   (a) the round's NEW query (text_gopher_line_flags) plus the 3 whose
-#       CODE changed — generative LSH ladder + bucket cap, fused
-#       repetition aggregates, skyline check_cap signature;
+#   (a) the round's NEW queries plus every query whose CODE changed this
+#       round — the generative LSH ladder + Arrow bucket generation, the
+#       Arrow repetition/minhash/shingle/line-rule kernels (late-r5
+#       rewrites: minhash, ngram-jaccard, decontaminate, and
+#       cluster-canonical joined the window; four unchanged r3-greens
+#       with in-window family siblings were displaced for them —
+#       pipeline_pii_scrub, pipeline_stratified_sample, ann_ivf_topk,
+#       window_funcs_extended — and join the must-lead-r6 set),
+#       and the skyline check_cap signature;
 #   (b) the 9 queries whose newest green is ROUND 2 (three rounds old at
 #       r5 — the only staleness violations; VERDICT r4 named them);
 #   (c) filter_range_ts + distinct_values as the filter/distinct family
 #       regression guards (ADVICE r4);
-#   (d) 33 of the 44 r3-greens — including every tablefmt/sql entry, since
+#   (d) 29 of the 44 r3-greens — including every tablefmt/sql entry, since
 #       table.py's commit-retry/_commit_replace changed this round.  The 11
 #       left out (scan_full, text_token_stats, text_lang_id,
 #       multimodal_metadata, pipeline_chunk_documents,
@@ -93,6 +99,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_gopher_line_flags",
     "dedup_embedding_lsh_pairs",
     "text_gopher_repetition_signals",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "pipeline_decontaminate",
+    "dedup_cluster_canonical",
     "skyline_price_size",
     # --- (b) last green in round 2 ---
     "window_lag_user_values",
@@ -124,8 +134,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "text_gopher_quality_flags",
     "pipeline_train_eval_split",
-    "pipeline_pii_scrub",
-    "pipeline_stratified_sample",
     "pipeline_topk_per_lang_sample",
     "topk_orders",
     "agg_pricing_summary",
@@ -136,10 +144,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "set_ops_customer_segments",
     "agg_approx_count_distinct",
     "ann_cosine_topk",
-    "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_batch_topk",
-    "window_funcs_extended",
     "sessionize_events",
 )
 
