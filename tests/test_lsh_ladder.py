@@ -192,3 +192,31 @@ def test_generative_rung_recall_on_planted_near_dups(
         tp = {p for p, c in pairs.items() if c == cos}
         recall = len(cand & tp) / len(tp)
         assert recall >= floor, f"arity {arity} recall@{cos} {recall:.3f} < {floor}"
+
+
+def test_null_and_short_vectors_degrade_gracefully(spark, tmp_path):
+    """A NULL embedding emits no signature rows (like the replaced
+    posexplode-of-NULL form and the oracle); a vector with fewer coords
+    than the signature width emits the fewer valid tuples instead of
+    crashing the precomputed-pattern indexing."""
+    from thesis_iceberg_spark.queries import dedup
+
+    loc = str(tmp_path / "degenerate")
+    rows = [
+        (1, [float(i) for i in range(64)]),
+        (2, [float(i) for i in range(64)]),  # duplicate of 1 -> candidate
+        (3, None),  # NULL embedding
+        (4, [1.0, -2.0, 3.0]),  # 3 coords < sig_dims=16 -> C(3,2) tuples
+    ]
+    spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").write.parquet(
+        f"{loc}/embeddings.parquet"
+    )
+    raw = dedup.load_table(spark, loc, "embeddings")
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in dedup._embedding_lsh_candidates(
+            spark, raw, dedup._emb_norms(raw)
+        ).collect()
+    }
+    assert (1, 2) in cand
+    assert not any(3 in p for p in cand)  # NULL vec never a candidate

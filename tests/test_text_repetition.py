@@ -67,6 +67,43 @@ def test_null_and_edge_whitespace_text(spark, tmp_path):
     assert abs(got[2]["top_2gram_char_frac"] - 6 / 8) < 1e-12
 
 
+def test_null_text_line_and_c4_oracle_parity(spark, tmp_path):
+    """NULL text must mirror each oracle exactly: the line rules' LEFT
+    JOIN path (0.0 fractions, keep) and C4's NULL-propagating page
+    columns (n_lines=0 from the empty chunk array, NULL
+    n_sentences/has_*/keep)."""
+    sf_dir = str(tmp_path / "nulls")
+    rows = [(1, None), (2, "a b c d e f g h a b c d e f g h")]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    lf = {
+        r.doc_id: r.asDict()
+        for r in REGISTRY["text_gopher_line_flags"].fn(spark, sf_dir).collect()
+    }
+    assert lf[1] == {
+        "doc_id": 1,
+        "dup_line_frac": 0.0,
+        "dup_para_frac": 0.0,
+        "dup_line_char_frac": 0.0,
+        "dup_para_char_frac": 0.0,
+        "keep": True,
+    }
+    # doc 2: two identical 8-token lines -> dup_line_frac 1.0, chars 30/31
+    assert lf[2]["dup_line_frac"] == 1.0
+    assert abs(lf[2]["dup_line_char_frac"] - 30 / 31) < 1e-12
+    assert lf[2]["keep"] is False
+    c4 = {
+        r.doc_id: r.asDict()
+        for r in REGISTRY["text_c4_quality_flags"].fn(spark, sf_dir).collect()
+    }
+    assert c4[1]["n_lines"] == 0 and c4[1]["n_kept_lines"] == 0
+    assert c4[1]["kept_line_frac"] == 0.0
+    assert c4[1]["n_sentences"] is None
+    assert c4[1]["has_lorem_ipsum"] is None and c4[1]["keep"] is None
+    assert c4[2]["n_lines"] == 2 and c4[2]["keep"] is False  # 0 sentences
+
+
 def test_lexical_flags_crafted_docs(spark, tmp_path):
     sf_dir = str(tmp_path / "lex")
     rows = [

@@ -25,6 +25,7 @@ engine-specific hash functions anywhere).
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,16 +99,16 @@ def _df_cap(n_docs: int) -> float:
     return max(DF_CAP_FLOOR, DF_CAP_FRAC * n_docs)
 
 
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
 def _py_shingles(text: str | None):
     """Python twin of _shingles()/_SQL_SHINGLES for Arrow kernels: distinct
     3-token shingles of the normalized text, or an empty set below 3
     tokens.  Tokenizer rules shared with the oracle: ASCII \\s+ over
     strip(' ').lower() (both engines' trim() is space-only; the corpus is
     ASCII, FIXTURES.md)."""
-    import re
-
-    ws = re.compile(r"\s+", re.ASCII)
-    toks = ws.sub(" ", (text or "").strip(" ").lower()).split(" ")
+    toks = _WS_ASCII.sub(" ", (text or "").strip(" ").lower()).split(" ")
     if len(toks) < 3:
         return set()
     return {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
@@ -760,19 +761,42 @@ def _embedding_lsh_candidates(
                 keys = keys * 128 + sel[:, j]
             return keys
 
+        def tuples_of(
+            d: "np.ndarray", k: int, width: int, idx: "np.ndarray"
+        ) -> "np.ndarray":
+            ds = np.sort(d)
+            if len(ds) == width:
+                return fold(ds[idx])  # full-width: precomputed patterns
+            if len(ds) < k:
+                return np.array([], dtype=np.int64)
+            # short vector (< width coords): enumerate what exists —
+            # mirrors the replaced rn<=sig_dims filter and the oracle's
+            # self-joins, which emit the fewer valid tuples
+            sel = np.array(list(combinations(ds.tolist(), k)), dtype=np.int64)
+            return fold(sel)
+
         for pdf in batches:
             ids, bks = [], []
             for vec_id, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
+                if v is None:
+                    continue  # NULL embedding: no signature rows, like
+                    # the replaced posexplode(NULL) form and the oracle
                 a = np.asarray(v, dtype=np.float64)
                 # rank by |val| desc, position asc (stable, tie-safe)
                 order = np.lexsort((np.arange(len(a)), -np.abs(a)))[:sig_dims]
                 d = order * 2 + (a[order] < 0)  # signed-dim ids, rank order
-                keys = fold(np.sort(d)[main_idx])
+                keys = tuples_of(d, arity, sig_dims, main_idx)
                 if anchor:
                     # anchor tuples draw ONLY from the top-`anchor` ranks
                     keys = np.concatenate(
-                        [keys, fold(np.sort(d[:anchor])[anch_idx]) + offset]
+                        [
+                            keys,
+                            tuples_of(d[:anchor], arity - 1, anchor, anch_idx)
+                            + offset,
+                        ]
                     )
+                if not len(keys):
+                    continue
                 ids.append(np.full(len(keys), int(vec_id), dtype=np.int64))
                 bks.append(keys)
             yield pd.DataFrame(

@@ -417,7 +417,8 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     # 7.5 s; posexplode + 18-column lead window + explode(array(9 structs))
     # + two keyed aggregates — all-JVM codegen — 5.3-6.9 s, dominated by
     # composition overhead (window sort + 9x generator + a 2.2M-row
-    # aggregate of what is only 270k tokens); THIS Arrow form 1.2-1.3 s.
+    # aggregate of what is only 270k tokens); THIS Arrow form 0.5-0.7 s in
+    # the recorded bench (up to ~1.3 s under concurrent machine load).
     # Per-document bounded state means Python sees each doc once and the
     # plan has NO exchange at all — strictly better at 1000 executors,
     # where the JVM form's two doc_id shuffles move the whole gram mass.
@@ -782,7 +783,12 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = ws.split((text or "").strip(" ").lower())
+                if text is None:
+                    # NULL toks -> empty chunk arrays -> no pieces: the
+                    # oracle's LEFT JOIN + COALESCE path (0.0 / keep)
+                    recs.append((int(doc_id), 0.0, 0.0, 0.0, 0.0, True))
+                    continue
+                toks = ws.split(text.strip(" ").lower())
                 dl = sum(len(t) for t in toks) + len(toks) - 1
                 lines = [
                     " ".join(toks[i : i + line_toks])
@@ -929,7 +935,13 @@ def text_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                raw = text or ""
+                if text is None:
+                    # NULL text: empty chunk array (n_lines 0, frac 0.0)
+                    # but NULL-propagating page columns — exactly the
+                    # oracle's regexp/contains-over-NULL behavior
+                    recs.append((int(doc_id), 0, 0, 0.0, None, None, None, None))
+                    continue
+                raw = text
                 toks = ws.split(raw.strip(" ").lower())
                 lines = [
                     " ".join(toks[i : i + line_toks])

@@ -152,6 +152,15 @@ def _cached_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     src = f"{sf_dir}/{name}.parquet"
     if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "1") != "1":
         return src
+    # one-time sweep of pre-namespacing cache dirs (bare basename, no
+    # path-hash suffix): only pre-r5 code wrote them and nothing reads
+    # them any more — without this they'd strand on disk forever, the
+    # exact leak the keyed GC exists to prevent
+    legacy = os.path.join(_CACHE_BASE, os.path.basename(os.path.normpath(sf_dir)))
+    if os.path.isdir(legacy):
+        import shutil
+
+        shutil.rmtree(legacy, ignore_errors=True)
     dst = os.path.join(_CACHE_BASE, _cache_tag(sf_dir), f"{name}-{_layout_key(src)}")
     marker_path = dst + ".marker"
     stat = os.stat(src)
