@@ -72,11 +72,12 @@ def _load_all() -> None:
 #       round — the generative LSH ladder + Arrow bucket generation, the
 #       Arrow repetition/minhash/shingle/line-rule kernels (late-r5
 #       rewrites: minhash, ngram-jaccard, decontaminate, and
-#       cluster-canonical joined the window; four unchanged r3-greens
+#       cluster-canonical joined the window, as did the brand-new
+#       dedup_embedding_cluster_canonical; five unchanged r3-greens
 #       with in-window family siblings were displaced for them —
 #       pipeline_pii_scrub, pipeline_stratified_sample, ann_ivf_topk,
-#       window_funcs_extended — and join the must-lead-r6 set),
-#       and the skyline check_cap signature;
+#       window_funcs_extended, agg_approx_count_distinct — and join the
+#       must-lead-r6 set), and the skyline check_cap signature;
 #   (b) the 9 queries whose newest green is ROUND 2 (three rounds old at
 #       r5 — the only staleness violations; VERDICT r4 named them);
 #   (c) filter_range_ts + distinct_values as the filter/distinct family
@@ -103,6 +104,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_pairs",
     "pipeline_decontaminate",
     "dedup_cluster_canonical",
+    "dedup_embedding_cluster_canonical",
     "skyline_price_size",
     # --- (b) last green in round 2 ---
     "window_lag_user_values",
@@ -142,7 +144,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "star_join_revenue_by_nation",
     "window_rank_orders",
     "set_ops_customer_segments",
-    "agg_approx_count_distinct",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "ann_batch_topk",

@@ -633,10 +633,9 @@ _DUCK_DIMS_CASE = " ".join(
 )
 
 
-@register(
-    "dedup_embedding_lsh_pairs",
-    oracle=f"""
-WITH tier AS (SELECT CASE {_DUCK_TIER_CASE}
+# Embedding-LSH oracle, split into CTEs + final SELECT so the cluster
+# query below can wrap the same pair list in a recursive CTE.
+_SQL_EMB_CTES = f"""tier AS (SELECT CASE {_DUCK_TIER_CASE}
                      ELSE {len(SIG_TIERS) - 1} END AS t FROM embeddings),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
@@ -654,12 +653,19 @@ buckets AS ({_duck_tier_buckets()}),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM buckets x JOIN buckets y
-    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)"""
+
+_SQL_EMB_SELECT = """
 SELECT c.vec_a, c.vec_b,
        list_dot_product(a.v, b.v) / (a.nm * b.nm) AS cosine
 FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
-""",
+"""
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"WITH {_SQL_EMB_CTES} {_SQL_EMB_SELECT}",
     doc="Embedding near-dup pairs via TIERED compound cross-polytope LSH — "
     "the scale path that replaces the O(n^2) brute-force variant. Each "
     "vector's signature is its top-L signed dimensions by |coordinate| "
@@ -848,8 +854,8 @@ def _embedding_lsh_candidates(
     "dedup_cluster_canonical",
     oracle=f"""
 WITH RECURSIVE {_SQL_MINHASH_CTES},
-pairs AS ({_SQL_MINHASH_SELECT}),
-edges AS (
+pairs AS MATERIALIZED ({_SQL_MINHASH_SELECT}),
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs),
@@ -879,6 +885,42 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs.toDF("a", "b")).select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_doc_id")
+    )
+
+
+@register(
+    "dedup_embedding_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_SQL_EMB_CTES.replace("cand AS (", "cand AS MATERIALIZED (")},
+pairs AS MATERIALIZED ({_SQL_EMB_SELECT}),
+edges AS MATERIALIZED (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON w.node = e.a)
+SELECT node AS vec_id, MIN(label) AS canonical_vec_id
+FROM walk GROUP BY node
+""",
+    doc="SemDeDup-style SEMANTIC cluster resolution (Abbas et al. 2023, "
+    "'SemDeDup: Data-efficient learning at web-scale through semantic "
+    "deduplication' — public paper): group embedding-space near-dups "
+    "(cosine >= 0.45 via the tiered LSH pair list) into clusters by "
+    "connected components and keep the minimum vec_id as each cluster's "
+    "canonical — the embedding twin of dedup_cluster_canonical's "
+    "MinHash/Jaccard clusters, catching paraphrases and translations "
+    "that share no shingles. Same large-star/small-star contraction "
+    "(O(log n) rounds), same recursive-CTE oracle shape; at 100 TB the "
+    "pair list is the LSH output (sub-quadratic, CI-gated) and each CC "
+    "round is two keyed O(edges) shuffles.",
+)
+def dedup_embedding_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs.toDF("a", "b")).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("canonical_vec_id")
     )
 
 
