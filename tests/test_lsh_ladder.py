@@ -220,3 +220,36 @@ def test_null_and_short_vectors_degrade_gracefully(spark, tmp_path):
     }
     assert (1, 2) in cand
     assert not any(3 in p for p in cand)  # NULL vec never a candidate
+
+
+def test_exact_substr_spans_crafted(spark, tmp_path):
+    """Known span geometry: a 20-token passage shared by two docs yields
+    one merged span each ([10,30) and [0,20)); an internal 16-token
+    repeat with a 17-token gap stays TWO spans (merge rule: gap <= K);
+    an all-unique doc emits nothing."""
+    from thesis_iceberg_spark.queries import REGISTRY
+    from thesis_iceberg_spark.queries.dedup import EXACT_SUBSTR_K
+
+    assert EXACT_SUBSTR_K == 16  # the geometry below depends on K
+    common = [f"w{i}" for i in range(20)]
+    x = [f"p{i}" for i in range(16)]
+    rows = [
+        (1, " ".join([f"a{i}" for i in range(10)] + common + ["b0", "b1"])),
+        (2, " ".join(common + [f"c{i}" for i in range(7)])),
+        (3, " ".join(f"u{i}" for i in range(30))),
+        (4, " ".join(x + ["q0"] + x)),
+    ]
+    loc = str(tmp_path / "spans")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{loc}/documents.parquet"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in REGISTRY["dedup_exact_substr_spans"].fn(spark, loc).collect()
+    )
+    assert got == [
+        (1, 10, 30, 20),
+        (2, 0, 20, 20),
+        (4, 0, 16, 16),
+        (4, 17, 33, 16),
+    ]

@@ -73,11 +73,12 @@ def _load_all() -> None:
 #       Arrow repetition/minhash/shingle/line-rule kernels (late-r5
 #       rewrites: minhash, ngram-jaccard, decontaminate, and
 #       cluster-canonical joined the window, as did the brand-new
-#       dedup_embedding_cluster_canonical; five unchanged r3-greens
-#       with in-window family siblings were displaced for them —
-#       pipeline_pii_scrub, pipeline_stratified_sample, ann_ivf_topk,
-#       window_funcs_extended, agg_approx_count_distinct — and join the
-#       must-lead-r6 set), and the skyline check_cap signature;
+#       dedup_embedding_cluster_canonical and dedup_exact_substr_spans;
+#       six unchanged r3-greens with in-window family siblings were
+#       displaced for them — pipeline_pii_scrub,
+#       pipeline_stratified_sample, ann_ivf_topk, window_funcs_extended,
+#       agg_approx_count_distinct, set_ops_customer_segments — and join
+#       the must-lead-r6 set), and the skyline check_cap signature;
 #   (b) the 9 queries whose newest green is ROUND 2 (three rounds old at
 #       r5 — the only staleness violations; VERDICT r4 named them);
 #   (c) filter_range_ts + distinct_values as the filter/distinct family
@@ -105,6 +106,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pipeline_decontaminate",
     "dedup_cluster_canonical",
     "dedup_embedding_cluster_canonical",
+    "dedup_exact_substr_spans",
     "skyline_price_size",
     # --- (b) last green in round 2 ---
     "window_lag_user_values",
@@ -143,7 +145,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "join_anti_inactive_customers",
     "star_join_revenue_by_nation",
     "window_rank_orders",
-    "set_ops_customer_segments",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "ann_batch_topk",

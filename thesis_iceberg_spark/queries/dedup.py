@@ -1009,3 +1009,131 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         "node", F.col("node").alias("label")
     )
     return labels.unionByName(roots)
+
+
+# --- ExactSubstr duplicate spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — public paper) -------------------------
+# The paragraph-granularity variant lives in pipeline_q; this is the
+# sliding-window form: a token SPAN is duplicated when its K-token window
+# hash occurs more than once ANYWHERE in the corpus (cross-doc or same-doc),
+# and overlapping/adjacent duplicated windows merge into one maximal span —
+# the region ExactSubstr would cut before training.  K is 50 tokens in the
+# paper; 16 here, scaled to the synthetic corpus' ~54-token documents
+# (documented deviation — the algorithm is K-agnostic).
+from thesis_iceberg_spark.queries.text import (  # noqa: E402  (same package,
+    _HASH_BASE,  # no import cycle: text.py imports nothing from dedup)
+    _HASH_MOD,
+)
+
+EXACT_SUBSTR_K = 16
+
+_SQL_SPAN_FOLD = "th[i]"
+for _j in range(1, EXACT_SUBSTR_K):
+    _SQL_SPAN_FOLD = f"(({_SQL_SPAN_FOLD}) * {_HASH_BASE} + th[i+{_j}]) % {_HASH_MOD}"
+
+
+@register(
+    "dedup_exact_substr_spans",
+    oracle=f"""
+WITH tt AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(th) - {EXACT_SUBSTR_K - 1} + 1),
+                               i -> i - 1)) AS pos,
+         unnest(list_transform(range(1, len(th) - {EXACT_SUBSTR_K - 1} + 1),
+                               i -> {_SQL_SPAN_FOLD})) AS h
+  FROM tt),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g)
+  WHERE c > 1),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {EXACT_SUBSTR_K} THEN 0 ELSE 1 END AS brk
+  FROM d),
+s AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM b)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {EXACT_SUBSTR_K} AS span_end,
+       MAX(pos) + {EXACT_SUBSTR_K} - MIN(pos) AS span_tokens
+FROM s GROUP BY doc_id, isl
+""",
+    doc=f"ExactSubstr duplicate SPANS (Lee et al. 2022): every maximal "
+    f"token interval covered by {EXACT_SUBSTR_K}-token windows whose "
+    "rolling hash occurs more than once anywhere in the corpus — the "
+    "regions the paper cuts before training, finer than whole-doc or "
+    "paragraph dedup (it catches a copied passage inside an otherwise "
+    "unique document). Spark shape: window hashes are per-document "
+    "bounded state (one Arrow pass, 40-bit-md5 rolling fold shared with "
+    "the repetition kernel); corpus-wide duplication is ONE count-window "
+    "shuffle on the hash; span merging is a lag + running-sum "
+    "gaps-and-islands on (doc_id, pos) — two keyed shuffles total, both "
+    "map-side-combinable aggregations at 100 TB. Overlapping or touching "
+    "windows (gap <= K) merge into one span.",
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    k = EXACT_SUBSTR_K
+    base, mod = _HASH_BASE, _HASH_MOD
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def grams(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                toks = _WS_ASCII.split((text or "").strip(" ").lower())
+                t = len(toks)
+                if t < k:
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(x.encode()).hexdigest()[:10], 16) for x in toks),
+                    dtype=np.int64,
+                    count=t,
+                )
+                g = hs
+                for j in range(1, k):
+                    g = (g[:-1] * base + hs[j:]) % mod
+                ids.append(np.full(len(g), int(doc_id), dtype=np.int64))
+                poss.append(np.arange(len(g), dtype=np.int64))
+                hh.append(g)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64),
+                    "pos": np.concatenate(poss) if poss else np.array([], dtype=np.int64),
+                    "h": np.concatenate(hh) if hh else np.array([], dtype=np.int64),
+                }
+            )
+
+    g = docs.mapInPandas(grams, "doc_id bigint, pos bigint, h bigint")
+    dup = (
+        g.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    b = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(wd) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    s = b.withColumn("isl", F.sum("brk").over(wd))
+    return s.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+        (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+    ).drop("isl")
