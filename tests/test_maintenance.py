@@ -106,6 +106,38 @@ def test_cow_delete_is_file_granular_within_an_entry(spark, loc):
     assert vt.read(snapshot_id=1).count() == 100
 
 
+def test_cow_probe_is_manifest_pruned(spark, loc, monkeypatch):
+    """The CoW probe job reads ONLY files whose manifest min/max bounds
+    could satisfy the predicate (Iceberg prunes its CoW scan the same
+    way): on a write-time-sorted table a bounded DELETE's probe plan
+    holds a strict subset of the files, and the result is unchanged."""
+    from thesis_iceberg_spark.tablefmt.table import _MIN, VersionedTable
+
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")  # disjoint per-file id ranges
+    )
+    vt = VersionedTable.create(spark, loc, df=df, sort_by=["id"])
+    total_files = sum(len(e["files"]) for e in vt._current_manifest())
+    assert total_files >= 4
+    seen = {}
+    orig = vt.plan_files
+
+    def spy(ranges=None, **kw):
+        out = orig(ranges, **kw)
+        seen["ranges"] = ranges
+        seen["files"] = sum(len(e.get("files") or []) for e in out)
+        return out
+
+    monkeypatch.setattr(vt, "plan_files", spy)
+    vt.delete("id <= 10")
+    assert seen["ranges"] == {"id": (_MIN, 10)}
+    assert 0 < seen["files"] < total_files  # probe plan pruned by bounds
+    fresh = VersionedTable(spark, loc)
+    assert sorted(r.id for r in fresh.read().collect()) == list(range(11, 100))
+
+
 def test_update_uses_original_row_values(spark, loc):
     """All UPDATE assignments evaluate against the pre-update row (SQL
     semantics), even when one assigned column feeds another's RHS."""

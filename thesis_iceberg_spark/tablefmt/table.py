@@ -1037,22 +1037,36 @@ class VersionedTable:
         rewrite,
         operation: str,
         now_ms: int | None = None,
+        ranges: dict | None = None,
     ) -> None:
-        """FILE-granular copy-on-write: ONE pushdown-backed probe job over
-        the whole snapshot attributes matching rows to their physical files
-        via _metadata.file_path; only files that actually CONTAIN matches
+        """FILE-granular copy-on-write: ONE pushdown-backed probe job
+        attributes matching rows to their physical files via
+        _metadata.file_path; only files that actually CONTAIN matches
         are rewritten — every other file (including unmatched files inside
         a touched directory) survives into the new snapshot by reference.
         This is Iceberg's CoW write path: manifests are file-granular, and
-        a DELETE touching 1 of 100 files rewrites 1 file. A production
-        build would prune the probe with manifest min/max stats instead of
-        scanning; row-group skipping gives the probe the same shape here."""
+        a DELETE touching 1 of 100 files rewrites 1 file.
+
+        ``ranges`` (the conservative per-column bounds parsed from a string
+        predicate) prunes the PROBE with manifest min/max stats before any
+        file is opened — plan_files keeps a file unless its partition value
+        or recorded bounds PROVE no row can match, so pruning can never
+        hide a matching row; an unparseable predicate (ranges=None) probes
+        everything.  At 100 TB this is the difference between a
+        partition-bounded DELETE probing one day's files and a full-table
+        scan (Iceberg prunes its CoW probe from manifests the same way)."""
         snap = self._select_snapshot()
         if snap is None:
             return  # empty table: nothing to do
+        probe_snap = snap
+        if ranges is not None:
+            pruned = self.plan_files(ranges)
+            if not pruned:
+                return  # bounds prove nothing matches: no new snapshot
+            probe_snap = {**snap, "manifest": pruned}
         match = F.coalesce(condition, F.lit(False))
         matched_all = self._matched_files(
-            self._scan_snapshot(snap, with_pos=True).filter(match)
+            self._scan_snapshot(probe_snap, with_pos=True).filter(match)
         )
         if not matched_all:
             return  # no rows match: no new snapshot (Iceberg does the same)
@@ -1202,7 +1216,8 @@ class VersionedTable:
             self._mor_delete(cond, now_ms, ranges=_ranges_from_predicate(condition))
             return
         self._cow_rewrite(
-            cond, lambda df, match: df.filter(~match), "delete", now_ms
+            cond, lambda df, match: df.filter(~match), "delete", now_ms,
+            ranges=_ranges_from_predicate(condition),
         )
 
     def _mor_delete(
@@ -1331,7 +1346,10 @@ class VersionedTable:
                 cond, assigns, now_ms, ranges=_ranges_from_predicate(condition)
             )
             return
-        self._cow_rewrite(cond, rewrite, "update", now_ms)
+        self._cow_rewrite(
+            cond, rewrite, "update", now_ms,
+            ranges=_ranges_from_predicate(condition),
+        )
 
     def _mor_update(
         self,
