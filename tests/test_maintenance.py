@@ -138,6 +138,41 @@ def test_cow_probe_is_manifest_pruned(spark, loc, monkeypatch):
     assert sorted(r.id for r in fresh.read().collect()) == list(range(11, 100))
 
 
+def test_merge_probe_is_manifest_pruned(spark, loc, monkeypatch):
+    """MERGE bounds every target scan by the source keys' min/max: files
+    whose manifest bounds exclude the key range are neither probed for
+    matches nor read for the insert anti-join (they can't contain either),
+    and the result is unchanged."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable
+
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+    )
+    vt = VersionedTable.create(spark, loc, df=df, sort_by=["id"])
+    total_files = sum(len(e["files"]) for e in vt._current_manifest())
+    seen = {}
+    orig = vt.plan_files
+
+    def spy(ranges=None, **kw):
+        out = orig(ranges, **kw)
+        seen["ranges"] = ranges
+        seen["files"] = sum(len(e.get("files") or []) for e in out)
+        return out
+
+    monkeypatch.setattr(vt, "plan_files", spy)
+    src = spark.createDataFrame([(3, -1), (5, -1)], "id bigint, v bigint")
+    vt.merge(src, on="id", when_matched_update={"v": "s.v"},
+             mode="merge-on-read")
+    assert seen["ranges"] == {"id": (3, 5)}
+    assert 0 < seen["files"] < total_files
+    fresh = VersionedTable(spark, loc)
+    rows = {r.id: r.v for r in fresh.read().collect()}
+    assert rows[3] == -1 and rows[5] == -1
+    assert rows[4] == 8 and rows[90] == 180 and len(rows) == 100
+
+
 def test_update_uses_original_row_values(spark, loc):
     """All UPDATE assignments evaluate against the pre-update row (SQL
     semantics), even when one assigned column feeds another's RHS."""

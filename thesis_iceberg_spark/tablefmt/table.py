@@ -1438,23 +1438,35 @@ class VersionedTable:
             if when_not_matched_insert:
                 self._merge_insert_only(src, on, now_ms)
             return
-        live = self._scan_snapshot(snap, with_pos=True)
+        # prune every scan below with the source keys' min/max bounds
+        # (plan_files manifest skipping, same as the UPDATE/DELETE probe):
+        # a file whose bounds exclude [min(key), max(key)] can contain no
+        # matched row, and its rows can never equal a source key in the
+        # insert anti-join either — so the pruned snapshot is
+        # merge-equivalent to the full one (NULL-keyed rows in pruned
+        # files never participate: ON uses plain equality).
+        key_ranges = self._merge_key_ranges(src, on)
+        probe_snap = snap
+        if key_ranges is not None:
+            probe_snap = {**snap, "manifest": self.plan_files(key_ranges)}
+        live = self._scan_snapshot(probe_snap, with_pos=True)
         keys = src.select(on).filter(F.col(on).isNotNull()).distinct()
         matched_all = self._matched_files(live.join(keys, on, "left_semi"))
         if not matched_all:
             # no key overlap anywhere: pure-insert MERGE, zero rewrites
             if when_not_matched_insert:
-                self._merge_insert_only(src, on, now_ms)
+                self._merge_insert_only(src, on, now_ms, ranges=key_ranges)
             return
         if self._dml_mode("merge", mode) == "merge-on-read":
             self._mor_merge(
-                snap,
+                probe_snap,
                 src,
                 on,
                 when_matched_update,
                 when_not_matched_insert,
                 delete_cond,
                 now_ms,
+                key_ranges=key_ranges,
             )
             return
         # ---- copy-on-write: rewrite ONLY the files containing matches ----
@@ -1509,7 +1521,13 @@ class VersionedTable:
             lo, hi = lo.isoformat(), hi.isoformat()
         return {on: (lo, hi)}
 
-    def _merge_insert_only(self, src: DataFrame, on: str, now_ms: int | None) -> None:
+    def _merge_insert_only(
+        self,
+        src: DataFrame,
+        on: str,
+        now_ms: int | None,
+        ranges: dict | None = None,
+    ) -> None:
         """Commit a MERGE that degenerated to a pure insert (empty table, or
         no key overlap).  Under snapshot isolation this is a plain
         fast-append.  Under serializable isolation the degenerate path is
@@ -1528,7 +1546,9 @@ class VersionedTable:
         added = self._write_data_files(src, sid)
         self._commit_delta(
             "merge", added, [], now_ms, row_level=True,
-            predicate_ranges=self._merge_key_ranges(src, on),
+            predicate_ranges=(
+                ranges if ranges is not None else self._merge_key_ranges(src, on)
+            ),
         )
 
     def _mor_merge(
@@ -1540,11 +1560,15 @@ class VersionedTable:
         when_not_matched_insert: bool,
         delete_cond: Column | None,
         now_ms: int | None,
+        key_ranges: dict | None = None,
     ) -> None:
         """Merge-on-read MERGE: position-delete every matched row that is
         updated or deleted, append updated versions + inserts as ONE new
         data file set. Existing data files are never rewritten — per-call
-        write cost is O(matched + inserted), not O(table)."""
+        write cost is O(matched + inserted), not O(table).  ``snap`` may
+        already be key-bounds-pruned by the caller (merge-equivalent, see
+        merge()); ``key_ranges`` forwards the precomputed bounds to the
+        serializable commit check."""
         import shutil
 
         live = self._scan_snapshot(snap, with_pos=True)
@@ -1597,12 +1621,11 @@ class VersionedTable:
             data_entries = []
         if not del_entries and not data_entries:
             return  # nothing matched, nothing inserted: no new snapshot
-        ranges = None
-        if self._isolation("merge") == "serializable":
-            ranges = self._merge_key_ranges(src, on)
         self._commit_delta(
             "merge", data_entries, del_entries, now_ms, row_level=True,
-            predicate_ranges=ranges,
+            predicate_ranges=(
+                key_ranges if self._isolation("merge") == "serializable" else None
+            ),
         )
 
     # ------------------------------------------------------------------
