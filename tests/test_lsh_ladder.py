@@ -253,3 +253,16 @@ def test_exact_substr_spans_crafted(spark, tmp_path):
         (4, 0, 16, 16),
         (4, 17, 33, 16),
     ]
+    # the APPLY step cuts exactly those spans and keeps everything else
+    cleaned = {
+        r.doc_id: r.asDict()
+        for r in REGISTRY["pipeline_remove_dup_spans"].fn(spark, loc).collect()
+    }
+    assert cleaned[1]["kept_text"] == " ".join(
+        [f"a{i}" for i in range(10)] + ["b0", "b1"]
+    )
+    assert cleaned[1]["n_removed_tokens"] == 20
+    assert cleaned[2]["kept_text"] == " ".join(f"c{i}" for i in range(7))
+    assert cleaned[3]["n_removed_tokens"] == 0  # unique doc untouched
+    assert cleaned[3]["kept_text"] == " ".join(f"u{i}" for i in range(30))
+    assert cleaned[4]["kept_text"] == "q0"  # both repeats of x cut

@@ -73,12 +73,13 @@ def _load_all() -> None:
 #       Arrow repetition/minhash/shingle/line-rule kernels (late-r5
 #       rewrites: minhash, ngram-jaccard, decontaminate, and
 #       cluster-canonical joined the window, as did the brand-new
-#       dedup_embedding_cluster_canonical and dedup_exact_substr_spans;
-#       six unchanged r3-greens with in-window family siblings were
-#       displaced for them — pipeline_pii_scrub,
-#       pipeline_stratified_sample, ann_ivf_topk, window_funcs_extended,
-#       agg_approx_count_distinct, set_ops_customer_segments — and join
-#       the must-lead-r6 set), and the skyline check_cap signature;
+#       dedup_embedding_cluster_canonical, dedup_exact_substr_spans, and
+#       pipeline_remove_dup_spans; seven unchanged r3-greens with
+#       in-window family siblings were displaced for them —
+#       pipeline_pii_scrub, pipeline_stratified_sample, ann_ivf_topk,
+#       window_funcs_extended, agg_approx_count_distinct,
+#       set_ops_customer_segments, join_anti_inactive_customers — and
+#       join the must-lead-r6 set), and the skyline check_cap signature;
 #   (b) the 9 queries whose newest green is ROUND 2 (three rounds old at
 #       r5 — the only staleness violations; VERDICT r4 named them);
 #   (c) filter_range_ts + distinct_values as the filter/distinct family
@@ -107,6 +108,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonical",
     "dedup_embedding_cluster_canonical",
     "dedup_exact_substr_spans",
+    "pipeline_remove_dup_spans",
     "skyline_price_size",
     # --- (b) last green in round 2 ---
     "window_lag_user_values",
@@ -142,7 +144,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "topk_orders",
     "agg_pricing_summary",
     "join_inner_cust_orders",
-    "join_anti_inactive_customers",
     "star_join_revenue_by_nation",
     "window_rank_orders",
     "ann_cosine_topk",

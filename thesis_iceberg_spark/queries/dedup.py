@@ -1137,3 +1137,101 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + k).alias("span_end"),
         (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
     ).drop("isl")
+
+
+@register(
+    "pipeline_remove_dup_spans",
+    oracle=f"""
+WITH tt AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(th) - {EXACT_SUBSTR_K - 1} + 1),
+                               i -> i - 1)) AS pos,
+         unnest(list_transform(range(1, len(th) - {EXACT_SUBSTR_K - 1} + 1),
+                               i -> {_SQL_SPAN_FOLD})) AS h
+  FROM tt),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g)
+  WHERE c > 1),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {EXACT_SUBSTR_K} THEN 0 ELSE 1 END AS brk
+  FROM d),
+si AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM b),
+spans AS (
+  SELECT doc_id, MIN(pos) AS st, MAX(pos) + {EXACT_SUBSTR_K} AS en
+  FROM si GROUP BY doc_id, isl),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents)),
+kept AS (
+  SELECT t.* FROM tok t ANTI JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos >= s.st AND t.pos < s.en),
+ka AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS kept_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(kept_text, '') AS kept_text,
+       n_tokens,
+       n_tokens - COALESCE(nk, 0) AS n_removed_tokens
+FROM tot t LEFT JOIN ka USING (doc_id)
+""",
+    doc="APPLY step for ExactSubstr: rebuild each document with every "
+    "duplicated span (dedup_exact_substr_spans, all-occurrence "
+    "convention — Lee et al.'s 'remove all copies' variant) cut out, "
+    "emitting the cleaned normalized text plus token counts. Spark "
+    "shape: the span stages as above, then a sort-merge LEFT ANTI join "
+    "of token rows against spans (equi on doc_id + pos-range residual — "
+    "never a nested loop across documents) and a per-doc ordered "
+    "re-concatenation. Output text is the NORMALIZED (lowercased, "
+    "single-space) form — the form every dedup operator in this engine "
+    "is defined over.",
+)
+def pipeline_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = dedup_exact_substr_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
+        ).alias("pos", "tk"),
+    )
+    kept = tok.alias("t").join(
+        spans.alias("s"),
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") < F.col("s.span_end")),
+        "left_anti",
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                lambda x: x["tk"],
+            ),
+        ).alias("kept_text"),
+        F.count("*").alias("nk"),
+    )
+    tot = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("nk", F.lit(0))).alias("n_removed_tokens"),
+    )
