@@ -173,6 +173,40 @@ def test_merge_probe_is_manifest_pruned(spark, loc, monkeypatch):
     assert rows[4] == 8 and rows[90] == 180 and len(rows) == 100
 
 
+def test_probe_pruning_survives_rename_with_name_reuse(spark, loc):
+    """Footer stats are keyed by WRITE-TIME column names; after
+    rename('id','old_id'); rename('v','id') an old file's 'id' stats
+    describe a different field than today's 'id'. The probe pruning must
+    resolve stats by FIELD ID (like reads do) — looking them up by
+    current name would prune files that DO match and silently commit a
+    no-op DELETE / duplicate-key MERGE."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable
+
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id", "id + 1000 AS v")
+        .repartitionByRange(4, "id")
+    )
+    vt = VersionedTable.create(spark, loc, df=df, sort_by=["id"])
+    vt.rename_column("id", "old_id")
+    vt.rename_column("v", "id")  # current 'id' is the OLD 'v' (1000..1099)
+    # matches every row; name-keyed stats ('id': 0..99) would prune all
+    vt.delete("id >= 1000 and id <= 1009", mode="merge-on-read")
+    fresh = VersionedTable(spark, loc)
+    ids = sorted(r.id for r in fresh.read().collect())
+    assert ids == list(range(1010, 1100))
+    # MERGE on the renamed key: must match, not insert a duplicate
+    src = spark.createDataFrame([(1050, -1)], "id bigint, old_id bigint")
+    fresh.merge(src, on="id", when_matched_update={"old_id": "s.old_id"},
+                mode="merge-on-read")
+    rows = [r.old_id for r in fresh.read().filter("id = 1050").collect()]
+    assert rows == [-1]
+    # pruning still engages when bounds REALLY exclude: no new snapshot
+    n_snaps = len(fresh._meta["snapshots"])
+    fresh.delete("id >= 5000")
+    assert len(fresh._meta["snapshots"]) == n_snaps
+
+
 def test_update_uses_original_row_values(spark, loc):
     """All UPDATE assignments evaluate against the pre-update row (SQL
     semantics), even when one assigned column feeds another's RHS."""

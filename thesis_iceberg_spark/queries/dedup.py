@@ -1031,11 +1031,10 @@ _SQL_SPAN_FOLD = "th[i]"
 for _j in range(1, EXACT_SUBSTR_K):
     _SQL_SPAN_FOLD = f"(({_SQL_SPAN_FOLD}) * {_HASH_BASE} + th[i+{_j}]) % {_HASH_MOD}"
 
-
-@register(
-    "dedup_exact_substr_spans",
-    oracle=f"""
-WITH tt AS (
+# Shared by the spans oracle AND the apply-step oracle below (one
+# definition — the two must never drift, or the apply step would cut
+# spans that differ from what the spans query reports).
+_SQL_SPAN_CTES = f"""tt AS (
   SELECT doc_id,
          list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
                         x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
@@ -1056,15 +1055,23 @@ b AS (
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
                    <= {EXACT_SUBSTR_K} THEN 0 ELSE 1 END AS brk
   FROM d),
-s AS (
+si AS (
   SELECT doc_id, pos,
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-  FROM b)
-SELECT doc_id,
-       MIN(pos) AS span_start,
-       MAX(pos) + {EXACT_SUBSTR_K} AS span_end,
-       MAX(pos) + {EXACT_SUBSTR_K} - MIN(pos) AS span_tokens
-FROM s GROUP BY doc_id, isl
+  FROM b),
+spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start,
+         MAX(pos) + {EXACT_SUBSTR_K} AS span_end,
+         MAX(pos) + {EXACT_SUBSTR_K} - MIN(pos) AS span_tokens
+  FROM si GROUP BY doc_id, isl)"""
+
+
+@register(
+    "dedup_exact_substr_spans",
+    oracle=f"""
+WITH {_SQL_SPAN_CTES}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
 """,
     doc=f"ExactSubstr duplicate SPANS (Lee et al. 2022): every maximal "
     f"token interval covered by {EXACT_SUBSTR_K}-token windows whose "
@@ -1073,11 +1080,12 @@ FROM s GROUP BY doc_id, isl
     "paragraph dedup (it catches a copied passage inside an otherwise "
     "unique document). Spark shape: window hashes are per-document "
     "bounded state (one Arrow pass, 40-bit-md5 rolling fold shared with "
-    "the repetition kernel); corpus-wide duplication is ONE count-window "
-    "shuffle on the hash; span merging is a lag + running-sum "
-    "gaps-and-islands on (doc_id, pos) — two keyed shuffles total, both "
-    "map-side-combinable aggregations at 100 TB. Overlapping or touching "
-    "windows (gap <= K) merge into one span.",
+    "the repetition kernel); corpus-wide duplication is a map-side-"
+    "combinable groupBy(h) + LEFT SEMI join back — NOT a count-window, "
+    "which would materialize every occurrence of a hot boilerplate "
+    "window (license header, template) in one task; span merging is a "
+    "lag + running-sum gaps-and-islands on (doc_id, pos). Overlapping "
+    "or touching windows (gap <= K) merge into one span.",
 )
 def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1118,12 +1126,19 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    g = docs.mapInPandas(grams, "doc_id bigint, pos bigint, h bigint")
-    dup = (
-        g.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("c") > 1)
-        .select("doc_id", "pos")
+    # checkpoint: the gram rows feed BOTH the duplicate-hash aggregate
+    # and the semi-join probe side — materialize the Arrow pass once
+    g = docs.mapInPandas(
+        grams, "doc_id bigint, pos bigint, h bigint"
+    ).localCheckpoint(eager=True)
+    # duplicate hashes via partial-aggregated groupBy + semi join, never a
+    # count-window: a window over h materializes every occurrence of a
+    # hot boilerplate 16-gram in ONE task (spill/straggler at 100 TB);
+    # the aggregate combines map-side and the join shuffles ids only
+    dup_h = (
+        g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     )
+    dup = g.join(dup_h.select("h"), "h", "left_semi").select("doc_id", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     b = dup.withColumn(
         "brk",
@@ -1142,34 +1157,7 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_remove_dup_spans",
     oracle=f"""
-WITH tt AS (
-  SELECT doc_id,
-         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                        x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
-  FROM documents),
-g AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(th) - {EXACT_SUBSTR_K - 1} + 1),
-                               i -> i - 1)) AS pos,
-         unnest(list_transform(range(1, len(th) - {EXACT_SUBSTR_K - 1} + 1),
-                               i -> {_SQL_SPAN_FOLD})) AS h
-  FROM tt),
-d AS (
-  SELECT doc_id, pos FROM (
-    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g)
-  WHERE c > 1),
-b AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   <= {EXACT_SUBSTR_K} THEN 0 ELSE 1 END AS brk
-  FROM d),
-si AS (
-  SELECT doc_id, pos,
-         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-  FROM b),
-spans AS (
-  SELECT doc_id, MIN(pos) AS st, MAX(pos) + {EXACT_SUBSTR_K} AS en
-  FROM si GROUP BY doc_id, isl),
+WITH {_SQL_SPAN_CTES},
 tok AS (
   SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) - 1 AS pos
   FROM (SELECT doc_id,
@@ -1177,7 +1165,8 @@ tok AS (
         FROM documents)),
 kept AS (
   SELECT t.* FROM tok t ANTI JOIN spans s
-    ON t.doc_id = s.doc_id AND t.pos >= s.st AND t.pos < s.en),
+    ON t.doc_id = s.doc_id
+   AND t.pos >= s.span_start AND t.pos < s.span_end),
 ka AS (
   SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS kept_text,
          COUNT(*) AS nk

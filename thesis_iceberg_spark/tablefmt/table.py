@@ -542,7 +542,45 @@ class VersionedTable:
         files = entry.get("files")
         if files is None:
             return True
-        return any(self._file_in_ranges(f, ranges) for f in files)
+        name_map = self._stats_name_map(entry)
+        return any(self._file_in_ranges(f, ranges, name_map) for f in files)
+
+    def _stats_name_map(self, entry: dict) -> dict[str, str]:
+        """Current column name -> the name the entry's files recorded their
+        footer stats under (FIELD-ID resolution across renames — the same
+        remap _read_entry applies to data).  Stats are keyed by the names
+        at WRITE time, so after rename('id','old_id'); rename('v','id')
+        an old file's 'id' stats describe a DIFFERENT field than today's
+        'id' — looking them up by current name would prune files that DO
+        match (committed-DML corruption, not just a bad plan).  A current
+        field with no counterpart in the write-time schema maps to a
+        sentinel that can never hit a stats key (added column: no stats,
+        cannot prune).  Entries predating schema_id stamping get the
+        all-sentinel map unless the schema never changed."""
+        sid = entry.get("schema_id")
+        cur_sid = self._meta["current_schema_id"]
+        if sid == cur_sid:
+            return {}
+        if sid is None:
+            if len(self._meta["schemas"]) == 1:
+                return {}
+            return {f.name: "\x00missing" for f in self.current_schema}
+        old_by_id = {f.id: f.name for f in self._schema_by_id(sid)}
+        return {
+            f.name: old_by_id.get(f.id, "\x00missing")
+            for f in self.current_schema
+        }
+
+    def _probe_snapshot(self, ranges: dict | None) -> dict | None:
+        """Current snapshot with its manifest pruned to the files whose
+        bounds could satisfy ``ranges`` (plan_files manifest skipping) —
+        the input every DML probe scans.  None when the table is empty;
+        a pruned-to-empty manifest comes back as-is (the caller's probe
+        finds no matches and commits nothing)."""
+        snap = self._select_snapshot()
+        if snap is None or ranges is None:
+            return snap
+        return {**snap, "manifest": self.plan_files(ranges)}
 
     def _commit_delta(
         self,
@@ -760,9 +798,15 @@ class VersionedTable:
             return v.replace(" ", "T", 1)
         return v
 
-    def _file_in_ranges(self, f: dict, ranges: dict) -> bool:
+    def _file_in_ranges(
+        self, f: dict, ranges: dict, name_map: dict[str, str] | None = None
+    ) -> bool:
         """Conservative file-level predicate check: keep the file unless its
-        partition value or column bounds PROVE no row can match."""
+        partition value or column bounds PROVE no row can match.
+        ``name_map`` translates current column names to the names the
+        file's footer stats were recorded under (see _stats_name_map);
+        the partition-dir check stays on current names — ``_p_day=`` dir
+        values carry no column name."""
         import re as _re
 
         spec = self._meta["partition_spec"]
@@ -781,6 +825,8 @@ class VersionedTable:
             ):
                 return False
         for col, (lo, hi) in ranges.items():
+            if name_map:
+                col = name_map.get(col, col)
             st = (f.get("stats") or {}).get(col)
             if st is None:
                 continue  # no bounds recorded -> cannot prune
@@ -817,7 +863,8 @@ class VersionedTable:
             if not ranges or files is None:
                 out.append(entry)
                 continue
-            sel = [f for f in files if self._file_in_ranges(f, ranges)]
+            name_map = self._stats_name_map(entry)
+            sel = [f for f in files if self._file_in_ranges(f, ranges, name_map)]
             if sel:
                 out.append(
                     {**entry, "files": sel, "rows": sum(f["rows"] for f in sel)}
@@ -1226,7 +1273,7 @@ class VersionedTable:
         now_ms: int | None = None,
         ranges: dict | None = None,
     ) -> None:
-        snap = self._select_snapshot()
+        snap = self._probe_snapshot(ranges)
         if snap is None:
             return
         match = F.coalesce(condition, F.lit(False))
@@ -1361,7 +1408,7 @@ class VersionedTable:
         """Merge-on-read UPDATE: position-delete every matched row, append a
         new data file containing only the updated versions. Untouched data
         files are never rewritten."""
-        snap = self._select_snapshot()
+        snap = self._probe_snapshot(ranges)
         if snap is None:
             return
         match = F.coalesce(condition, F.lit(False))
