@@ -153,15 +153,61 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """name -> newest round with a fully-green driver row, parsed from the
+    CORRECTNESS_r*.json files the driver leaves at the repo root.  Used to
+    order the post-priority window remainder STALEST-FIRST, so queries the
+    manual priority block doesn't name still rotate through the driver's
+    50-query window by age instead of accumulating stale greens (the
+    failure mode VERDICT r4 called out).  Missing or unparseable files are
+    ignored (fresh checkout: everything ties at never-checked)."""
+    import glob
+    import json
+    import os
+    import re
+
+    out: dict[str, int] = {}
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+                and not res.get("err")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def _ordered() -> dict[str, QuerySpec]:
     _load_all()
     out: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW_PRIORITY:
         if name in REGISTRY:
             out[name] = REGISTRY[name]
-    for name, spec in REGISTRY.items():
-        if name not in out:
-            out[name] = spec
+    last_green = _last_green_rounds()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    rest = [n for n in REGISTRY if n not in out]
+    # never-checked first (new queries missed by the priority block), then
+    # oldest green; registration order breaks ties deterministically
+    rest.sort(key=lambda n: (last_green.get(n, -1), reg_index[n]))
+    for name in rest:
+        out[name] = REGISTRY[name]
     return out
 
 
