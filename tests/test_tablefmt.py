@@ -53,6 +53,24 @@ def test_time_travel_and_metadata_tables(spark, loc):
     assert vt.refs().collect()[0].name == "main"
 
 
+def test_snapshot_summaries_distinguish_added_from_carried(spark, loc):
+    """Iceberg-style snapshot summary: ADDED counts only entries first
+    committed by that snapshot (commit-time seq == snapshot id), TOTAL is
+    the snapshot's full state — auditable from metadata alone."""
+    vt = VersionedTable.create(spark, loc, df=_toy(spark))
+    vt.append(_toy(spark).withColumn("id", F.col("id") + 10))
+    vt.delete("id = 1", mode="merge-on-read")  # delete files only
+    s1, s2, s3 = [r.summary for r in vt.snapshots().collect()]
+    assert s1["added-records"] == "3" and s1["total-records"] == "3"
+    assert s2["added-records"] == "3" and s2["total-records"] == "6"
+    assert int(s2["total-data-files"]) > int(s2["added-data-files"]) - 1
+    # MoR delete: no data files added, one delete file, totals carried
+    assert s3["added-data-files"] == "0"
+    assert s3["added-delete-files"] == "1"
+    assert s3["total-records"] == "6"  # manifest rows; deletes apply at read
+    assert vt.read().count() == 5
+
+
 def test_delete_update_merge(spark, loc):
     vt = VersionedTable.create(spark, loc, df=_toy(spark))
     vt.delete("id = 2")

@@ -477,10 +477,22 @@ class VersionedTable:
             "operation": operation,
             "manifest": manifest,
             "delete_manifest": list(delete_manifest or []),
+            # Iceberg's snapshot summary map: ADDED = first committed by
+            # THIS snapshot (seq == sid distinguishes new entries from
+            # carried ones), TOTAL = the snapshot's full state.  This is
+            # what lets operators audit a table's write history from
+            # metadata alone (.snapshots), no data files opened.
             "summary": {
-                "added-files": len(manifest),
+                "added-data-files": sum(1 for e in manifest if e["seq"] == sid),
+                "added-records": sum(
+                    e["rows"] for e in manifest if e["seq"] == sid
+                ),
+                "added-delete-files": sum(
+                    1 for e in (delete_manifest or []) if e["seq"] == sid
+                ),
+                "total-data-files": len(manifest),
                 "total-records": sum(m["rows"] for m in manifest),
-                "delete-files": len(delete_manifest or []),
+                "total-delete-files": len(delete_manifest or []),
             },
         }
 
@@ -1787,12 +1799,13 @@ class VersionedTable:
                 s["timestamp_ms"],
                 s["operation"],
                 s["summary"]["total-records"],
+                {k: str(v) for k, v in s["summary"].items()},
             )
             for s in self._meta["snapshots"]
         ]
         return self.spark.createDataFrame(
             rows, "snapshot_id BIGINT, parent_id BIGINT, timestamp_ms BIGINT, "
-            "operation STRING, total_records BIGINT"
+            "operation STRING, total_records BIGINT, summary MAP<STRING,STRING>"
         )
 
     def history(self) -> DataFrame:
