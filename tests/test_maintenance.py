@@ -207,6 +207,61 @@ def test_probe_pruning_survives_rename_with_name_reuse(spark, loc):
     assert len(fresh._meta["snapshots"]) == n_snaps
 
 
+def test_partition_spec_evolution(spark, loc):
+    """Iceberg updateSpec semantics: after set_partition_spec, NEW writes
+    use the new layout while OLD files keep theirs, and planning prunes
+    each entry with the spec it was WRITTEN under (per-entry spec_id)."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable
+
+    df = spark.range(0, 100).selectExpr(
+        "id",
+        "timestamp('2024-01-01 00:00:00') + make_interval(0,0,0,CAST(id % 4 AS INT),0,0,0) AS ts",
+    )
+    vt = VersionedTable.create(spark, loc, df=df, partition_day="ts")
+    vt.set_partition_spec(None)  # unpartitioned from now on
+    vt.append(
+        spark.range(100, 150).selectExpr(
+            "id", "timestamp('2024-02-01 00:00:00') AS ts"
+        )
+    )
+    manifest = vt._current_manifest()
+    assert [e["spec_id"] for e in manifest] == [0, 1]
+    assert all("_p_day=" in f["path"] for f in manifest[0]["files"])
+    assert all("_p_day=" not in f["path"] for f in manifest[1]["files"])
+    assert vt.read().count() == 150
+    # old entry still prunes by its _p_day dirs; the new entry survives on
+    # footer stats alone (its ts bounds exclude January)
+    planned = vt.plan_files({"ts": ("2024-01-02", "2024-01-02")})
+    planned_files = [f["path"] for e in planned for f in e["files"]]
+    assert planned_files and all("_p_day=2024-01-02" in p for p in planned_files)
+    # a day-bounded delete under the evolved spec stays correct
+    vt.delete("ts = timestamp('2024-01-01 00:00:00')")
+    assert vt.read().count() == 125
+
+
+def test_partition_source_rename_keeps_writes_working(spark, loc):
+    """The spec binds its source column by FIELD ID: renaming it must not
+    break the write path or day pruning (pre-fix, appends raised a missing
+    column error because the spec recorded only the creation-time name)."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable
+
+    df = spark.range(0, 8).selectExpr(
+        "id",
+        "timestamp('2024-03-01 00:00:00') + make_interval(0,0,0,CAST(id % 2 AS INT),0,0,0) AS ts",
+    )
+    vt = VersionedTable.create(spark, loc, df=df, partition_day="ts")
+    vt.rename_column("ts", "event_ts")
+    vt.append(
+        spark.range(8, 12).selectExpr(
+            "id", "timestamp('2024-03-02 00:00:00') AS event_ts"
+        )
+    )
+    assert vt.read().count() == 12
+    planned = vt.plan_files({"event_ts": ("2024-03-01", "2024-03-01")})
+    planned_files = [f["path"] for e in planned for f in e["files"]]
+    assert planned_files and all("_p_day=2024-03-01" in p for p in planned_files)
+
+
 def test_update_uses_original_row_values(spark, loc):
     """All UPDATE assignments evaluate against the pre-update row (SQL
     semantics), even when one assigned column feeds another's RHS."""

@@ -164,9 +164,9 @@ def test_sql_create_insert_values(spark, cat):
     )
     vt = cat.table("default.t")
     assert vt.properties == {"k": "v"}
-    assert vt._meta["partition_spec"] == [
-        {"source_name": "added_at", "transform": "day"}
-    ]
+    [spec] = vt._meta["partition_spec"]
+    assert spec["source_name"] == "added_at" and spec["transform"] == "day"
+    assert isinstance(spec["source_id"], int)  # field-id-bound (rename-proof)
     cat.sql(
         "INSERT INTO default.t VALUES "
         "(1, 'a', TIMESTAMP '2024-01-01 10:00:00'), "

@@ -69,6 +69,12 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",
         # --- storage ---
         "spark.sql.parquet.compression.codec": "zstd",
+        # Spark's legacy default INT96 timestamps carry NO parquet min/max
+        # statistics, silently disabling footer-stats range pruning on
+        # every timestamp column (VersionedTable.plan_files, sorted-table
+        # skipping); TIMESTAMP_MICROS is the modern annotated INT64 form
+        # with full stats, readable by every engine here.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
         # --- misc ---

@@ -277,6 +277,22 @@ class VersionedTable:
         os.makedirs(os.path.join(location, "metadata"), exist_ok=False)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         fields = _schema_fields(schema or df.schema)
+        if partition_day is not None:
+            by_name = {f.name: f.id for f in fields}
+            if partition_day not in by_name:
+                raise ValueError(f"partition column {partition_day} not in schema")
+            spec0 = [
+                {
+                    "source_name": partition_day,
+                    # FIELD-ID binding: writes resolve the source column by
+                    # id, so renaming it doesn't break the write path, and
+                    # pruning compares against its CURRENT name
+                    "source_id": by_name[partition_day],
+                    "transform": "day",
+                }
+            ]
+        else:
+            spec0 = []
         meta = {
             "format_version": 1,
             "version": 1,
@@ -284,9 +300,9 @@ class VersionedTable:
             "last_field_id": len(fields),
             "current_schema_id": 0,
             "schemas": [{"schema_id": 0, "fields": [f.to_json() for f in fields]}],
-            "partition_spec": (
-                [{"source_name": partition_day, "transform": "day"}] if partition_day else []
-            ),
+            "partition_spec": spec0,
+            "partition_specs": [{"spec_id": 0, "spec": spec0}],
+            "current_spec_id": 0,
             "sort_order": list(sort_by or []),
             "properties": dict(properties or {}),
             "current_snapshot_id": None,
@@ -416,7 +432,12 @@ class VersionedTable:
         spec = self._meta["partition_spec"]
         sort_order = self._meta.get("sort_order", [])
         if spec:
-            src = spec[0]["source_name"]
+            src = self._spec_source_name(spec)
+            if src is None:
+                raise ValueError(
+                    "partition source column was dropped; evolve the spec "
+                    "(set_partition_spec) before writing"
+                )
             out = out.withColumn(_PARTITION_COL, F.date_format(F.col(src), "yyyy-MM-dd"))
         if sort_order:
             # write-time sort: tight row-group min/max for predicate skipping
@@ -430,10 +451,70 @@ class VersionedTable:
             {
                 "path": rel,
                 "schema_id": self._meta["current_schema_id"],
+                "spec_id": self._meta.get("current_spec_id", 0),
                 "rows": sum(f["rows"] for f in files),
                 "files": files,
             }
         ]
+
+    def _spec_source_name(self, spec: list[dict]) -> str | None:
+        """CURRENT name of a partition spec's source column, resolved by
+        field id (rename-proof).  None when the field was dropped, or —
+        for specs predating source_id stamping — falls back to the
+        recorded name (valid as long as that column was never renamed)."""
+        sid = spec[0].get("source_id")
+        if sid is None:
+            name = spec[0]["source_name"]
+            return name if name in self.columns else None
+        for f in self.current_schema:
+            if f.id == sid:
+                return f.name
+        return None
+
+    def _entry_partition_spec(self, entry: dict) -> list[dict]:
+        """The partition spec an entry's files were WRITTEN under (per-entry
+        spec_id, like schema_id): spec evolution must not make old files'
+        _p_day= directories mean the wrong column at plan time."""
+        specs = self._meta.get("partition_specs")
+        if not specs:
+            return self._meta["partition_spec"]
+        sid = entry.get("spec_id", 0)
+        for s in specs:
+            if s["spec_id"] == sid:
+                return s["spec"]
+        return self._meta["partition_spec"]
+
+    def set_partition_spec(
+        self, partition_day: str | None, now_ms: int | None = None
+    ) -> None:
+        """Iceberg partition-spec EVOLUTION: future writes use the new spec
+        (``day(partition_day)``, or unpartitioned for None); existing files
+        keep their physical layout and are planned with the spec they were
+        written under — no data is rewritten (Iceberg's updateSpec)."""
+        by_name = {f.name: f.id for f in self.current_schema}
+        if partition_day is not None and partition_day not in by_name:
+            raise ValueError(f"partition column {partition_day} not in schema")
+        meta = json.loads(json.dumps(self._meta))
+        specs = meta.setdefault(
+            "partition_specs", [{"spec_id": 0, "spec": meta["partition_spec"]}]
+        )
+        new_spec = (
+            [
+                {
+                    "source_name": partition_day,
+                    "source_id": by_name[partition_day],
+                    "transform": "day",
+                }
+            ]
+            if partition_day
+            else []
+        )
+        new_id = max(s["spec_id"] for s in specs) + 1
+        specs.append({"spec_id": new_id, "spec": new_spec})
+        meta["current_spec_id"] = new_id
+        meta["partition_spec"] = new_spec
+        meta["timestamp_ms"] = now_ms or _now_ms()
+        self._commit(meta)
 
     def _next_snapshot_id(self) -> int:
         """Monotonic snapshot ids: max(existing, persisted last_snapshot_id)+1.
@@ -555,7 +636,10 @@ class VersionedTable:
         if files is None:
             return True
         name_map = self._stats_name_map(entry)
-        return any(self._file_in_ranges(f, ranges, name_map) for f in files)
+        spec = self._entry_partition_spec(entry)
+        return any(
+            self._file_in_ranges(f, ranges, name_map, spec) for f in files
+        )
 
     def _stats_name_map(self, entry: dict) -> dict[str, str]:
         """Current column name -> the name the entry's files recorded their
@@ -811,19 +895,26 @@ class VersionedTable:
         return v
 
     def _file_in_ranges(
-        self, f: dict, ranges: dict, name_map: dict[str, str] | None = None
+        self,
+        f: dict,
+        ranges: dict,
+        name_map: dict[str, str] | None = None,
+        spec: list[dict] | None = None,
     ) -> bool:
         """Conservative file-level predicate check: keep the file unless its
         partition value or column bounds PROVE no row can match.
         ``name_map`` translates current column names to the names the
         file's footer stats were recorded under (see _stats_name_map);
-        the partition-dir check stays on current names — ``_p_day=`` dir
-        values carry no column name."""
+        ``spec`` is the partition spec the file was WRITTEN under (spec
+        evolution: defaults to the current spec), whose source column is
+        resolved to its CURRENT name by field id — ``ranges`` keys are
+        current names and ``_p_day=`` dir values carry no column name."""
         import re as _re
 
-        spec = self._meta["partition_spec"]
-        if spec and spec[0]["source_name"] in ranges:
-            lo, hi = (self._norm_bound(v) for v in ranges[spec[0]["source_name"]])
+        spec = self._meta["partition_spec"] if spec is None else spec
+        src = self._spec_source_name(spec) if spec else None
+        if src is not None and src in ranges:
+            lo, hi = (self._norm_bound(v) for v in ranges[src])
             m = _re.search(r"_p_day=([0-9-]+)", f["path"])
             # only date-shaped string bounds are comparable with the
             # _p_day dir value; anything else cannot prune here
@@ -844,6 +935,19 @@ class VersionedTable:
                 continue  # no bounds recorded -> cannot prune
             fmin, fmax = (self._norm_bound(v) for v in st)
             lo, hi = self._norm_bound(lo), self._norm_bound(hi)
+            if (
+                isinstance(lo, str)
+                and isinstance(hi, str)
+                and isinstance(fmin, str)
+                and _re.match(r"^\d{4}-\d{2}-\d{2}$", lo)
+                and _re.match(r"^\d{4}-\d{2}-\d{2}$", hi)
+                and _re.match(r"^\d{4}-\d{2}-\d{2}T", fmin)
+            ):
+                # DATE-granular bounds vs TIMESTAMP stats: '2024-01-02'
+                # means the whole day, but compares lexically BELOW
+                # '2024-01-02T00:00:00' — truncate the stats to date
+                # precision (widens the file's bounds: conservative)
+                fmin, fmax = fmin[:10], fmax[:10]
             try:
                 if hi < fmin or lo > fmax:
                     return False
@@ -876,7 +980,10 @@ class VersionedTable:
                 out.append(entry)
                 continue
             name_map = self._stats_name_map(entry)
-            sel = [f for f in files if self._file_in_ranges(f, ranges, name_map)]
+            spec = self._entry_partition_spec(entry)
+            sel = [
+                f for f in files if self._file_in_ranges(f, ranges, name_map, spec)
+            ]
             if sel:
                 out.append(
                     {**entry, "files": sel, "rows": sum(f["rows"] for f in sel)}
