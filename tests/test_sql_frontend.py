@@ -213,6 +213,27 @@ def test_sql_alter_forms(spark, cat):
         cat.sql("ALTER TABLE default.t FROBNICATE")
 
 
+def test_sql_partition_field_evolution(spark, cat):
+    """Iceberg's ADD/DROP PARTITION FIELD DDL routes to
+    set_partition_spec: new writes pick up the evolved layout, old files
+    keep theirs (per-entry spec_id)."""
+    cat.sql("CREATE TABLE default.pt (id INT, ts TIMESTAMP)")
+    cat.sql("INSERT INTO default.pt VALUES (1, TIMESTAMP '2024-04-01 08:00:00')")
+    cat.sql("ALTER TABLE default.pt ADD PARTITION FIELD day(ts)")
+    cat.sql("INSERT INTO default.pt VALUES (2, TIMESTAMP '2024-04-02 08:00:00')")
+    vt = cat.table("default.pt")
+    m = vt._current_manifest()
+    assert [e["spec_id"] for e in m] == [0, 1]
+    assert all("_p_day=" not in f["path"] for f in m[0]["files"])
+    assert any("_p_day=2024-04-02" in f["path"] for f in m[1]["files"])
+    assert vt.read().count() == 2
+    cat.sql("ALTER TABLE default.pt DROP PARTITION FIELD day(ts)")
+    cat.sql("INSERT INTO default.pt VALUES (3, TIMESTAMP '2024-04-03 08:00:00')")
+    vt = cat.table("default.pt")
+    assert vt._meta["partition_spec"] == []
+    assert vt.read().count() == 3
+
+
 def test_sql_doubled_quote_escapes(spark, vt):
     """ADVICE: SQL doubled-quote escapes must not desync the tokenizer —
     a literal containing WHERE/comma after '' must stay one literal."""

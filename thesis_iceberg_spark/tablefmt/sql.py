@@ -42,6 +42,8 @@ Grammar (case-insensitive keywords):
     ALTER TABLE <table> DROP COLUMN col
     ALTER TABLE <table> RENAME COLUMN old TO new
     ALTER TABLE <table> SET TBLPROPERTIES ('k'='v', ...)
+    ALTER TABLE <table> ADD PARTITION FIELD day(col)
+    ALTER TABLE <table> DROP PARTITION FIELD [day(col)]
 
 DDL references: CREATE TABLE ... PARTITIONED BY (day(added_at))
 (`Pyspark_Notebook.ipynb#cell-7 (json:196)`), INSERT INTO ... VALUES
@@ -148,6 +150,17 @@ _ALTER_RENAME = re.compile(
 )
 _ALTER_PROPS = re.compile(
     r"^SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+# Iceberg partition-spec evolution DDL (spec 'ALTER TABLE ... ADD/DROP
+# PARTITION FIELD'): only the day() transform exists here, so DROP takes
+# either the transform or nothing
+_ALTER_ADD_PART = re.compile(
+    r"^ADD\s+PARTITION\s+FIELD\s+days?\s*\(\s*(?P<col>[^)]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_PART = re.compile(
+    r"^DROP\s+PARTITION\s+FIELD(?:\s+days?\s*\(\s*[^)]+?\s*\))?\s*$",
+    re.IGNORECASE,
 )
 _PARTITIONED = re.compile(
     r"PARTITIONED\s+BY\s*\(\s*days?\s*\(\s*(?P<col>[^)]+?)\s*\)\s*\)", re.IGNORECASE
@@ -407,6 +420,12 @@ class TableSQL:
             return
         if m := _ALTER_PROPS.match(rest):
             vt.set_properties(_parse_props(m.group("props")))
+            return
+        if m := _ALTER_ADD_PART.match(rest):
+            vt.set_partition_spec(_unquote(m.group("col").strip()))
+            return
+        if _ALTER_DROP_PART.match(rest):
+            vt.set_partition_spec(None)
             return
         raise ValueError(f"unsupported ALTER TABLE form: {rest!r}")
 
