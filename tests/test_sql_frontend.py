@@ -227,11 +227,25 @@ def test_sql_partition_field_evolution(spark, cat):
     assert all("_p_day=" not in f["path"] for f in m[0]["files"])
     assert any("_p_day=2024-04-02" in f["path"] for f in m[1]["files"])
     assert vt.read().count() == 2
+    # ADD over an existing field errors (Iceberg: ADD adds, never replaces)
+    with pytest.raises(ValueError, match="already partitioned"):
+        cat.sql("ALTER TABLE default.pt ADD PARTITION FIELD day(ts)")
+    # DROP must name the actual field (or name none)
+    with pytest.raises(ValueError, match="cannot find partition field"):
+        cat.sql("ALTER TABLE default.pt DROP PARTITION FIELD day(id)")
     cat.sql("ALTER TABLE default.pt DROP PARTITION FIELD day(ts)")
+    with pytest.raises(ValueError, match="no partition field"):
+        cat.sql("ALTER TABLE default.pt DROP PARTITION FIELD")
     cat.sql("INSERT INTO default.pt VALUES (3, TIMESTAMP '2024-04-03 08:00:00')")
     vt = cat.table("default.pt")
     assert vt._meta["partition_spec"] == []
     assert vt.read().count() == 3
+    # identical re-ADD after re-partitioning is a no-op (no new spec id)
+    cat.sql("ALTER TABLE default.pt ADD PARTITION FIELD day(ts)")
+    vt = cat.table("default.pt")
+    n_specs = len(vt._meta["partition_specs"])
+    vt.set_partition_spec("ts")  # same field+transform: dedup'd
+    assert len(vt._meta["partition_specs"]) == n_specs
 
 
 def test_sql_doubled_quote_escapes(spark, vt):

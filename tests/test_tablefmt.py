@@ -63,7 +63,9 @@ def test_snapshot_summaries_distinguish_added_from_carried(spark, loc):
     s1, s2, s3 = [r.summary for r in vt.snapshots().collect()]
     assert s1["added-records"] == "3" and s1["total-records"] == "3"
     assert s2["added-records"] == "3" and s2["total-records"] == "6"
-    assert int(s2["total-data-files"]) > int(s2["added-data-files"]) - 1
+    # exact: snapshot 2 added ONE entry next to ONE carried entry — a
+    # regression that counts carried entries as added must fail here
+    assert s2["added-data-files"] == "1" and s2["total-data-files"] == "2"
     # MoR delete: no data files added, one delete file, totals carried
     assert s3["added-data-files"] == "0"
     assert s3["added-delete-files"] == "1"

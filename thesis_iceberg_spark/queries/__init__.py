@@ -194,13 +194,21 @@ def _last_green_rounds() -> dict[str, int]:
     return out
 
 
+_LAST_GREEN_CACHE: dict[str, int] | None = None
+
+
 def _ordered() -> dict[str, QuerySpec]:
+    global _LAST_GREEN_CACHE
     _load_all()
     out: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW_PRIORITY:
         if name in REGISTRY:
             out[name] = REGISTRY[name]
-    last_green = _last_green_rounds()
+    if _LAST_GREEN_CACHE is None:
+        # memoized: the round files cannot change mid-process, and
+        # queries()/oracle_sql()/bench each call _ordered()
+        _LAST_GREEN_CACHE = _last_green_rounds()
+    last_green = _LAST_GREEN_CACHE
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
     rest = [n for n in REGISTRY if n not in out]
     # never-checked first (new queries missed by the priority block), then

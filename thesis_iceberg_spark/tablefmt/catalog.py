@@ -120,7 +120,16 @@ class Catalog:
         if extended:
             rows.append(("", "", ""))
             for spec in vt._meta["partition_spec"]:
-                rows.append(("# partition", f"{spec['transform']}({spec['source_name']})", ""))
+                # field-id-resolved CURRENT name (renames); fall back to the
+                # recorded name if the source was dropped
+                cur = vt._spec_source_name(vt._meta["partition_spec"])
+                rows.append(
+                    (
+                        "# partition",
+                        f"{spec['transform']}({cur or spec['source_name']})",
+                        "",
+                    )
+                )
             for k, v in vt.properties.items():
                 rows.append(("# property", f"{k}={v}", ""))
             rows.append(("# current_snapshot", str(vt._meta["current_snapshot_id"]), ""))

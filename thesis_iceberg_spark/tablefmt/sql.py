@@ -159,7 +159,8 @@ _ALTER_ADD_PART = re.compile(
     re.IGNORECASE,
 )
 _ALTER_DROP_PART = re.compile(
-    r"^DROP\s+PARTITION\s+FIELD(?:\s+days?\s*\(\s*[^)]+?\s*\))?\s*$",
+    r"^DROP\s+PARTITION\s+FIELD"
+    r"(?:\s+days?\s*\(\s*(?P<col>[^)]+?)\s*\))?\s*$",
     re.IGNORECASE,
 )
 _PARTITIONED = re.compile(
@@ -422,9 +423,28 @@ class TableSQL:
             vt.set_properties(_parse_props(m.group("props")))
             return
         if m := _ALTER_ADD_PART.match(rest):
+            # Iceberg semantics: ADD adds a field — with single-field day()
+            # specs, adding over an existing field must error (DROP first),
+            # never silently replace it
+            if vt._meta["partition_spec"]:
+                cur = vt._spec_source_name(vt._meta["partition_spec"])
+                raise ValueError(
+                    f"table is already partitioned by day({cur}); "
+                    "DROP PARTITION FIELD first"
+                )
             vt.set_partition_spec(_unquote(m.group("col").strip()))
             return
-        if _ALTER_DROP_PART.match(rest):
+        if m := _ALTER_DROP_PART.match(rest):
+            spec = vt._meta["partition_spec"]
+            if not spec:
+                raise ValueError("table has no partition field to drop")
+            cur = vt._spec_source_name(spec)
+            named = m.group("col")
+            if named is not None and _unquote(named.strip()) != cur:
+                raise ValueError(
+                    f"cannot find partition field day({_unquote(named.strip())}); "
+                    f"the table is partitioned by day({cur})"
+                )
             vt.set_partition_spec(None)
             return
         raise ValueError(f"unsupported ALTER TABLE form: {rest!r}")
@@ -505,11 +525,14 @@ class TableSQL:
             )
             return
         if pday is not None:
-            current_day = [
-                s["source_name"]
-                for s in vt._meta["partition_spec"]
-                if s.get("transform") == "day"
-            ]
+            # compare against the FIELD-ID-resolved current name, not the
+            # creation-time source_name, so a renamed partition column
+            # matches its current name (and only that)
+            current_day = (
+                [vt._spec_source_name(vt._meta["partition_spec"])]
+                if vt._meta["partition_spec"]
+                else []
+            )
             if [_unquote(pday.group("col").strip())] != current_day:
                 raise ValueError(
                     "REPLACE TABLE cannot change the partition spec "

@@ -44,12 +44,32 @@ import random
 import time
 import uuid
 from dataclasses import dataclass
+from datetime import timezone as _tz_mod
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PARTITION_COL = "_p_day"  # materialized hidden-partition column
+
+def _day_spec(fields, partition_day: str | None) -> list[dict]:
+    """Build a ``day(partition_day)`` partition spec (or [] for
+    unpartitioned), binding the source column by FIELD ID so renames
+    don't break the write path or pruning.  One definition shared by
+    create() and set_partition_spec()."""
+    if partition_day is None:
+        return []
+    by_name = {f.name: f.id for f in fields}
+    if partition_day not in by_name:
+        raise ValueError(f"partition column {partition_day} not in schema")
+    return [
+        {
+            "source_name": partition_day,
+            "source_id": by_name[partition_day],
+            "transform": "day",
+        }
+    ]
+
 
 # Rebase attempts before a CommitConflict surfaces.  _commit only raises
 # when another writer ADVANCED the table, so every retry implies global
@@ -277,22 +297,7 @@ class VersionedTable:
         os.makedirs(os.path.join(location, "metadata"), exist_ok=False)
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         fields = _schema_fields(schema or df.schema)
-        if partition_day is not None:
-            by_name = {f.name: f.id for f in fields}
-            if partition_day not in by_name:
-                raise ValueError(f"partition column {partition_day} not in schema")
-            spec0 = [
-                {
-                    "source_name": partition_day,
-                    # FIELD-ID binding: writes resolve the source column by
-                    # id, so renaming it doesn't break the write path, and
-                    # pruning compares against its CURRENT name
-                    "source_id": by_name[partition_day],
-                    "transform": "day",
-                }
-            ]
-        else:
-            spec0 = []
+        spec0 = _day_spec(fields, partition_day)
         meta = {
             "format_version": 1,
             "version": 1,
@@ -377,6 +382,18 @@ class VersionedTable:
                     continue
                 lo, hi = st.min, st.max
                 if hasattr(lo, "isoformat"):
+                    # TIMESTAMP_MICROS stats come back TZ-AWARE from
+                    # pyarrow; bounds parsed from predicates are naive
+                    # UTC strings, and a '+00:00' suffix sorts a file's
+                    # min lexically ABOVE an equal naive bound — which
+                    # mis-prunes exact-boundary matches (a DELETE at the
+                    # boundary silently no-ops).  Normalize to naive UTC.
+                    lo, hi = (
+                        v.astimezone(_tz_mod.utc).replace(tzinfo=None)
+                        if getattr(v, "tzinfo", None) is not None
+                        else v
+                        for v in (lo, hi)
+                    )
                     lo, hi = lo.isoformat(), hi.isoformat()
                 if not isinstance(lo, self._STATS_TYPES):
                     incomplete.add(name)
@@ -454,6 +471,9 @@ class VersionedTable:
                 "spec_id": self._meta.get("current_spec_id", 0),
                 "rows": sum(f["rows"] for f in files),
                 "files": files,
+                # seq placeholder: stamped with the COMMITTING snapshot's id
+                # at commit time (rebase retries re-stamp with the winner)
+                "seq": None,
             }
         ]
 
@@ -490,24 +510,18 @@ class VersionedTable:
         """Iceberg partition-spec EVOLUTION: future writes use the new spec
         (``day(partition_day)``, or unpartitioned for None); existing files
         keep their physical layout and are planned with the spec they were
-        written under — no data is rewritten (Iceberg's updateSpec)."""
-        by_name = {f.name: f.id for f in self.current_schema}
-        if partition_day is not None and partition_day not in by_name:
-            raise ValueError(f"partition column {partition_day} not in schema")
+        written under — no data is rewritten (Iceberg's updateSpec).  A
+        spec identical to the current one (same source field id and
+        transform) is a no-op — no new spec id, no commit."""
+        new_spec = _day_spec(self.current_schema, partition_day)
+        cur = self._meta["partition_spec"]
+        if [
+            (s.get("source_id"), s.get("transform")) for s in new_spec
+        ] == [(s.get("source_id"), s.get("transform")) for s in cur]:
+            return
         meta = json.loads(json.dumps(self._meta))
         specs = meta.setdefault(
             "partition_specs", [{"spec_id": 0, "spec": meta["partition_spec"]}]
-        )
-        new_spec = (
-            [
-                {
-                    "source_name": partition_day,
-                    "source_id": by_name[partition_day],
-                    "transform": "day",
-                }
-            ]
-            if partition_day
-            else []
         )
         new_id = max(s["spec_id"] for s in specs) + 1
         specs.append({"spec_id": new_id, "spec": new_spec})
@@ -539,17 +553,29 @@ class VersionedTable:
         delete_manifest: list[dict] | None = None,
     ) -> dict:
         sid = self._next_snapshot_id()
+
         # COMMIT-TIME sequence stamping (Iceberg's data sequence numbers):
-        # entries first committed by this snapshot get seq = its id; carried
-        # entries keep their stamp.  Equality deletes apply to data entries
-        # with a STRICTLY SMALLER seq, so a slow append that wrote its files
+        # entries NEW in this commit carry an explicit seq=None placeholder
+        # from their writer and get seq = the committing snapshot's id
+        # (rebase retries re-stamp with the final winner); carried entries
+        # keep their stamp.  Equality deletes apply to data entries with a
+        # STRICTLY SMALLER seq, so a slow append that wrote its files
         # before a concurrent equality delete but commits after it (rebase)
         # is correctly NOT affected — write-time ids in file paths cannot
-        # give that ordering.
-        manifest = [e if "seq" in e else {**e, "seq": sid} for e in manifest]
-        delete_manifest = [
-            e if "seq" in e else {**e, "seq": sid} for e in (delete_manifest or [])
-        ]
+        # give that ordering.  An entry with NO seq key at all is a LEGACY
+        # persisted entry (pre-stamping metadata): recover its write-time
+        # order from the path id rather than stamping it with THIS commit's
+        # id, which would misorder it after every existing delete file and
+        # inflate this snapshot's added-* summary counts.
+        def stamp(e: dict) -> dict:
+            if e.get("seq") is not None:
+                return e
+            if "seq" in e:  # placeholder: new in this commit
+                return {**e, "seq": sid}
+            return {**e, "seq": self._entry_seq(e)}  # legacy: path fallback
+
+        manifest = [stamp(e) for e in manifest]
+        delete_manifest = [stamp(e) for e in (delete_manifest or [])]
         parent = self._meta["current_snapshot_id"]
         return {
             "snapshot_id": sid,
@@ -891,7 +917,15 @@ class VersionedTable:
         if VersionedTable._TS_SHAPE is None:
             VersionedTable._TS_SHAPE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d")
         if isinstance(v, str) and VersionedTable._TS_SHAPE.match(v):
-            return v.replace(" ", "T", 1)
+            v = v.replace(" ", "T", 1)
+        if (
+            isinstance(v, str)
+            and v.endswith("+00:00")
+            and _re.match(r"^\d{4}-\d{2}-\d{2}T\d", v)
+        ):
+            # stats persisted tz-aware by an earlier build: naive-UTC them
+            # so they compare with naive predicate bounds
+            v = v[: -len("+00:00")]
         return v
 
     def _file_in_ranges(
@@ -1351,7 +1385,7 @@ class VersionedTable:
         if n_rows == 0:
             shutil.rmtree(path, ignore_errors=True)
             return []
-        return [{"path": rel, "rows": n_rows}]
+        return [{"path": rel, "rows": n_rows, "seq": None}]
 
     def _dml_mode(self, which: str, override: str | None) -> str:
         """'copy-on-write' (default) or 'merge-on-read', from the Iceberg
@@ -1445,6 +1479,7 @@ class VersionedTable:
             "rows": n_rows,
             "eq_cols": cols,  # names at delete time (files use these)
             "eq_field_ids": [by_name[c].id for c in cols],  # rename-proof
+            "seq": None,  # stamped at commit time
         }
         ranges = None
         if self._isolation("delete") == "serializable":
