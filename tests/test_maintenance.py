@@ -239,6 +239,23 @@ def test_partition_spec_evolution(spark, loc):
     assert vt.read().count() == 125
 
 
+def test_one_sided_date_bound_probes_midnight_file(spark, loc):
+    """'ts <= DATE' casts the date to MIDNIGHT in Spark, so a file whose
+    min is exactly midnight contains a matching row; the date-vs-timestamp
+    stats comparison must widen per SIDE (a one-sided/mixed predicate has
+    only one date-shaped bound) or the probe prunes the file and the
+    DELETE silently no-ops."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable
+
+    df = spark.range(0, 4).selectExpr(
+        "id",
+        "timestamp('2024-04-02 00:00:00') + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts",
+    )
+    vt = VersionedTable.create(spark, loc, df=df.coalesce(1))
+    vt.delete("ts <= '2024-04-02'", mode="merge-on-read")
+    assert vt.read().count() == 3  # exactly the midnight row removed
+
+
 def test_partition_source_rename_keeps_writes_working(spark, loc):
     """The spec binds its source column by FIELD ID: renaming it must not
     break the write path or day pruning (pre-fix, appends raised a missing

@@ -121,14 +121,11 @@ class Catalog:
             rows.append(("", "", ""))
             for spec in vt._meta["partition_spec"]:
                 # field-id-resolved CURRENT name (renames); fall back to the
-                # recorded name if the source was dropped
-                cur = vt._spec_source_name(vt._meta["partition_spec"])
+                # recorded name if the source was dropped — resolved per
+                # entry, not off the whole list's first element
+                cur = vt._spec_source_name([spec]) or spec["source_name"]
                 rows.append(
-                    (
-                        "# partition",
-                        f"{spec['transform']}({cur or spec['source_name']})",
-                        "",
-                    )
+                    ("# partition", f"{spec['transform']}({cur})", "")
                 )
             for k, v in vt.properties.items():
                 rows.append(("# property", f"{k}={v}", ""))

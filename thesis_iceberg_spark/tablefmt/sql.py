@@ -427,7 +427,10 @@ class TableSQL:
             # specs, adding over an existing field must error (DROP first),
             # never silently replace it
             if vt._meta["partition_spec"]:
-                cur = vt._spec_source_name(vt._meta["partition_spec"])
+                spec = vt._meta["partition_spec"]
+                # fall back to the recorded name when the source column was
+                # dropped (field-id resolution returns None)
+                cur = vt._spec_source_name(spec) or spec[0]["source_name"]
                 raise ValueError(
                     f"table is already partitioned by day({cur}); "
                     "DROP PARTITION FIELD first"
@@ -438,7 +441,7 @@ class TableSQL:
             spec = vt._meta["partition_spec"]
             if not spec:
                 raise ValueError("table has no partition field to drop")
-            cur = vt._spec_source_name(spec)
+            cur = vt._spec_source_name(spec) or spec[0]["source_name"]
             named = m.group("col")
             if named is not None and _unquote(named.strip()) != cur:
                 raise ValueError(

@@ -917,15 +917,12 @@ class VersionedTable:
         if VersionedTable._TS_SHAPE is None:
             VersionedTable._TS_SHAPE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d")
         if isinstance(v, str) and VersionedTable._TS_SHAPE.match(v):
-            v = v.replace(" ", "T", 1)
-        if (
-            isinstance(v, str)
-            and v.endswith("+00:00")
-            and _re.match(r"^\d{4}-\d{2}-\d{2}T\d", v)
-        ):
-            # stats persisted tz-aware by an earlier build: naive-UTC them
-            # so they compare with naive predicate bounds
-            v = v[: -len("+00:00")]
+            return v.replace(" ", "T", 1)
+        # deliberately NO '+00:00' suffix stripping here: timestamp stats
+        # are normalized to naive UTC at WRITE time (_file_stats), and a
+        # blanket strip would NARROW a genuine string column's recorded
+        # max (unsafe direction — mis-prunes files whose suffixed values
+        # match the predicate)
         return v
 
     def _file_in_ranges(
@@ -969,21 +966,27 @@ class VersionedTable:
                 continue  # no bounds recorded -> cannot prune
             fmin, fmax = (self._norm_bound(v) for v in st)
             lo, hi = self._norm_bound(lo), self._norm_bound(hi)
-            if (
-                isinstance(lo, str)
-                and isinstance(hi, str)
-                and isinstance(fmin, str)
-                and _re.match(r"^\d{4}-\d{2}-\d{2}$", lo)
-                and _re.match(r"^\d{4}-\d{2}-\d{2}$", hi)
-                and _re.match(r"^\d{4}-\d{2}-\d{2}T", fmin)
-            ):
-                # DATE-granular bounds vs TIMESTAMP stats: '2024-01-02'
-                # means the whole day, but compares lexically BELOW
-                # '2024-01-02T00:00:00' — truncate the stats to date
-                # precision (widens the file's bounds: conservative)
-                fmin, fmax = fmin[:10], fmax[:10]
+
+            # DATE-granular bound vs TIMESTAMP stat: '2024-01-02' means the
+            # whole day but compares lexically BELOW '2024-01-02T00:00:00';
+            # compare that SIDE at date precision (widens the file's bound:
+            # conservative).  Applied per side — a one-sided or mixed-
+            # granularity predicate ('ts <= DATE', BETWEEN ts AND DATE)
+            # needs it on exactly the date-shaped side.
+            def day_vs_ts(bound, stat):
+                if (
+                    isinstance(bound, str)
+                    and isinstance(stat, str)
+                    and _re.match(r"^\d{4}-\d{2}-\d{2}$", bound)
+                    and _re.match(r"^\d{4}-\d{2}-\d{2}T", stat)
+                ):
+                    return bound, stat[:10]
+                return bound, stat
+
             try:
-                if hi < fmin or lo > fmax:
+                hi_c, fmin_c = day_vs_ts(hi, fmin)
+                lo_c, fmax_c = day_vs_ts(lo, fmax)
+                if hi_c < fmin_c or lo_c > fmax_c:
                     return False
             except TypeError:  # incomparable types: never prune on doubt
                 continue
