@@ -187,18 +187,17 @@ def test_parallel_appends_all_land(spark, loc):
 
 
 # ---------------------------------------------------------------------------
-# serializable isolation (round 5): write.isolation-level=serializable makes a
-# row-level rebase over a concurrent pure append CONFLICT whenever the
-# append's file bounds could satisfy the operation predicate — Iceberg's
-# default UPDATE/DELETE/MERGE behavior (this table's default stays snapshot).
+# serializable isolation (round 5; DEFAULT since round 6, matching Iceberg's
+# row-level default — VERDICT r5 #2): a row-level rebase over a concurrent
+# pure append CONFLICTS whenever the append's file bounds could satisfy the
+# operation predicate.  ``write.isolation-level=snapshot`` opts back in to
+# rebase-over-any-append.
 # ---------------------------------------------------------------------------
 
 
 def _stale_serializable_pair(spark, loc):
-    vt1 = VersionedTable.create(
-        spark, loc, df=_df(spark, 0, 10),
-        properties={"write.isolation-level": "serializable"},
-    )
+    # no property: serializable is the default (round 6)
+    vt1 = VersionedTable.create(spark, loc, df=_df(spark, 0, 10))
     vt2 = VersionedTable(spark, loc)
     return vt1, vt2
 
@@ -304,13 +303,34 @@ def test_serializable_eq_delete_with_null_key_conflicts(spark, loc):
     assert 1 not in ids and 200 in ids
 
 
-def test_snapshot_default_still_rebases_matching_append(spark, loc):
-    # without the property the pre-round-5 snapshot-isolation behavior holds
-    vt1, vt2 = _stale_pair(spark, loc)
+def test_snapshot_opt_in_rebases_matching_append(spark, loc):
+    """write.isolation-level=snapshot opts back in to the weaker
+    rebase-over-any-append behavior (the pre-round-6 default)."""
+    vt1 = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 10),
+        properties={"write.isolation-level": "snapshot"},
+    )
+    vt2 = VersionedTable(spark, loc)
     vt1.append(_df(spark, 1, 3))
     vt2.delete("id < 5", mode="merge-on-read")  # no conflict under snapshot
     ids = sorted(r.id for r in VersionedTable(spark, loc).read().collect())
     assert 1 in ids and 2 in ids  # appended matches survive (snapshot iso)
+
+
+def test_per_op_isolation_property_overrides_default(spark, loc):
+    """write.delete.isolation-level=snapshot weakens ONLY deletes; an
+    update through the same handle keeps the serializable default."""
+    vt1 = VersionedTable.create(
+        spark, loc, df=_df(spark, 0, 10),
+        properties={"write.delete.isolation-level": "snapshot"},
+    )
+    vt2 = VersionedTable(spark, loc)
+    vt1.append(_df(spark, 1, 3))  # ids 1,2 — inside both predicates
+    vt2.delete("id < 5", mode="merge-on-read")  # snapshot: rebases
+    vt3 = VersionedTable(spark, loc)
+    VersionedTable(spark, loc).append(_df(spark, 3, 4))
+    with pytest.raises(CommitConflict, match="serializable isolation"):
+        vt3.update({"v": "v + 1"}, "id < 5", mode="merge-on-read")
 
 
 def test_ranges_from_predicate_shapes():

@@ -342,3 +342,79 @@ def test_sql_database_and_introspection_statements(spark, cat):
     assert [(r.col_name, r.data_type) for r in desc] == [("id", "int")]
     ext = {r.col_name for r in cat.sql("DESCRIBE EXTENDED default.t2").collect()}
     assert "# current_snapshot" in ext
+
+
+# --- SQL route to equality deletes (round 6, VERDICT r5 #8) -----------------
+
+
+@pytest.fixture()
+def mor_vt(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "it's"), (4, "d")], "id INT, s STRING"
+    )
+    return VersionedTable.create(
+        spark, str(tmp_path / "mt"), df=df,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+
+
+def _eq_entries(vt):
+    snap = vt._current_snapshot_dict()
+    _pos, eq = vt._split_deletes(snap.get("delete_manifest", []))
+    return eq
+
+
+def test_sql_delete_in_list_routes_to_eq_delete(spark, mor_vt):
+    fe = TableSQL(spark, {"t": mor_vt}.__getitem__)
+    fe.sql("DELETE FROM t WHERE id IN (1, 3)")
+    assert sorted(r.id for r in mor_vt.read().collect()) == [2, 4]
+    eq = _eq_entries(mor_vt)
+    assert len(eq) == 1 and eq[0]["eq_cols"] == ["id"]  # the O(keys) path
+
+
+def test_sql_delete_key_eq_and_string_literals(spark, mor_vt):
+    fe = TableSQL(spark, {"t": mor_vt}.__getitem__)
+    fe.sql("DELETE FROM t WHERE s = 'it''s'")  # doubled-quote escape
+    assert sorted(r.id for r in mor_vt.read().collect()) == [1, 2, 4]
+    assert _eq_entries(mor_vt)[0]["eq_cols"] == ["s"]
+    fe.sql("DELETE FROM t WHERE s IN ('a', 'd')")
+    assert sorted(r.id for r in mor_vt.read().collect()) == [2]
+
+
+def test_sql_delete_null_in_list_uses_generic_path(spark, mor_vt):
+    """SQL `IN (NULL)` never matches; eq-delete files match null-safely —
+    so a NULL-bearing list must NOT route (semantics would change)."""
+    fe = TableSQL(spark, {"t": mor_vt}.__getitem__)
+    fe.sql("DELETE FROM t WHERE id IN (2, NULL)")
+    assert sorted(r.id for r in mor_vt.read().collect()) == [1, 3, 4]
+    assert _eq_entries(mor_vt) == []  # position deletes, not equality
+
+
+def test_sql_delete_cow_table_keeps_rewrite_path(spark, vt):
+    fe = _fe(spark, vt)
+    fe.sql("DELETE FROM t WHERE id IN (1, 2)")  # CoW default: no routing
+    assert sorted(r.id for r in vt.read().collect()) == [3]
+    assert _eq_entries(vt) == []
+
+
+def test_sql_delete_non_key_shapes_not_routed(spark, mor_vt):
+    fe = TableSQL(spark, {"t": mor_vt}.__getitem__)
+    fe.sql("DELETE FROM t WHERE id IN (1, 2) AND s = 'a'")  # conjunction
+    assert sorted(r.id for r in mor_vt.read().collect()) == [2, 3, 4]
+    assert _eq_entries(mor_vt) == []
+
+
+def test_parse_key_only_delete_shapes():
+    from thesis_iceberg_spark.tablefmt.sql import _parse_key_only_delete as p
+
+    assert p("id IN (1, 2, 3)") == ("id", [1, 2, 3])
+    assert p("id = 7") == ("id", [7])
+    assert p("s = 'x,y'") == ("s", ["x,y"])
+    assert p("s IN ('a,b', 'c')") == ("s", ["a,b", "c"])  # comma in literal
+    assert p("v IN (1.5, -2)") == ("v", [1.5, -2])
+    assert p("`k` IN (1)") == ("k", [1])
+    assert p("id IN (1, NULL)") is None
+    assert p("id IN (1 + 1)") is None
+    assert p("id IN (SELECT id FROM t)") is None
+    assert p("id < 5") is None
+    assert p("id IN (1) OR s = 'a'") is None
