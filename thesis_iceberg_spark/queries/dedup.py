@@ -114,6 +114,37 @@ def _py_shingles(text: str | None):
     return {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
 
 
+def _shingle_hasher():
+    """Memoized shingle -> (28-hex md5 prefix, h1, h2) for the minhash
+    kernel (VERDICT r5 #4): shingles repeat across documents, so each
+    distinct shingle is hashed once per task.  digest()[:14].hex() ==
+    hexdigest()[:28], int.from_bytes(d[:7]) == int(hex[:14], 16), and
+    int.from_bytes(d[7:14]) == int(hex[14:28], 16) — bit-identical to the
+    previous per-occurrence form, so the DuckDB oracle is unchanged.  The
+    cache clears at the shared cap to bound task memory."""
+    from hashlib import md5
+
+    from thesis_iceberg_spark.queries.text import _TOK_CACHE_CAP
+
+    cache: dict[str, tuple[str, int, int]] = {}
+    get = cache.get
+
+    def h(s: str) -> tuple[str, int, int]:
+        v = get(s)
+        if v is None:
+            if len(cache) >= _TOK_CACHE_CAP:
+                cache.clear()
+            d = md5(s.encode()).digest()[:14]
+            v = cache[s] = (
+                d.hex(),
+                int.from_bytes(d[:7], "big"),
+                int.from_bytes(d[7:], "big"),
+            )
+        return v
+
+    return h
+
+
 def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
     """(doc_id, s) exploded distinct shingles, heavy-hitters removed.
 
@@ -328,20 +359,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        shash = _shingle_hasher()  # per-task memoized md5 (oracle-identical)
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
                 shingles = _py_shingles(text)
                 if not shingles:
                     continue  # no 3-shingles: absent from pairs, like the oracle
-                hx = [
-                    hashlib.md5(s.encode()).hexdigest()[:28] for s in shingles
-                ]
+                triples = [shash(s) for s in shingles]
+                hx = [t[0] for t in triples]
                 h1 = np.fromiter(
-                    (int(h[:14], 16) for h in hx), dtype=np.int64, count=len(hx)
+                    (t[1] for t in triples), dtype=np.int64, count=len(triples)
                 )
                 h2 = np.fromiter(
-                    (int(h[14:], 16) for h in hx), dtype=np.int64, count=len(hx)
+                    (t[2] for t in triples), dtype=np.int64, count=len(triples)
                 )
                 # i*h2 stays < 2^60: no int64 overflow, same as the oracle
                 mh = [int((h1 + i * h2).min()) for i in range(n_minhash)]
@@ -1023,6 +1054,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
 from thesis_iceberg_spark.queries.text import (  # noqa: E402  (same package,
     _HASH_BASE,  # no import cycle: text.py imports nothing from dedup)
     _HASH_MOD,
+    _tok40_hasher,
 )
 
 EXACT_SUBSTR_K = 16
@@ -1095,11 +1127,10 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
     def grams(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
+        h40 = _tok40_hasher()  # per-task memoized md5 (oracle-identical)
         for pdf in batches:
             ids, poss, hh = [], [], []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
@@ -1107,11 +1138,7 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = len(toks)
                 if t < k:
                     continue
-                hs = np.fromiter(
-                    (int(hashlib.md5(x.encode()).hexdigest()[:10], 16) for x in toks),
-                    dtype=np.int64,
-                    count=t,
-                )
+                hs = np.fromiter((h40(x) for x in toks), dtype=np.int64, count=t)
                 g = hs
                 for j in range(1, k):
                     g = (g[:-1] * base + hs[j:]) % mod

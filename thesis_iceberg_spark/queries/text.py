@@ -334,6 +334,37 @@ _DUP_NS = tuple(GOPHER_DUP_FRAC)  # dup for 5-10
 _HASH_BASE = 1 << 20
 _HASH_MOD = 1 << 40  # base*mod + mod < 2^63: the fold never overflows int64
 
+# Per-task token-hash memoization (VERDICT r5 #4): the Arrow kernels'
+# dominant per-core cost was one interpreted hashlib.md5 per token
+# OCCURRENCE.  Natural-language token streams repeat heavily (Zipf), so
+# hashing each DISTINCT token once per task and dict-hitting the rest is a
+# ~7x kernel-step win (measured on the sf0.1 token distribution; recorded
+# in PERFORMANCE.md).  The cache clears at _TOK_CACHE_CAP entries to bound
+# task memory on adversarial vocabularies — correctness never depends on
+# retention.  int.from_bytes(digest()[:5], 'big') equals the previous
+# int(hexdigest()[:10], 16) bit-for-bit, so every md5-based oracle is
+# unchanged.
+_TOK_CACHE_CAP = 1 << 20
+
+
+def _tok40_hasher():
+    """Memoized token -> 40-bit md5-prefix hash (one instance per Arrow
+    task; the cache spans every batch and document the task sees)."""
+    from hashlib import md5
+
+    cache: dict[str, int] = {}
+    get = cache.get
+
+    def h40(tk: str) -> int:
+        v = get(tk)
+        if v is None:
+            if len(cache) >= _TOK_CACHE_CAP:
+                cache.clear()
+            v = cache[tk] = int.from_bytes(md5(tk.encode()).digest()[:5], "big")
+        return v
+
+    return h40
+
 
 def _sql_rep_tt() -> str:
     toks = _sql_toks()
@@ -440,7 +471,6 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     top_thr, dup_thr = GOPHER_TOP_FRAC, GOPHER_DUP_FRAC
 
     def compute(batches):
-        import hashlib
         import re
 
         import numpy as np
@@ -448,15 +478,14 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
 
         ws = re.compile(r"\s+", re.ASCII)
         max_n = max(top_ns + dup_ns)
+        h40 = _tok40_hasher()  # per-task memoized md5 (oracle-identical)
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
                 toks = ws.split((text or "").strip(" ").lower())
                 t = len(toks)
                 hs = np.fromiter(
-                    (int(hashlib.md5(tk.encode()).hexdigest()[:10], 16) for tk in toks),
-                    dtype=np.int64,
-                    count=t,
+                    (h40(tk) for tk in toks), dtype=np.int64, count=t
                 )
                 ls = np.fromiter((len(tk) for tk in toks), dtype=np.int64, count=t)
                 # paper denominator: document chars of the normalized text
