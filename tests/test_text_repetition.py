@@ -229,3 +229,37 @@ def test_dedup_paragraphs_real_text(spark):
     assert got[4]["n_paras"] == 0 and got[4]["kept_char_frac"] == 1.0
     # fingerprints: doc1's kept set differs from doc2's
     assert got[1]["cleaned_fingerprint"] != got[2]["cleaned_fingerprint"]
+
+
+def test_c4_badwords_crafted_docs(spark, tmp_path):
+    """Blocklist rule (round 6): token entries match token-wise only (no
+    substring bleed), phrase entries substring-match the normalized text,
+    NULL text propagates NULL flags like every C4 page column."""
+    from thesis_iceberg_spark.queries.text import c4_badwords_flags_df
+
+    sf_dir = str(tmp_path / "bw")
+    rows = [
+        (1, "a dup token and another dup here"),  # 2 token hits
+        (2, "duplicate is not dup-licate as a token"),  # substrings don't count
+        (3, "the slow  query path"),  # phrase hits across extra whitespace
+        (4, "totally clean text"),
+        (5, None),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    fn = REGISTRY["text_c4_badwords_flags"].fn
+    got = {r.doc_id: r.asDict() for r in fn(spark, sf_dir).collect()}
+    assert got[1]["n_badword_tokens"] == 2 and got[1]["keep"] is False
+    assert got[2]["n_badword_tokens"] == 0 and got[2]["keep"] is True
+    assert got[3]["n_badword_phrases"] == 1 and got[3]["has_badword"] is True
+    assert got[4]["has_badword"] is False and got[4]["keep"] is True
+    assert got[5]["has_badword"] is None and got[5]["keep"] is None
+
+    # custom blocklists through the df-level function
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    custom = {
+        r.doc_id: r.n_badword_tokens
+        for r in c4_badwords_flags_df(df, badwords=("clean",)).collect()
+    }
+    assert custom[4] == 1 and custom[1] == 0

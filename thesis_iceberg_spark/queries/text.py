@@ -846,6 +846,80 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(compute, schema)
 
 
+# --- C4 bad-words blocklist (round 6, VERDICT r5 #5) -------------------------
+# Raffel et al. §2.2 drop any page containing a word from a public blocklist
+# (the "List of Dirty, Naughty, Obscene or Otherwise Bad Words").  The RULE
+# is what matters — a membership test against a broadcast-sized list —
+# so the shipped fixture substitutes three PLACEHOLDER entries chosen to
+# exercise both match shapes against the synthetic corpus (FIXTURES.md):
+# single tokens match token-wise, multi-word phrases substring-match the
+# whitespace-normalized text (the paper's lists contain both).  A real
+# deployment passes its own list to c4_badwords_flags_df.
+C4_BADWORDS_FIXTURE = ("dup", "verboten", "slow query")
+
+
+def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_FIXTURE) -> DataFrame:
+    """Per-page blocklist columns for an arbitrary word/phrase list.
+
+    Pure narrow map: the list rides the plan as a LITERAL array (the
+    broadcast-equivalent for a lookup this size — the published lists are
+    a few hundred entries), membership is a codegen'd HOF filter, zero
+    shuffles; the 100 TB cost is one scan.  Tokens and the normalized
+    text reuse the engine-wide tokenizer so blocklist semantics line up
+    with every other text operator."""
+    words = [w for w in badwords if " " not in w]
+    phrases = [w for w in badwords if " " in w]
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    n_bad = F.size(F.filter(_toks(), lambda t: t.isin(*words))) if words else F.lit(0)
+    n_phr = (
+        F.size(F.filter(F.lit(list(phrases)), lambda p: norm.contains(p)))
+        if phrases
+        else F.lit(0)
+    )
+    has = (n_bad > 0) | (n_phr > 0)
+    return docs.select(
+        "doc_id",
+        n_bad.alias("n_badword_tokens"),
+        n_phr.alias("n_badword_phrases"),
+        has.alias("has_badword"),
+        (~has).alias("keep"),
+    )
+
+
+_SQL_BAD_TOKS = ", ".join(
+    f"'{w}'" for w in C4_BADWORDS_FIXTURE if " " not in w
+)
+_SQL_BAD_PHRASES = ", ".join(f"'{w}'" for w in C4_BADWORDS_FIXTURE if " " in w)
+_SQL_BAD_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_SQL_BAD_N = f"len(list_filter({_sql_toks()}, t -> t IN ({_SQL_BAD_TOKS})))"
+_SQL_BAD_P = (
+    f"len(list_filter([{_SQL_BAD_PHRASES}], p -> contains({_SQL_BAD_NORM}, p)))"
+)
+
+
+@register(
+    "text_c4_badwords_flags",
+    oracle=f"""
+SELECT doc_id,
+       {_SQL_BAD_N} AS n_badword_tokens,
+       {_SQL_BAD_P} AS n_badword_phrases,
+       ({_SQL_BAD_N} > 0 OR {_SQL_BAD_P} > 0) AS has_badword,
+       NOT ({_SQL_BAD_N} > 0 OR {_SQL_BAD_P} > 0) AS keep
+FROM documents
+""",
+    doc="C4 bad-words blocklist rule (Raffel et al. §2.2) — the one rule "
+    "the round-5 C4 family deliberately excluded, now with a placeholder "
+    "fixture list (FIXTURES.md; real deployments pass their own list to "
+    "c4_badwords_flags_df). Single tokens match token-wise, phrases "
+    "substring-match the normalized text. Spark shape: the list is a "
+    "literal array in the plan (broadcast-equivalent at blocklist sizes), "
+    "membership is a codegen'd HOF filter — zero shuffles, one scan at "
+    "100 TB.",
+)
+def text_c4_badwords_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_badwords_flags_df(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # C4 quality rules (Raffel et al. 2020, "Exploring the Limits of Transfer
 # Learning...", §2.2) — the OTHER canonical published cleaning rule set next
