@@ -943,16 +943,77 @@ FROM walk GROUP BY node
     "connected components and keep the minimum vec_id as each cluster's "
     "canonical — the embedding twin of dedup_cluster_canonical's "
     "MinHash/Jaccard clusters, catching paraphrases and translations "
-    "that share no shingles. Same large-star/small-star contraction "
-    "(O(log n) rounds), same recursive-CTE oracle shape; at 100 TB the "
-    "pair list is the LSH output (sub-quadratic, CI-gated) and each CC "
-    "round is two keyed O(edges) shuffles.",
+    "that share no shingles. KEEPER DEVIATION from the paper: Abbas et "
+    "al. keep the member with LOWEST cosine to the cluster CENTROID "
+    "(diversity-preserving); this registered entry keeps min vec_id — a "
+    "deterministic integer rule two engines hash-agree on, where the "
+    "paper's float argmin can flip across engines on near-ties. The "
+    "paper's rule is implemented as semdedup_keepers(keeper="
+    "'centroid_far') below, pytest-pinned on crafted clusters. Same "
+    "large-star/small-star contraction (O(log n) rounds), same "
+    "recursive-CTE oracle shape; at 100 TB the pair list is the LSH "
+    "output (sub-quadratic, CI-gated) and each CC round is two keyed "
+    "O(edges) shuffles.",
 )
 def dedup_embedding_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
     return connected_components(pairs.toDF("a", "b")).select(
         F.col("node").alias("vec_id"), F.col("label").alias("canonical_vec_id")
     )
+
+
+def semdedup_keepers(
+    spark: SparkSession, sf_dir: str, keeper: str = "min_id"
+) -> DataFrame:
+    """(vec_id, canonical_vec_id) with a selectable per-cluster keeper.
+
+    keeper='min_id' (the registered query's rule): canonical = minimum
+    vec_id — deterministic integers, engine-portable.
+    keeper='centroid_far' (Abbas et al.'s published rule): canonical = the
+    member with the LOWEST cosine similarity to the cluster centroid —
+    SemDeDup keeps the least-typical member to preserve diversity.  Ties
+    break on vec_id so the result stays deterministic.
+
+    Spark shape for centroid_far: cluster labels come from the same CC
+    contraction; centroids are one groupBy(label) with D per-dimension
+    avg() aggregates (map-side combinable — ONE shuffle, no posexplode
+    row blow-up); each member joins its centroid back on label (clusters
+    ≪ corpus, broadcastable at any realistic duplicate rate) and the
+    keeper is a struct-min aggregate, again one keyed shuffle.  Not
+    registered with a SQL oracle: the float argmin can flip on near-ties
+    across engines — semantics are pinned by tests/test_semdedup_keeper.py
+    on crafted clusters instead."""
+    if keeper not in ("min_id", "centroid_far"):
+        raise ValueError(f"unknown semdedup keeper: {keeper}")
+    pairs = dedup_embedding_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs.toDF("a", "b")).select(
+        F.col("node").alias("vec_id"), F.col("label")
+    )
+    if keeper == "min_id":
+        return labels.select("vec_id", F.col("label").alias("canonical_vec_id"))
+    emb = _emb_norms(load_table(spark, sf_dir, "embeddings"))
+    members = labels.join(emb, "vec_id")  # (vec_id, label, v, nm)
+    dim = len(emb.select("v").first()["v"])  # fixed width; one driver row
+    centroids = members.groupBy("label").agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+    )
+    cn = centroids.select(
+        "label", "c", F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cn")
+    )
+    cos = (
+        members.join(F.broadcast(cn), "label")
+        .select(
+            "label",
+            "vec_id",
+            (_dot(F.col("v"), F.col("c")) / (F.col("nm") * F.col("cn"))).alias(
+                "cos_c"
+            ),
+        )
+    )
+    keep = cos.groupBy("label").agg(
+        F.min(F.struct("cos_c", "vec_id")).alias("k")
+    ).select("label", F.col("k.vec_id").alias("canonical_vec_id"))
+    return labels.join(keep, "label").select("vec_id", "canonical_vec_id")
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
