@@ -12,9 +12,33 @@ from thesis_iceberg_spark.queries import (
 )
 
 
+def test_priority_block_is_capped():
+    """Structural guard (VERDICT r6 'What's wrong' #1): the manual block
+    exists for THIS round's new/changed queries only.  If it ever grows
+    toward the 50-slot driver window again, the stalest-first fallback
+    goes dead and greens silently go stale — so hard-cap it well below
+    the window size."""
+    from thesis_iceberg_spark.queries import _PRIORITY_CAP
+
+    assert _PRIORITY_CAP <= 12
+    assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP
+    # With the cap respected, every never-driver-checked query and every
+    # stalest-green query must land inside the 50-query window.
+    names = list(queries().keys())
+    win = set(names[:50])
+    lg = _last_green_rounds()
+    never = [n for n in names if n not in lg]
+    assert all(n in win for n in never), "never-checked must be in window"
+    if lg:
+        oldest = min(lg.values())
+        stalest = [n for n in names if lg.get(n) == oldest]
+        assert all(n in win for n in stalest), "stalest greens must be in window"
+
+
 def test_priority_block_leads_and_remainder_is_stalest_first():
     names = list(queries().keys())
-    prio = list(DRIVER_WINDOW_PRIORITY)
+    # unregistered priority names are skipped harmlessly
+    prio = [n for n in DRIVER_WINDOW_PRIORITY if n in names]
     assert names[: len(prio)] == prio
     assert len(set(prio)) == len(prio), "no duplicate priority names"
     lg = _last_green_rounds()

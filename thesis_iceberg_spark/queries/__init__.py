@@ -65,91 +65,33 @@ def _load_all() -> None:
 
 
 # The driver's correctness gate oracles the FIRST 50 registry entries per
-# round, so ordering is rotation control.  Round-5 window policy (VERDICT
-# r4 ask #1: "every query's newest green row <= 2 rounds old" — after r4,
-# 50 queries are r4-green, 44 r3-green, and 9 r2-green):
-#   (a) the round's NEW queries plus every query whose CODE changed this
-#       round — the generative LSH ladder + Arrow bucket generation, the
-#       Arrow repetition/minhash/shingle/line-rule kernels (late-r5
-#       rewrites: minhash, ngram-jaccard, decontaminate, and
-#       cluster-canonical joined the window, as did the brand-new
-#       dedup_embedding_cluster_canonical, dedup_exact_substr_spans, and
-#       pipeline_remove_dup_spans; seven unchanged r3-greens with
-#       in-window family siblings were displaced for them —
-#       pipeline_pii_scrub, pipeline_stratified_sample, ann_ivf_topk,
-#       window_funcs_extended, agg_approx_count_distinct,
-#       set_ops_customer_segments, join_anti_inactive_customers — and
-#       join the must-lead-r6 set), and the skyline check_cap signature;
-#   (b) the 9 queries whose newest green is ROUND 2 (three rounds old at
-#       r5 — the only staleness violations; VERDICT r4 named them);
-#   (c) filter_range_ts + distinct_values as the filter/distinct family
-#       regression guards (ADVICE r4);
-#   (d) 29 of the 44 r3-greens — including every tablefmt/sql entry, since
-#       table.py's commit-retry/_commit_replace changed this round.  The 11
-#       left out (scan_full, text_token_stats, text_lang_id,
-#       multimodal_metadata, pipeline_chunk_documents,
-#       pipeline_pack_sequences, in_exists_subqueries, grouping_sets_sql,
-#       agg_count_distinct, streaming_batch_parity, time_bucket_rollup —
-#       the last two displaced late in r5 by the two new queries below)
-#       are unchanged r3-greens — exactly 2 rounds old at r5, each with an
-#       r4-green family sibling — and MUST lead the r6 window.
-# Names not (yet) registered are skipped harmlessly; unlisted queries keep
-# registration order after the prioritized block.
+# round, so ordering is rotation control.  POLICY (structural since r7,
+# after VERDICT r6 found the hand-maintained 50-name block had frozen the
+# window for two rounds):
+#   * DRIVER_WINDOW_PRIORITY holds ONLY queries that are NEW or whose code
+#     changed this round.  It is hard-capped at _PRIORITY_CAP names
+#     (runtime assertion below + tests/test_window_policy.py), so the
+#     stalest-green-first fallback ALWAYS fills the bulk of the window:
+#     never-driver-checked queries first, then oldest green, from the
+#     driver's own CORRECTNESS_r*.json records.
+#   * Names not (yet) registered are skipped harmlessly.
+# Round 7 block: the new centroid-far SemDeDup keeper query, plus the
+# queries whose code changed this round (ADVICE r6 fixes: C4 bad-words
+# NULL contract in text.py, SemDeDup keeper guards in dedup.py, eq-delete
+# IN-list parser in tablefmt/sql.py).
+_PRIORITY_CAP = 12  # window is 50; >=38 slots must remain for rotation
+
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- (a) new, then changed this round ---
-    "text_c4_quality_flags",
-    "pipeline_dedup_paragraphs",
-    "text_gopher_line_flags",
-    "dedup_embedding_lsh_pairs",
-    "text_gopher_repetition_signals",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "pipeline_decontaminate",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cluster_canonical",
-    "dedup_exact_substr_spans",
-    "pipeline_remove_dup_spans",
-    "skyline_price_size",
-    # --- (b) last green in round 2 ---
-    "window_lag_user_values",
-    "window_running_total",
-    "orderby_multi_col",
-    "values_inline_dim_join",
-    "set_ops_multiset",
-    "conditional_funcs_profile",
-    "unpivot_order_measures",
-    "dedup_drop_duplicates",
-    "join_full_outer_nation_presence",
-    # --- (c) filter/distinct family guards ---
-    "filter_range_ts",
-    "distinct_values",
-    # --- (d) last green in round 3 ---
-    "tablefmt_lifecycle_final_state",
-    "tablefmt_time_travel",
-    "tablefmt_changelog",
-    "tablefmt_schema_evolution",
-    "tablefmt_merge_incremental",
-    "sql_time_travel",
-    "sql_dml_update_delete",
-    "dedup_exact_hash",
-    "asof_join_last_event",
-    "agg_q6_revenue",
-    "agg_salted_skew",
-    "join_bucketed_colocated",
-    "q3_unshipped_topk",
-    "multimodal_features",
-    "text_gopher_quality_flags",
-    "pipeline_train_eval_split",
-    "pipeline_topk_per_lang_sample",
-    "topk_orders",
-    "agg_pricing_summary",
-    "join_inner_cust_orders",
-    "star_join_revenue_by_nation",
-    "window_rank_orders",
-    "ann_cosine_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_batch_topk",
-    "sessionize_events",
+    "dedup_semdedup_centroid_far",   # NEW r7 (VERDICT r6 ask #5)
+    "text_c4_badwords_flags",        # changed r7 (NULL contract fix)
+    "dedup_embedding_cluster_canonical",  # changed r7 (keeper guards)
+    "sql_dml_update_delete",         # changed r7 (IN-list parser fix)
+)
+
+assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (
+    "DRIVER_WINDOW_PRIORITY must stay small: it exists for this round's "
+    "new/changed queries only; the stalest-first fallback owns the rest "
+    "of the driver window (VERDICT r6 'What's wrong' #1)"
 )
 
 
