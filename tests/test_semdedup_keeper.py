@@ -56,3 +56,104 @@ def test_centroid_far_keeper_picks_least_typical(spark, emb_dir):
 def test_unknown_keeper_rejected(spark, emb_dir):
     with pytest.raises(ValueError, match="unknown semdedup keeper"):
         semdedup_keepers(spark, emb_dir, keeper="median")
+
+
+def test_empty_embeddings_returns_empty_not_typeerror(spark, tmp_path):
+    # ADVICE r6: .first() on an empty embeddings table is None; must yield
+    # a typed empty (vec_id, canonical_vec_id) result, not a TypeError.
+    d = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = semdedup_keepers(spark, d, keeper="centroid_far")
+    assert out.columns == ["vec_id", "canonical_vec_id"]
+    assert out.count() == 0
+
+
+def test_zero_norm_member_never_wins_keeper(spark, tmp_path, monkeypatch):
+    # ADVICE r6: a zero-norm member divides to NULL cosine, which sorted
+    # FIRST in the struct-min and silently became the keeper; after the
+    # coalesce(+inf) fix the degenerate member must LOSE.  A zero vector
+    # cannot enter a cluster through the real LSH-pairs path (its cosine
+    # to anything is NULL, failing the >= 0.45 filter), so monkeypatch the
+    # pair source to force a cluster {0, 1, 2} containing the zero vector
+    # and assert id 0 is not chosen.
+    from thesis_iceberg_spark.queries import dedup as dmod
+
+    a = [1.0] * 64
+    v2 = a[:]
+    v2[63] = 1.2
+    rows = [(0, [0.0] * 64), (1, a), (2, v2)]
+    d = str(tmp_path / "zn")
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    forced = spark.createDataFrame(
+        [(0, 1), (1, 2)], "vec_a BIGINT, vec_b BIGINT"
+    )
+    monkeypatch.setattr(
+        dmod, "dedup_embedding_lsh_pairs", lambda *_: forced
+    )
+    got = {
+        r.vec_id: r.canonical_vec_id
+        for r in semdedup_keepers(spark, d, keeper="centroid_far").collect()
+    }
+    # keeper must be a real member (1: the centroid tilts toward the
+    # longer v2, so v1 has the lower cosine), never the zero vector
+    assert set(got) == {0, 1, 2}
+    assert set(got.values()) == {1}
+
+
+def test_centroid_is_single_shuffle_at_d1024(spark):
+    # VERDICT r6 ask #6: the D-wide per-dimension avg() centroid must plan
+    # as ONE Exchange with a partial/final HashAggregate pair even at
+    # D=1024 (map-side combine).  If this ever splits into multiple
+    # shuffles or falls back to sort-aggregate-per-dim, the width ceiling
+    # documented on _cluster_centroids has been hit.
+    from thesis_iceberg_spark.queries.dedup import _cluster_centroids
+
+    import pyspark.sql.functions as F
+
+    members = spark.range(8).select(
+        (F.col("id") % 2).alias("label"),
+        F.array(*[F.rand(seed=7) for _ in range(1024)]).alias("v"),
+    )
+    plan = (
+        _cluster_centroids(members, 1024)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("HashAggregate") == 2, plan[:2000]
+
+
+def test_sf_keeper_margin_resists_engine_float_noise():
+    # The registered dedup_semdedup_centroid_far carries a DuckDB value
+    # oracle; that is only sound if the keeper's cosine margin over the
+    # runner-up dwarfs cross-engine double-summation noise (~1e-14).
+    # Measured margin at sf0.001 is ~1.7e-9; assert a 1e-10 floor so a
+    # future data regen that lands near-ties fails loudly here instead of
+    # flaking in the driver gate.
+    import duckdb
+
+    from thesis_iceberg_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    spec = REGISTRY["dedup_semdedup_centroid_far"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    body = spec.oracle.rsplit("keep AS", 1)[0].rstrip().rstrip(",")
+    margin = con.execute(
+        body
+        + """,
+sel AS (SELECT label, cos_c,
+        row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) rn
+        FROM cosv)
+SELECT min(b.cos_c - a.cos_c) AS m
+FROM sel a JOIN sel b ON a.label = b.label AND a.rn = 1 AND b.rn = 2"""
+    ).fetchone()[0]
+    assert margin is None or margin > 1e-10, margin
