@@ -263,3 +263,22 @@ def test_c4_badwords_crafted_docs(spark, tmp_path):
         for r in c4_badwords_flags_df(df, badwords=("clean",)).collect()
     }
     assert custom[4] == 1 and custom[1] == 0
+
+    # PHRASE-ONLY list (ADVICE r6): n_badword_tokens is a literal 0 and
+    # the phrase HOF filter drops NULL-predicate elements, which used to
+    # give a NULL-text doc has_badword=false/keep=true; the explicit
+    # text-IS-NOT-NULL gate must make every flag NULL instead.
+    phr = {
+        r.doc_id: r.asDict()
+        for r in c4_badwords_flags_df(df, badwords=("slow query",)).collect()
+    }
+    assert phr[3]["n_badword_phrases"] == 1 and phr[3]["keep"] is False
+    assert phr[5]["n_badword_tokens"] is None
+    assert phr[5]["n_badword_phrases"] is None
+    assert phr[5]["has_badword"] is None and phr[5]["keep"] is None
+    # WORD-ONLY list, same contract
+    wrd = {
+        r.doc_id: r.asDict()
+        for r in c4_badwords_flags_df(df, badwords=("dup",)).collect()
+    }
+    assert wrd[5]["n_badword_phrases"] is None and wrd[5]["keep"] is None

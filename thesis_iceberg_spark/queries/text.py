@@ -877,12 +877,19 @@ def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_FIXTURE) -> DataF
         else F.lit(0)
     )
     has = (n_bad > 0) | (n_phr > 0)
+    # NULL text propagates NULL flags for EVERY list shape (ADVICE r6):
+    # with a phrase-only list the lambda filter silently DROPS
+    # NULL-predicate elements (n_phr=0) and a words-empty n_bad is
+    # lit(0), which together yielded has_badword=false/keep=true for a
+    # NULL document — gate all four outputs on text IS NOT NULL instead
+    # of relying on operand NULL propagation.
+    gate = lambda c: F.when(F.col("text").isNotNull(), c)  # noqa: E731
     return docs.select(
         "doc_id",
-        n_bad.alias("n_badword_tokens"),
-        n_phr.alias("n_badword_phrases"),
-        has.alias("has_badword"),
-        (~has).alias("keep"),
+        gate(n_bad).alias("n_badword_tokens"),
+        gate(n_phr).alias("n_badword_phrases"),
+        gate(has).alias("has_badword"),
+        gate(~has).alias("keep"),
     )
 
 
@@ -901,10 +908,14 @@ _SQL_BAD_P = (
     "text_c4_badwords_flags",
     oracle=f"""
 SELECT doc_id,
-       {_SQL_BAD_N} AS n_badword_tokens,
-       {_SQL_BAD_P} AS n_badword_phrases,
-       ({_SQL_BAD_N} > 0 OR {_SQL_BAD_P} > 0) AS has_badword,
-       NOT ({_SQL_BAD_N} > 0 OR {_SQL_BAD_P} > 0) AS keep
+       CASE WHEN text IS NULL THEN NULL ELSE {_SQL_BAD_N} END
+         AS n_badword_tokens,
+       CASE WHEN text IS NULL THEN NULL ELSE {_SQL_BAD_P} END
+         AS n_badword_phrases,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE ({_SQL_BAD_N} > 0 OR {_SQL_BAD_P} > 0) END AS has_badword,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE NOT ({_SQL_BAD_N} > 0 OR {_SQL_BAD_P} > 0) END AS keep
 FROM documents
 """,
     doc="C4 bad-words blocklist rule (Raffel et al. §2.2) — the one rule "

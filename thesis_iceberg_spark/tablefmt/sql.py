@@ -217,14 +217,18 @@ def _parse_key_only_delete(where: str) -> tuple[str, list] | None:
     if not m:
         return None
     vals, pos, out = m.group("vals"), 0, []
+    last_sep = None
     while pos < len(vals):
         item = _IN_ITEM.match(vals, pos)
         if not item or (item.group("s") is None and item.group("n") is None):
             return None  # NULL, expression, or malformed — generic path
         out.append(_literal_value(item.group("s"), item.group("n")))
         pos = item.end()
-        if item.group("sep") != "," and pos < len(vals):
+        last_sep = item.group("sep")
+        if last_sep != "," and pos < len(vals):
             return None
+    if last_sep == ",":
+        return None  # trailing comma (`IN (1,)`) — malformed, generic path
     return (_unquote_col(m.group("col")), out) if out else None
 
 
