@@ -5,6 +5,14 @@ and print ONE JSON line with per-query seconds.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver-side collect) — the same way a cluster job would be measured.
+
+COLD numbers are the per-query MEDIAN of N JVM-fresh runs (default 3,
+$SPARK_GRAFT_BENCH_COLD_RUNS) — each sample is a separate subprocess with
+its own JVM, so whole-stage-codegen JIT and Python-worker spin-up are
+sampled independently and machine noise cannot masquerade as a code delta
+(VERDICT r5 #3 / r6 #2: single-pass cold numbers flattered one round and
+slandered the next).  STEADY is a second pass in an already-warm JVM,
+separating JIT from plan cost.
 """
 
 from __future__ import annotations
@@ -12,8 +20,36 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
+
+HEADLINE_BASE = [
+    "agg_pricing_summary",
+    "agg_q6_revenue",
+    "q3_unshipped_topk",
+    "star_join_revenue_by_nation",
+    "join_inner_cust_orders",
+    "window_rank_orders",
+    "topk_orders",
+    "agg_count_distinct",
+    "set_ops_customer_segments",
+    "sessionize_events",
+    "asof_join_last_event",
+]
+# Later-registered headline ops, included when present.
+HEADLINE_EXTRA = [
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_lsh_pairs",
+    "ann_cosine_topk",
+    "text_quality_scores",
+    # round 4: widen the measured surface to the pipeline family
+    "pipeline_decontaminate",
+    "ann_batch_topk",
+    "text_gopher_repetition_signals",
+]
 
 
 def force(df) -> None:
@@ -21,78 +57,95 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+def _headline(registry) -> list[str]:
+    return HEADLINE_BASE + [x for x in HEADLINE_EXTRA if x in registry]
 
+
+def _cold_pass(sf_dir: str) -> dict[str, float]:
+    """One JVM-fresh cold pass: warmup (JVM + scan-layout cache — setup,
+    not query time), then each headline query once."""
     from thesis_iceberg_spark import get_spark
     from thesis_iceberg_spark.queries import REGISTRY, queries
 
     queries()  # force registration
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    headline = [
-        "agg_pricing_summary",
-        "agg_q6_revenue",
-        "q3_unshipped_topk",
-        "star_join_revenue_by_nation",
-        "join_inner_cust_orders",
-        "window_rank_orders",
-        "topk_orders",
-        "agg_count_distinct",
-        "set_ops_customer_segments",
-        "sessionize_events",
-        "asof_join_last_event",
-    ]
-    # Include any later-registered headline ops if present.
-    for extra in (
-        "dedup_exact_hash",
-        "dedup_minhash_lsh_pairs",
-        "dedup_embedding_lsh_pairs",
-        "ann_cosine_topk",
-        "text_quality_scores",
-        # round 4: widen the measured surface to the pipeline family
-        "pipeline_decontaminate",
-        "ann_batch_topk",
-        "text_gopher_repetition_signals",
-    ):
-        if extra in REGISTRY:
-            headline.append(extra)
-
-    # Warm-up: JVM/codegen startup and the one-time scan-layout cache
-    # (ingest-time file/row-group sizing, see sources/registry.py) are
-    # setup, not query time.
     spark.range(10_000_000).selectExpr("sum(id)").collect()
     from thesis_iceberg_spark.sources.registry import register_tables
 
     for df in register_tables(spark, sf_dir).values():
         df.limit(1).count()
 
-    def timed_pass() -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in headline:
-            fn = REGISTRY[name].fn
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            out[name] = round(time.perf_counter() - t0, 4)
-        return out
+    out: dict[str, float] = {}
+    for name in _headline(REGISTRY):
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
 
-    # Cold pass (includes per-query whole-stage-codegen JIT) is the
-    # headline number; a second pass separates JIT from plan cost so
-    # round-over-round deltas can be attributed (VERDICT r4 #7).
-    timings = timed_pass()
-    steady = timed_pass()
 
-    total = round(sum(timings.values()), 4)
+def _child() -> None:
+    """Subprocess entry: one cold sample, JSON on the last stdout line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(_cold_pass(sf_dir)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    n_cold = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_COLD_RUNS", "3")))
+
+    # Sample 1 runs in THIS process (itself JVM-fresh), so its warm session
+    # can be reused for the steady pass afterwards.
+    cold_runs: list[dict[str, float]] = [_cold_pass(sf_dir)]
+
+    from thesis_iceberg_spark import get_spark
+    from thesis_iceberg_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bench")
+    headline = _headline(REGISTRY)
+    steady: dict[str, float] = {}
+    for name in headline:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        steady[name] = round(time.perf_counter() - t0, 4)
+
+    # Remaining JVM-fresh samples: one subprocess (fresh JVM) each.
+    for _ in range(n_cold - 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-child"],
+            capture_output=True,
+            text=True,
+            env=os.environ.copy(),
+            check=False,
+        )
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        if proc.returncode != 0 or not lines:
+            print(
+                f"bench: cold child failed rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            continue
+        cold_runs.append(json.loads(lines[-1]))
+
+    med = {
+        name: round(statistics.median(r[name] for r in cold_runs), 4)
+        for name in headline
+    }
+    total = round(sum(med.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,  # per-query MEDIAN over JVM-fresh cold runs
+                "cold_runs": len(cold_runs),
+                "queries_cold_samples": cold_runs,
                 "queries_steady": steady,
                 "value_steady": round(sum(steady.values()), 4),
                 "sf": sf,
@@ -102,4 +155,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--cold-child" in sys.argv:
+        sys.exit(_child())
     sys.exit(main())
