@@ -1,10 +1,15 @@
-"""Closed-form scale guarantees for the generative embedding-LSH ladder
-(VERDICT r4 #1: the former fixed top rung reverted to c*n^2 past 1e8
-vectors).  No giant corpus needed: the guarantees are arithmetic over the
-bucket space C(128, arity), verified for every count up to 1e9 and past
-the ladder's end, plus small forced-execution runs proving the high-arity
-join chains, base-128 keys, and the per-bucket overflow guard are live
-code paths, not dead configuration."""
+"""Scale guarantees for the generative embedding-LSH ladder, EMPIRICAL
+since round 7: the round-7 executed sweep (tests/exp_lsh_generative_rung.py,
+n=21.5k with planted near-dups) measured the per-pair random-collision
+ratio T(arity) and showed it is n-INVARIANT — a pair collides iff the two
+signatures share >= arity dims, so the pre-r7 uniform-bucket floor n^2/B
+underestimated collisions by orders of magnitude (measured T(4)=0.0856 vs
+the model's 1e-6 at n=1e6).  The ladder's admission bounds are now derived
+from the MEASURED constants (candidates/doc <= budget at every admitted
+count), arity 4 was dropped as dominated by 5, and the ladder tops out at
+~1.8e8 vectors, beyond which the kmeans-bounded path is the scale answer.
+Plus forced-execution runs proving the high-arity join chains, base-128
+keys, and the per-bucket overflow guard are live code paths."""
 
 from __future__ import annotations
 
@@ -23,31 +28,43 @@ from thesis_iceberg_spark.queries.dedup import (
 
 queries()
 
-# a log-spaced count grid: every decade 1e3..1e9 plus each rung boundary
-# from both sides
+# a log-spaced count grid: every decade up to the ladder top plus each
+# rung boundary from both sides
+_TOP = SIG_TIERS[-1][0]
 _GRID = sorted(
-    {10**e for e in range(3, 10)}
-    | {3 * 10**e for e in range(3, 9)}
-    | {b - 1 for b, *_ in SIG_TIERS if b is not None}
-    | {b for b, *_ in SIG_TIERS if b is not None and b < SIG_TIERS[-1][0]}
+    n
+    for n in (
+        {10**e for e in range(3, 9)}
+        | {3 * 10**e for e in range(3, 8)}
+        | {b - 1 for b, *_ in SIG_TIERS if b is not None}
+        | {b for b, *_ in SIG_TIERS if b is not None and b < _TOP}
+    )
+    if n < _TOP
 )
 
 
-def test_random_collision_floor_linear_up_to_1e9():
-    """The selected rung's random-collision candidate floor n^2/B must stay
-    <= 0.05*n^2 everywhere AND <= n/10 for every generative rung (n >= 1M),
-    for BOTH the main component and the anchor component."""
+def test_measured_collision_budget_at_every_admitted_count():
+    """At EVERY admitted corpus count the selected rung's MEASURED
+    collision ratio keeps projected candidate work linear:
+    T(arity) * n <= the per-doc verification budget — the property the
+    pre-r7 closed form (n^2/B) claimed but the executed sweep falsified.
+    Also: arity 4 must never be selected (measured strictly dominated by
+    arity 5: 4x the candidates at identical recall)."""
+    from thesis_iceberg_spark.queries.dedup import (
+        _CAND_PER_DOC_BUDGET,
+        MEASURED_COLLISION_RATIO,
+    )
+
     for n in _GRID:
         arity, dims, anchor = _lsh_tier(n)
-        b_main = math.comb(_SIGNED_DIMS, arity)
-        assert n * n / b_main <= 0.05 * n * n, (n, arity)
-        if n >= 1_000_000:
-            assert n * n / b_main <= n / 10, (n, arity, b_main)
-            if anchor:
-                # anchor buckets live one arity down, so their floor
-                # constant is (129-a)/(10a) <= 3.125 at a=4 — still O(n)
-                b_anchor = math.comb(_SIGNED_DIMS, arity - 1)
-                assert n * n / b_anchor <= 3.2 * n, (n, arity, b_anchor)
+        assert arity != 4, "arity-4 rung is dominated by 5 — must be absent"
+        if arity in MEASURED_COLLISION_RATIO:
+            t = MEASURED_COLLISION_RATIO[arity]
+            assert t * n <= _CAND_PER_DOC_BUDGET * 1.0001, (n, arity, t * n)
+        # projected candidates stay within the documented CI ratio gate at
+        # every admitted count (T is n-invariant, so this is exact)
+        if arity in MEASURED_COLLISION_RATIO:
+            assert MEASURED_COLLISION_RATIO[arity] <= 0.05, (n, arity)
 
 
 def test_ladder_shape_and_key_arithmetic():
@@ -73,8 +90,9 @@ def test_ladder_shape_and_key_arithmetic():
 
 def test_past_the_ladder_raises_loudly():
     top_bound = SIG_TIERS[-1][0]
-    assert top_bound is not None and top_bound > 10**11
-    with pytest.raises(NotImplementedError, match="exceeds the LSH ladder"):
+    # measured-T bounds top out around 1.8e8 vectors (honest, not 1.4e11)
+    assert top_bound is not None and 10**8 < top_bound < 10**9
+    with pytest.raises(NotImplementedError, match="kmeans-bounded"):
         _lsh_tier(top_bound)
 
 
@@ -266,3 +284,102 @@ def test_exact_substr_spans_crafted(spark, tmp_path):
     assert cleaned[3]["n_removed_tokens"] == 0  # unique doc untouched
     assert cleaned[3]["kept_text"] == " ".join(f"u{i}" for i in range(30))
     assert cleaned[4]["kept_text"] == "q0"  # both repeats of x cut
+
+
+def _planted_corpus_np(n_base: int, n_planted: int, seed: int = 20260814):
+    """Shared with tests/exp_lsh_generative_rung.py: iid normal base +
+    exact-cosine planted dups at 0.7/0.8/0.9 round-robin."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = 64
+    base = rng.standard_normal((n_base, dim))
+    cosines = (0.7, 0.8, 0.9)
+    dup_src = rng.choice(n_base, size=n_planted, replace=False)
+    dups, planted = [], []
+    for i, src in enumerate(dup_src):
+        c = cosines[i % len(cosines)]
+        u = base[src] / np.linalg.norm(base[src])
+        g = rng.standard_normal(dim)
+        g -= g.dot(u) * u
+        g /= np.linalg.norm(g)
+        dups.append((c * u + math.sqrt(1 - c * c) * g) * np.linalg.norm(base[src]))
+        planted.append((int(src), n_base + i, c))
+    import numpy as _np
+
+    vecs = _np.vstack([base, _np.array(dups)])
+    return vecs, planted
+
+
+def test_generative_rung_executes_on_real_data(spark, monkeypatch):
+    """VERDICT r6 ask #3, pinned as a regression gate: the FIRST generative
+    rung (arity 5, top-16 + anchor triples top-13) EXECUTED on a real
+    corpus (n=8400, 400 planted near-dups) must measure candidates/n^2
+    <= 0.05 and recall >= 0.95 at every planted cosine grade.  The full
+    sweep (n=21.5k, arity 4-8) is tests/exp_lsh_generative_rung.py; its
+    measured ratios are the MEASURED_COLLISION_RATIO constants."""
+    import pandas as pd
+
+    from thesis_iceberg_spark.queries import dedup
+
+    vecs, planted = _planted_corpus_np(8000, 400)
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": list(vecs)}
+    )
+    emb = spark.createDataFrame(pdf).repartition(8)
+    monkeypatch.setattr(dedup, "_lsh_tier", lambda count: (5, 16, 13))
+    cand = dedup._embedding_lsh_candidates(spark, emb, dedup._emb_norms(emb))
+    n = len(vecs)
+    planted_set = sorted({(a, b) if a < b else (b, a) for a, b, _ in planted})
+    hits = {
+        (r.a, r.b)
+        for r in cand.toDF("a", "b")
+        .join(spark.createDataFrame(planted_set, "a BIGINT, b BIGINT"), ["a", "b"])
+        .collect()
+    }
+    n_cand = cand.count()
+    ratio = n_cand / n**2
+    assert ratio <= 0.05, f"measured ratio {ratio:.4f} > 0.05"
+    by_cos: dict[float, list[int]] = {}
+    for a, b, c in planted:
+        key = (a, b) if a < b else (b, a)
+        by_cos.setdefault(c, []).append(key in hits)
+    for c, oks in sorted(by_cos.items()):
+        recall = sum(oks) / len(oks)
+        assert recall >= 0.95, f"recall@{c} = {recall:.3f} < 0.95"
+
+
+def test_kmeans_candidates_on_planted_corpus(spark):
+    """The kmeans-bounded path (the 1e8+ scale answer) on the same planted
+    corpus: candidates O(n) by construction (ratio <= p^2/(2k) with
+    headroom) and recall >= 0.9 on planted pairs at cosine >= 0.8 — the
+    SemDeDup operating regime it exists for."""
+    import pandas as pd
+
+    from thesis_iceberg_spark.queries import dedup
+
+    vecs, planted = _planted_corpus_np(8000, 400)
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf).repartition(8)
+    n = len(vecs)
+    cand = dedup.dedup_embedding_kmeans_candidates(spark, emb)
+    planted_set = sorted({(a, b) if a < b else (b, a) for a, b, _ in planted})
+    hits = {
+        (r.a, r.b)
+        for r in cand.toDF("a", "b")
+        .join(spark.createDataFrame(planted_set, "a BIGINT, b BIGINT"), ["a", "b"])
+        .collect()
+    }
+    n_cand = cand.count()
+    k = max(dedup.KMEANS_MIN_K, n // dedup.KMEANS_BUCKET_TARGET)
+    bound = dedup.KMEANS_NPROBE**2 * n * n / (2 * k)
+    assert n_cand <= 2 * bound, f"candidates {n_cand} > 2x analytic {bound:.0f}"
+    assert n_cand <= 0.05 * n * n
+    by_cos: dict[float, list[int]] = {}
+    for a, b, c in planted:
+        key = (a, b) if a < b else (b, a)
+        by_cos.setdefault(c, []).append(key in hits)
+    for c, oks in sorted(by_cos.items()):
+        recall = sum(oks) / len(oks)
+        if c >= 0.8:
+            assert recall >= 0.9, f"kmeans recall@{c} = {recall:.3f} < 0.9"

