@@ -110,5 +110,53 @@ def main() -> None:
         )
 
 
+
+
+def kmeans_mode() -> None:
+    """Measure the kmeans-bounded path on the same planted corpus:
+    python tests/exp_lsh_generative_rung.py --kmeans [n_base] [n_planted]"""
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    n_planted = int(sys.argv[3]) if len(sys.argv) > 3 else 1_500
+
+    import pandas as pd
+
+    from thesis_iceberg_spark import get_spark
+    from thesis_iceberg_spark.queries import dedup
+
+    spark = get_spark(app_name="kmeans-pairs-exp")
+    spark.sparkContext.setLogLevel("ERROR")
+    ids, vecs, planted = make_corpus(n_base, n_planted)
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf).repartition(32).cache()
+    emb.count()
+    n_total = len(ids)
+    t0 = time.perf_counter()
+    cand = dedup.dedup_embedding_kmeans_candidates(spark, emb)
+    n_cand = cand.count()
+    wall = time.perf_counter() - t0
+    planted_set = sorted({(a, b) if a < b else (b, a) for a, b, _ in planted})
+    got = {
+        (r.a, r.b)
+        for r in cand.toDF("a", "b")
+        .join(spark.createDataFrame(planted_set, "a BIGINT, b BIGINT"), ["a", "b"])
+        .collect()
+    }
+    by_cos: dict[float, tuple[int, int]] = {}
+    for a, b, c in planted:
+        key = (a, b) if a < b else (b, a)
+        t, h = by_cos.get(c, (0, 0))
+        by_cos[c] = (t + 1, h + (key in got))
+    rec = "  ".join(f"r@{c}={h / t:.3f}" for c, (t, h) in sorted(by_cos.items()))
+    k = max(dedup.KMEANS_MIN_K, n_total // dedup.KMEANS_BUCKET_TARGET)
+    print(
+        f"kmeans k={k} nprobe={dedup._kmeans_nprobe(k)} n={n_total} "
+        f"cand={n_cand} ratio={n_cand / n_total**2:.6f} {rec} wall={wall:.1f}s",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--kmeans":
+        kmeans_mode()
+    else:
+        main()

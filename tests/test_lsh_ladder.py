@@ -372,7 +372,7 @@ def test_kmeans_candidates_on_planted_corpus(spark):
     }
     n_cand = cand.count()
     k = max(dedup.KMEANS_MIN_K, n // dedup.KMEANS_BUCKET_TARGET)
-    bound = dedup.KMEANS_NPROBE**2 * n * n / (2 * k)
+    bound = dedup._kmeans_nprobe(k) ** 2 * n * n / (2 * k)
     assert n_cand <= 2 * bound, f"candidates {n_cand} > 2x analytic {bound:.0f}"
     assert n_cand <= 0.05 * n * n
     by_cos: dict[float, list[int]] = {}

@@ -83,8 +83,10 @@ _PRIORITY_CAP = 12  # window is 50; >=38 slots must remain for rotation
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semdedup_centroid_far",   # NEW r7 (VERDICT r6 ask #5)
+    "dedup_embedding_kmeans_pairs",  # NEW r7 (1e8+ scale path self-check)
     "text_c4_badwords_flags",        # changed r7 (NULL contract fix)
-    "dedup_embedding_cluster_canonical",  # changed r7 (keeper guards)
+    "dedup_embedding_lsh_pairs",     # changed r7 (measured-T tier bounds)
+    "dedup_embedding_cluster_canonical",  # changed r7 (keeper guards + tiers)
     "sql_dml_update_delete",         # changed r7 (IN-list parser fix)
 )
 

@@ -915,17 +915,26 @@ def _embedding_lsh_candidates(
 # PERFORMANCE.md + the registered self-check below).
 KMEANS_BUCKET_TARGET = 64  # target mean bucket size n/k
 KMEANS_MIN_K = 128  # keeps ratio p^2/(2k) <= ~0.035 even on tiny corpora
-KMEANS_NPROBE = 3  # each vector joins its 3 nearest centroids (tuned:
-# k=128/p=3 measures ratio 0.033-0.045 with recall 1.0 / 0.93 at
-# sf0.001/sf0.01 against brute force, where the true pairs sit at the
-# hardest cosine 0.45-0.55 regime; p=2 lost 3 of 14 marginal pairs)
+
+
+def _kmeans_nprobe(k: int) -> int:
+    """Adaptive probe count: finer partitions (big k) split near-dup
+    pairs across more Voronoi cells, so recall needs more probes — and
+    big k also AFFORDS them, since ratio = p^2/(2k).  Measured on the
+    planted 51.5k corpus (tests/exp_lsh_generative_rung.py --kmeans):
+    k=804/p=3 lost recall@0.8 to 0.840; k=804/p=5 holds 0.952 at ratio
+    0.0152.  On tiny corpora p=3 at k=128 measures ratio 0.033-0.045
+    with recall 1.0 / 0.93 at sf0.001/sf0.01 against brute force (true
+    pairs at the hardest cosine 0.45-0.55 regime); p=5 there would blow
+    the 0.05 ratio gate (25/256)."""
+    return 3 if k < 512 else 5
 
 
 def dedup_embedding_kmeans_candidates(
     spark: SparkSession,
     raw: DataFrame,
     k: int | None = None,
-    nprobe: int = KMEANS_NPROBE,
+    nprobe: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Distinct (vec_a, vec_b) near-dup candidates from seeded-KMeans
@@ -947,6 +956,8 @@ def dedup_embedding_kmeans_candidates(
     if k is None:
         k = max(KMEANS_MIN_K, n // KMEANS_BUCKET_TARGET)
     k = min(k, max(2, n))  # KMeans needs k <= n
+    if nprobe is None:
+        nprobe = _kmeans_nprobe(k)
     _, model = build_ivf_index(spark, raw, k=k, seed=seed)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
