@@ -383,3 +383,26 @@ def test_kmeans_candidates_on_planted_corpus(spark):
         recall = sum(oks) / len(oks)
         if c >= 0.8:
             assert recall >= 0.9, f"kmeans recall@{c} = {recall:.3f} < 0.9"
+
+
+def test_kmeans_k_rule_two_regimes():
+    """Pure arithmetic: fine regime k = n/64 to the 65536 cap, then the
+    budget regime grows k only as the per-doc candidate budget requires
+    (n*p^2/(2*budget)), so per-doc candidates stay <= budget at EVERY n
+    while fit cost (20*k rows per fit) stays bounded."""
+    from thesis_iceberg_spark.queries.dedup import (
+        _CAND_PER_DOC_BUDGET,
+        _kmeans_k,
+        _kmeans_nprobe,
+        KMEANS_K_FINE_CAP,
+    )
+
+    for n in [500, 5_000, 50_000, 4_000_000, 10_000_000, 10**8, 10**9]:
+        k = _kmeans_k(n)
+        p = _kmeans_nprobe(k)
+        per_doc = p * p * n / (2 * k)
+        assert per_doc <= _CAND_PER_DOC_BUDGET * 1.05, (n, k, per_doc)
+        assert k <= max(KMEANS_K_FINE_CAP, n), (n, k)
+    # monotone: k never shrinks as n grows
+    ks = [_kmeans_k(n) for n in [10**e for e in range(3, 10)]]
+    assert ks == sorted(ks)

@@ -122,3 +122,22 @@ def test_repetition_signals_plan_shape(spark, sf_dir):
     assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time
     assert "Exchange" not in plan  # zero shuffles: embarrassingly parallel
     assert "ReadSchema" in plan and "text" in plan  # straight off the scan
+
+
+def test_kmeans_candidate_join_not_cartesian(spark, sf_dir):
+    # the 1e8+ scale path (round 7): assignment is a shuffle-free Arrow
+    # mapInPandas and candidate generation must stay an equi-join on the
+    # kmeans bucket id — never a cartesian, never a broadcast of the
+    # corpus-sized bucket table
+    from thesis_iceberg_spark.plans import formatted_plan
+    from thesis_iceberg_spark.queries.dedup import (
+        dedup_embedding_kmeans_candidates,
+        load_table,
+    )
+
+    df = dedup_embedding_kmeans_candidates(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -930,6 +930,30 @@ def _kmeans_nprobe(k: int) -> int:
     return 3 if k < 512 else 5
 
 
+# The fit cost is the one step that is not trivially O(n): Lloyd
+# iterations cost fit_rows * k distance evaluations.  Two-regime k rule
+# (pure arithmetic, unit-tested in tests/test_lsh_ladder.py):
+#   * fine regime, k = n/64 while k <= 65536 — bucket size stays ~64 and
+#     per-doc candidates p^2*n/(2k) ~ 800 are far under budget;
+#   * budget regime past n ~ 4.2M: k = max(65536, n * p^2 / (2*budget))
+#     — k grows only as fast as the 10k-candidates-per-doc budget
+#     requires (n/800 at p=5), keeping assignment (k dots/vector, the
+#     dominant linear cost) and fit tractable at 1e8+ vectors.
+# The fit itself runs on a deterministic sample of min(n, 20*k) rows —
+# centroid QUALITY needs ~tens of points per cluster, not the corpus —
+# so fit cost is bounded by 20*k^2 distance evals per iteration.
+KMEANS_K_FINE_CAP = 65536
+KMEANS_FIT_ROWS_PER_CENTROID = 20
+
+
+def _kmeans_k(n: int) -> int:
+    fine = max(KMEANS_MIN_K, n // KMEANS_BUCKET_TARGET)
+    if fine <= KMEANS_K_FINE_CAP:
+        return fine
+    p = 5  # budget regime is always past the nprobe threshold
+    return max(KMEANS_K_FINE_CAP, n * p * p // (2 * _CAND_PER_DOC_BUDGET))
+
+
 def dedup_embedding_kmeans_candidates(
     spark: SparkSession,
     raw: DataFrame,
@@ -954,11 +978,17 @@ def dedup_embedding_kmeans_candidates(
 
     n = raw.count()
     if k is None:
-        k = max(KMEANS_MIN_K, n // KMEANS_BUCKET_TARGET)
+        k = _kmeans_k(n)
     k = min(k, max(2, n))  # KMeans needs k <= n
     if nprobe is None:
         nprobe = _kmeans_nprobe(k)
-    _, model = build_ivf_index(spark, raw, k=k, seed=seed)
+    fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
+    fit_df = raw
+    if n > fit_rows:
+        # deterministic sample: centroid quality needs ~tens of rows per
+        # cluster, not the corpus — bounds fit cost at 1e8+ vectors
+        fit_df = raw.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
+    _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
     def assign_udf(batches):
