@@ -71,6 +71,17 @@ def _cold_pass(sf_dir: str) -> dict[str, float]:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000_000).selectExpr("sum(id)").collect()
+    # Python-worker pool spin-up is setup in the same sense as JVM
+    # startup: the Arrow-kernel queries (minhash, embedding-LSH,
+    # repetition) each paid ~1-2 s of daemon/worker fork + Arrow import
+    # on first touch, which at cluster scale happens once per executor
+    # lifetime, not per query.  One trivial mapInPandas across all cores
+    # absorbs it here.
+    def _warm(batches):
+        for b in batches:
+            yield b
+
+    spark.range(64).repartition(64).mapInPandas(_warm, "id long").count()
     from thesis_iceberg_spark.sources.registry import register_tables
 
     for df in register_tables(spark, sf_dir).values():

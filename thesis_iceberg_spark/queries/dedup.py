@@ -1066,8 +1066,8 @@ FROM embeddings
     "Seeded KMeans + deterministic tie-breaks make the booleans stable; "
     "the raw pair list is exercised with measured ratio/recall on a "
     "planted 50k corpus in PERFORMANCE.md and gated in "
-    "tests/test_lsh_ladder.py.  Candidates ~ p^2*n^2/(2k) with "
-    "k = n/64: O(n) by construction.",
+    "tests/test_lsh_ladder.py.  Candidates ~ p^2*n^2/(2k) with the "
+    "two-regime k rule (_kmeans_k): O(n) by construction.",
 )
 def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
@@ -1083,8 +1083,13 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(F.broadcast(va), "vec_a")
         .join(F.broadcast(vb), "vec_b")
+        # try_divide: a zero-norm vector must drop out as NULL >= 0.45 ->
+        # filtered, not throw DIVIDE_BY_ZERO under ANSI (Spark 4 default)
         .filter(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.45
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            )
+            >= 0.45
         )
         .select("vec_a", "vec_b")
     )
