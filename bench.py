@@ -108,24 +108,16 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     n_cold = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_COLD_RUNS", "3")))
 
-    # Sample 1 runs in THIS process (itself JVM-fresh), so its warm session
-    # can be reused for the steady pass afterwards.
-    cold_runs: list[dict[str, float]] = [_cold_pass(sf_dir)]
-
-    from thesis_iceberg_spark import get_spark
-    from thesis_iceberg_spark.queries import REGISTRY
-
-    spark = get_spark(app_name="bench")
-    headline = _headline(REGISTRY)
-    steady: dict[str, float] = {}
-    for name in headline:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        steady[name] = round(time.perf_counter() - t0, 4)
-
-    # Remaining JVM-fresh samples: one subprocess (fresh JVM) each.
-    for _ in range(n_cold - 1):
+    # EVERY cold sample is an identical subprocess (fresh JVM, fresh
+    # Python workers, no other Spark JVM alive) — running one sample
+    # in-parent would make it the only sample measured without a second
+    # JVM resident and before the OS page cache warms, i.e. the samples
+    # would not be drawn from the same distribution and the median would
+    # systematically pick the warmer ones.  ("Cold" = process-cold; the
+    # sf0.1 parquet is ~17 MB, so page-cache state is millisecond noise
+    # next to the 1-2 s/query JIT being sampled.)
+    cold_runs: list[dict[str, float]] = []
+    for _ in range(n_cold):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cold-child"],
             capture_output=True,
@@ -142,6 +134,26 @@ def main() -> None:
             )
             continue
         cold_runs.append(json.loads(lines[-1]))
+    if not cold_runs:
+        # degenerate: every child failed — measure in-process so the
+        # driver still gets a number plus the stderr lines above
+        cold_runs.append(_cold_pass(sf_dir))
+
+    # Steady: a fresh parent JVM pays its own (uncounted) warm pass, then
+    # each query is timed on the second execution — JIT separated from
+    # plan cost, measured only after all cold children exited.
+    from thesis_iceberg_spark import get_spark
+    from thesis_iceberg_spark.queries import REGISTRY
+
+    _cold_pass(sf_dir)  # uncounted warm pass (same code path as children)
+    spark = get_spark(app_name="bench")
+    headline = _headline(REGISTRY)
+    steady: dict[str, float] = {}
+    for name in headline:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        steady[name] = round(time.perf_counter() - t0, 4)
 
     med = {
         name: round(statistics.median(r[name] for r in cold_runs), 4)

@@ -286,28 +286,15 @@ def test_exact_substr_spans_crafted(spark, tmp_path):
     assert cleaned[4]["kept_text"] == "q0"  # both repeats of x cut
 
 
-def _planted_corpus_np(n_base: int, n_planted: int, seed: int = 20260814):
-    """Shared with tests/exp_lsh_generative_rung.py: iid normal base +
-    exact-cosine planted dups at 0.7/0.8/0.9 round-robin."""
-    import numpy as np
+def _planted_corpus_np(n_base: int, n_planted: int):
+    """THE SAME generator as tests/exp_lsh_generative_rung.py (imported,
+    not copied): the MEASURED_COLLISION_RATIO constants were derived from
+    that harness's corpus distribution, so the regression gate must test
+    against the identical planting scheme or it validates the wrong
+    thing."""
+    from exp_lsh_generative_rung import make_corpus
 
-    rng = np.random.default_rng(seed)
-    dim = 64
-    base = rng.standard_normal((n_base, dim))
-    cosines = (0.7, 0.8, 0.9)
-    dup_src = rng.choice(n_base, size=n_planted, replace=False)
-    dups, planted = [], []
-    for i, src in enumerate(dup_src):
-        c = cosines[i % len(cosines)]
-        u = base[src] / np.linalg.norm(base[src])
-        g = rng.standard_normal(dim)
-        g -= g.dot(u) * u
-        g /= np.linalg.norm(g)
-        dups.append((c * u + math.sqrt(1 - c * c) * g) * np.linalg.norm(base[src]))
-        planted.append((int(src), n_base + i, c))
-    import numpy as _np
-
-    vecs = _np.vstack([base, _np.array(dups)])
+    _ids, vecs, planted = make_corpus(n_base, n_planted)
     return vecs, planted
 
 

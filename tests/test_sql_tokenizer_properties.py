@@ -139,12 +139,6 @@ _STR = st.text(
 )
 
 
-def _render_literal(v) -> str:
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
-    return repr(v) if not isinstance(v, float) else v  # float comes pre-rendered
-
-
 @given(
     col=_COL,
     vals=st.lists(
