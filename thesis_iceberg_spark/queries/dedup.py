@@ -1212,18 +1212,43 @@ def dedup_embedding_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def _cluster_centroids(members: DataFrame, dim: int) -> DataFrame:
+# Above this dimensionality the wide centroid aggregate (D avg() columns
+# in one groupBy) switches to the exploded form: per-row aggregate state
+# is O(D) in the wide plan, and expression-tree size grows with D too.
+CENTROID_WIDE_DIM_CEILING = 2048
+
+
+def _cluster_centroids(members: DataFrame, dim: int, mode: str | None = None) -> DataFrame:
     """(label, c: array<double>) per-cluster centroid.
 
-    D per-dimension avg() aggregates in ONE groupBy(label): map-side
-    combinable, so it stays a single keyed shuffle regardless of D —
-    verified by plan test at D=1024 (tests/test_semdedup_keeper.py counts
-    exactly one Exchange and a partial/final HashAggregate pair).  WIDTH
-    CEILING: per-row aggregate state is O(D); beyond a few thousand dims
-    switch to posexplode + groupBy(label, dim) + re-assemble, which trades
-    a Dx row blow-up for bounded row width."""
-    return members.groupBy("label").agg(
-        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+    mode='wide' (default through D={ceil}): D per-dimension avg()
+    aggregates in ONE groupBy(label) — map-side combinable, a single
+    keyed shuffle regardless of D, verified by plan test at D=1024
+    (tests/test_semdedup_keeper.py counts exactly one Exchange and a
+    partial/final HashAggregate pair).
+
+    mode='explode' (auto past the ceiling): posexplode to (label, pos,
+    val) rows, avg per (label, pos), re-assemble ordered by pos — trades
+    a Dx row blow-up (still map-side-combined, keyed on (label, pos))
+    for bounded per-row aggregate width.  Same values up to float
+    summation order (equivalence pytest at 1e-12).""".format(
+        ceil=CENTROID_WIDE_DIM_CEILING
+    )
+    if mode is None:
+        mode = "wide" if dim <= CENTROID_WIDE_DIM_CEILING else "explode"
+    if mode == "wide":
+        return members.groupBy("label").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+        )
+    if mode != "explode":
+        raise ValueError(f"unknown centroid mode: {mode}")
+    ex = members.select("label", F.posexplode("v").alias("pos", "val"))
+    per_dim = ex.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
     )
 
 
