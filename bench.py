@@ -134,10 +134,12 @@ def main() -> None:
             )
             continue
         cold_runs.append(json.loads(lines[-1]))
+    fallback_ran = False
     if not cold_runs:
         # degenerate: every child failed — measure in-process so the
         # driver still gets a number plus the stderr lines above
         cold_runs.append(_cold_pass(sf_dir))
+        fallback_ran = True
 
     # Steady: a fresh parent JVM pays its own (uncounted) warm pass, then
     # each query is timed on the second execution — JIT separated from
@@ -145,7 +147,8 @@ def main() -> None:
     from thesis_iceberg_spark import get_spark
     from thesis_iceberg_spark.queries import REGISTRY
 
-    _cold_pass(sf_dir)  # uncounted warm pass (same code path as children)
+    if not fallback_ran:  # the fallback pass already warmed this JVM
+        _cold_pass(sf_dir)  # uncounted warm pass (same code path as children)
     spark = get_spark(app_name="bench")
     headline = _headline(REGISTRY)
     steady: dict[str, float] = {}

@@ -187,8 +187,46 @@ def test_centroid_modes_agree_and_explode_plan_is_narrow(spark):
         assert len(wide[lbl]) == len(expl[lbl]) == 16
         for a, b in zip(wide[lbl], expl[lbl]):
             assert abs(a - b) <= 1e-12 * max(1.0, abs(a)), (lbl, a, b)
-    # auto-selection: past the ceiling the explode plan engages
-    import pytest
-
     with pytest.raises(ValueError, match="unknown centroid mode"):
         _cluster_centroids(members, 16, mode="median")
+
+    # AUTO-SELECTION is real, not just documented: past the ceiling the
+    # plan must contain the explode Generate (and no 2049-wide aggregate);
+    # at/below the ceiling it must be the single wide HashAggregate pair.
+    from thesis_iceberg_spark.queries.dedup import CENTROID_WIDE_DIM_CEILING
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    wide_plan = plan_of(_cluster_centroids(members, CENTROID_WIDE_DIM_CEILING))
+    assert "Generate" not in wide_plan
+    big = spark.range(4).select(
+        (F.col("id") % 2).alias("label"),
+        F.array(*[F.lit(float(i)) for i in range(4)]).alias("v"),
+    )
+    expl_plan = plan_of(
+        _cluster_centroids(big, CENTROID_WIDE_DIM_CEILING + 1)
+    )
+    assert "Generate" in expl_plan  # posexplode path engaged automatically
+
+
+def test_centroid_explode_matches_wide_on_ragged_arrays(spark):
+    # review finding: explode must honor the dim contract on ragged input
+    # exactly like wide mode — dim elements, NULL where no member has the
+    # position — or the two modes silently diverge at the auto-switch.
+    import pyspark.sql.functions as F
+
+    from thesis_iceberg_spark.queries.dedup import _cluster_centroids
+
+    rows = [(0, [1.0, 2.0]), (0, [3.0]), (1, [5.0, 6.0, 7.0])]
+    members = spark.createDataFrame(rows, "label BIGINT, v ARRAY<DOUBLE>")
+    wide = {
+        r.label: r.c for r in _cluster_centroids(members, 4, mode="wide").collect()
+    }
+    expl = {
+        r.label: r.c
+        for r in _cluster_centroids(members, 4, mode="explode").collect()
+    }
+    assert wide == expl
+    assert wide[0] == [2.0, 2.0, None, None]
+    assert wide[1] == [5.0, 6.0, 7.0, None]

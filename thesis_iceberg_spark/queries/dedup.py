@@ -1219,36 +1219,44 @@ CENTROID_WIDE_DIM_CEILING = 2048
 
 
 def _cluster_centroids(members: DataFrame, dim: int, mode: str | None = None) -> DataFrame:
-    """(label, c: array<double>) per-cluster centroid.
+    """(label, c: array<double>) per-cluster centroid, always dim-length.
 
-    mode='wide' (default through D={ceil}): D per-dimension avg()
-    aggregates in ONE groupBy(label) — map-side combinable, a single
-    keyed shuffle regardless of D, verified by plan test at D=1024
-    (tests/test_semdedup_keeper.py counts exactly one Exchange and a
-    partial/final HashAggregate pair).
+    mode='wide' (default through D=CENTROID_WIDE_DIM_CEILING): D
+    per-dimension avg() aggregates in ONE groupBy(label) — map-side
+    combinable, a single keyed shuffle regardless of D, verified by plan
+    test at D=1024 (tests/test_semdedup_keeper.py counts exactly one
+    Exchange and a partial/final HashAggregate pair).
 
     mode='explode' (auto past the ceiling): posexplode to (label, pos,
-    val) rows, avg per (label, pos), re-assemble ordered by pos — trades
-    a Dx row blow-up (still map-side-combined, keyed on (label, pos))
-    for bounded per-row aggregate width.  Same values up to float
-    summation order (equivalence pytest at 1e-12).""".format(
-        ceil=CENTROID_WIDE_DIM_CEILING
-    )
+    val) rows, avg per (label, pos), re-assemble via a pos->avg map
+    looked up over sequence(0, dim-1) — trades a Dx row blow-up (still
+    map-side-combined, keyed on (label, pos)) for bounded per-row
+    aggregate width.  The sequence lookup pins the SAME output contract
+    as wide mode on ragged input: exactly dim elements, NULL at any
+    position no member carries.  Same values up to float summation order
+    (equivalence pytest at 1e-12)."""
     if mode is None:
         mode = "wide" if dim <= CENTROID_WIDE_DIM_CEILING else "explode"
     if mode == "wide":
+        # F.get, not v[i]: under ANSI (Spark 4 default) ordinal indexing
+        # THROWS INVALID_ARRAY_INDEX on a member shorter than dim; get()
+        # yields NULL, which avg() ignores — the ragged contract both
+        # modes share (pytest-pinned)
         return members.groupBy("label").agg(
-            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+            F.array(*[F.avg(F.get(F.col("v"), i)) for i in range(dim)]).alias("c")
         )
     if mode != "explode":
         raise ValueError(f"unknown centroid mode: {mode}")
     ex = members.select("label", F.posexplode("v").alias("pos", "val"))
     per_dim = ex.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
     return per_dim.groupBy("label").agg(
+        F.map_from_entries(F.collect_list(F.struct("pos", "cval"))).alias("m")
+    ).select(
+        "label",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-            lambda s: s["cval"],
-        ).alias("c")
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.col("m")[i],  # map lookup: NULL where no member has pos i
+        ).alias("c"),
     )
 
 
