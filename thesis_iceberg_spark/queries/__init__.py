@@ -88,6 +88,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh_pairs",     # changed r7 (measured-T tier bounds)
     "dedup_embedding_cluster_canonical",  # changed r7 (keeper guards + tiers)
     "sql_dml_update_delete",         # changed r7 (IN-list parser fix)
+    "array_funcs_embeddings",        # changed r7 (ANSI-safe F.get index)
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

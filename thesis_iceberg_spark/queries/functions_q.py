@@ -95,7 +95,10 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.array_max("embedding").cast("double").alias("v_max"),
         F.array_min("embedding").cast("double").alias("v_min"),
-        F.col("embedding")[0].cast("double").alias("v_first"),
+        # F.get, not [0]: ordinal indexing THROWS on an empty array under
+        # ANSI (Spark 4 default); get() yields NULL, matching DuckDB's
+        # out-of-bounds list semantics (values identical when non-empty)
+        F.get("embedding", 0).cast("double").alias("v_first"),
         F.array_max(F.slice("embedding", 1, 8)).cast("double").alias("head_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
