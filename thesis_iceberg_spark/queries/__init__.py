@@ -89,6 +89,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cluster_canonical",  # changed r7 (keeper guards + tiers)
     "sql_dml_update_delete",         # changed r7 (IN-list parser fix)
     "array_funcs_embeddings",        # changed r7 (ANSI-safe F.get index)
+    "text_quality_scores",           # changed r7 (try_divide empty docs)
+    "pipeline_clean_corpus",         # changed r7 (composes quality_scores)
+    "pipeline_dedup_paragraphs",     # changed r7 (try_divide empty paras)
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

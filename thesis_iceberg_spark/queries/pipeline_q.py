@@ -507,9 +507,11 @@ def _dedup_paragraphs(docs: DataFrame, paras_col) -> DataFrame:
     agg = r.groupBy("doc_id").agg(
         F.count("*").alias("n_paras"),
         F.sum(F.when(is_first, 1).otherwise(0)).alias("n_kept_paras"),
-        (
-            F.sum(F.when(is_first, F.col("plen")).otherwise(0)).cast("double")
-            / F.sum("plen")
+        # try_divide: a doc whose paragraphs are all empty strings sums
+        # plen to 0 — NULL frac (DuckDB-parity), not ANSI DIVIDE_BY_ZERO
+        F.try_divide(
+            F.sum(F.when(is_first, F.col("plen")).otherwise(0)).cast("double"),
+            F.sum("plen"),
         ).alias("kept_char_frac"),
         F.md5(
             F.array_join(

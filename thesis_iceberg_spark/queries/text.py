@@ -171,9 +171,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]"), F.lit(0))).alias("n_alpha"),
         _marker_count(_toks(), EN_STOPWORDS).alias("n_stop"),
     )
-    punct = F.col("n_punct").cast("double") / F.col("n_chars_m")
-    alpha = F.col("n_alpha").cast("double") / F.col("n_chars_m")
-    stop = F.col("n_stop").cast("double") / F.col("n_tokens")
+    # try_divide: an EMPTY document (n_chars/n_tokens = 0) must yield NULL
+    # ratios like the DuckDB oracle (division by zero is NULL there), not
+    # throw DIVIDE_BY_ZERO under ANSI (Spark 4 default)
+    punct = F.try_divide(F.col("n_punct").cast("double"), F.col("n_chars_m"))
+    alpha = F.try_divide(F.col("n_alpha").cast("double"), F.col("n_chars_m"))
+    stop = F.try_divide(F.col("n_stop").cast("double"), F.col("n_tokens"))
     qual = (
         F.lit(0.4) * alpha
         + F.lit(0.3) * (F.lit(1) - punct)
