@@ -62,3 +62,45 @@ def test_quality_scores_null_contract(spark, degenerate_docs_dir):
     assert got[1]["alpha_ratio"] is not None
     # empty text: 0/0 ratios are NULL (DuckDB parity), not a crash
     assert got[2]["punct_ratio"] is None and got[2]["alpha_ratio"] is None
+
+
+# --- degenerate EMBEDDINGS (round 7, second sweep) --------------------------
+# zero-norm vectors (plain divides threw DIVIDE_BY_ZERO under ANSI), NULL
+# embeddings and ragged widths (pyspark.ml KMeans threw opaquely from fit)
+
+_EMB_QUERIES = sorted(
+    n
+    for n in REGISTRY
+    if ("ann" in n or "embedding" in n or "semdedup" in n or "kmeans" in n)
+)
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("degen_emb"))
+    rows = [
+        (1, [1.0] * 64, "a"),
+        (2, [0.0] * 64, "b"),  # zero-norm: NULL cosine, never a neighbor
+        (3, None, "c"),  # NULL embedding: excluded everywhere
+        (4, [2.0] * 64, "d"),
+        (5, [1.0, 2.0], "e"),  # ragged width: excluded from kmeans fit
+    ] + [(10 + i, [float(i + j) for j in range(64)], "x") for i in range(12)]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label STRING"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_embedding_operator_survives_degenerate_vectors(
+    spark, degenerate_emb_dir, name
+):
+    REGISTRY[name].fn(spark, degenerate_emb_dir).collect()
+
+
+def test_zero_norm_vector_is_null_cosine_not_neighbor(spark, degenerate_emb_dir):
+    rows = REGISTRY["ann_cosine_topk"].fn(spark, degenerate_emb_dir).collect()
+    by_id = {r.vec_id: r.cosine for r in rows}
+    # the zero vector may appear only with NULL cosine at the tail (both
+    # engines sort NULLs last under DESC), never with a fabricated score
+    assert by_id.get(2, None) is None

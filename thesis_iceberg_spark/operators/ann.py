@@ -22,18 +22,35 @@ def _dot(u: Column, w: Column) -> Column:
 
 
 def _cosine(u: Column, w: Column) -> Column:
-    return _dot(u, w) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(w, w)))
+    # try_divide: zero-norm vectors yield NULL (sorts last in both Spark
+    # and DuckDB under DESC) instead of throwing under ANSI
+    return F.try_divide(_dot(u, w), F.sqrt(_dot(u, u)) * F.sqrt(_dot(w, w)))
 
 
 def build_ivf_index(
     spark: SparkSession, embeddings: DataFrame, k: int = 8, seed: int = 42
 ) -> tuple[DataFrame, "KMeansModel"]:  # noqa: F821 — pyspark.ml imported lazily
     """Fit seeded KMeans on the embedding column; returns (corpus with a
-    ``bucket`` column — the learned inverted-file assignment, fitted model)."""
+    ``bucket`` column — the learned inverted-file assignment, fitted model).
+
+    Degenerate rows: NULL embeddings and rows whose width differs from the
+    corpus's canonical dimension (the first non-null row's) are excluded
+    from BOTH fit and assignment — pyspark.ml KMeans throws opaquely on
+    null/ragged features, and a wrong-width vector has no meaningful
+    bucket anyway."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = embeddings.withColumn(
+    clean = embeddings.filter(F.col("embedding").isNotNull())
+    head = clean.select(F.size("embedding").alias("d")).first()
+    if head is None:
+        raise ValueError("build_ivf_index: no non-null embeddings to index")
+    clean = clean.filter(F.size("embedding") == head["d"])
+    # k must not exceed the CLEAN point count (KMeans indexes centers by
+    # point otherwise); callers size k off the raw count, which can be
+    # larger when degenerate rows were dropped above
+    k = max(2, min(k, clean.count()))
+    vecs = clean.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="bucket").fit(vecs)

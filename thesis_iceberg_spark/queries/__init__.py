@@ -79,7 +79,11 @@ def _load_all() -> None:
 # queries whose code changed this round (ADVICE r6 fixes: C4 bad-words
 # NULL contract in text.py, SemDeDup keeper guards in dedup.py, eq-delete
 # IN-list parser in tablefmt/sql.py).
-_PRIORITY_CAP = 12  # window is 50; >=38 slots must remain for rotation
+_PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
+# comfortably above the worst-case stale backlog (the registry grows ~2-4
+# queries/round, so <=20 queries can age past the 2-round line between
+# windows; raised 12 -> 16 in r7 when the ANSI-robustness sweep touched
+# the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semdedup_centroid_far",   # NEW r7 (VERDICT r6 ask #5)
@@ -92,6 +96,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",           # changed r7 (try_divide empty docs)
     "pipeline_clean_corpus",         # changed r7 (composes quality_scores)
     "pipeline_dedup_paragraphs",     # changed r7 (try_divide empty paras)
+    "ann_cosine_topk",               # changed r7 (try_divide cosine)
+    "ann_ivf_topk",                  # changed r7 (same)
+    "ann_batch_topk",                # changed r7 (same)
+    "ann_ivf_kmeans_topk",           # changed r7 (NULL/ragged fit guard)
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

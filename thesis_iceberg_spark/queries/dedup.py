@@ -1018,8 +1018,9 @@ def dedup_embedding_kmeans_candidates(
         for pdf in batches:
             ids, cids = [], []
             for vec_id, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
-                if v is None:
-                    continue
+                if v is None or len(v) != C.shape[1]:
+                    continue  # NULL or wrong-width vector: no bucket
+                    # (build_ivf_index excluded them from the fit too)
                 a = np.asarray(v, dtype=np.float64)
                 na = np.linalg.norm(a)
                 if na == 0:

@@ -47,7 +47,11 @@ def _dot(u: Column, w: Column) -> Column:
 
 
 def _cosine(u: Column, w: Column) -> Column:
-    return _dot(u, w) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(w, w)))
+    # try_divide: a zero-norm vector yields NULL cosine instead of
+    # throwing DIVIDE_BY_ZERO under ANSI (Spark 4 default).  Exact oracle
+    # parity: DuckDB division by zero is NULL too, and BOTH engines sort
+    # NULLs LAST under ORDER BY ... DESC, so the top-k rankings agree.
+    return F.try_divide(_dot(u, w), F.sqrt(_dot(u, u)) * F.sqrt(_dot(w, w)))
 
 
 @register(
