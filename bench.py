@@ -116,15 +116,25 @@ def main() -> None:
     # systematically pick the warmer ones.  ("Cold" = process-cold; the
     # sf0.1 parquet is ~17 MB, so page-cache state is millisecond noise
     # next to the 1-2 s/query JIT being sampled.)
+    child_timeout = int(os.environ.get("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "1200"))
     cold_runs: list[dict[str, float]] = []
     for _ in range(n_cold):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cold-child"],
-            capture_output=True,
-            text=True,
-            env=os.environ.copy(),
-            check=False,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cold-child"],
+                capture_output=True,
+                text=True,
+                env=os.environ.copy(),
+                check=False,
+                timeout=child_timeout,  # a wedged child JVM must not hang
+                # the whole bench — degrade to fewer samples instead
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench: cold child timed out after {child_timeout}s",
+                file=sys.stderr,
+            )
+            continue
         lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
         if proc.returncode != 0 or not lines:
             print(

@@ -128,7 +128,7 @@ def test_bucket_overflow_guard_fires(spark, sf_dir, monkeypatch):
     from thesis_iceberg_spark.queries import dedup
 
     monkeypatch.setattr(dedup, "BUCKET_CAP", 1)
-    with pytest.raises(Exception, match="LSH bucket overflow"):
+    with pytest.raises(Exception, match="bucket overflow"):
         REGISTRY["dedup_embedding_lsh_pairs"].fn(spark, sf_dir).collect()
 
 

@@ -41,20 +41,43 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    clean = embeddings.filter(F.col("embedding").isNotNull())
-    head = clean.select(F.size("embedding").alias("d")).first()
-    if head is None:
-        raise ValueError("build_ivf_index: no non-null embeddings to index")
-    clean = clean.filter(F.size("embedding") == head["d"])
+    clean, _dim, n_clean = clean_embeddings(embeddings)
+    if n_clean < 2:
+        raise ValueError(
+            "build_ivf_index: fewer than 2 clean (non-null, modal-width) "
+            "embeddings — nothing meaningful to index"
+        )
     # k must not exceed the CLEAN point count (KMeans indexes centers by
     # point otherwise); callers size k off the raw count, which can be
     # larger when degenerate rows were dropped above
-    k = max(2, min(k, clean.count()))
+    k = max(2, min(k, n_clean))
     vecs = clean.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="bucket").fit(vecs)
     return model.transform(vecs).drop("features"), model
+
+
+def clean_embeddings(embeddings: DataFrame) -> tuple[DataFrame, int, int]:
+    """(clean_df, dim, count): rows restricted to the corpus's MODAL
+    embedding width, NULLs dropped.
+
+    The canonical dimension is the MOST COMMON width (ties broken toward
+    the wider), not the arbitrary first row's — one truncated row ahead
+    of a million good ones must not silently redefine the corpus width
+    and drop the majority (review finding, round 7).  One cheap
+    aggregation on size(embedding)."""
+    nn = embeddings.filter(F.col("embedding").isNotNull())
+    mode = (
+        nn.groupBy(F.size("embedding").alias("d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("d").desc())
+        .first()
+    )
+    if mode is None:
+        return nn, 0, 0
+    dim = int(mode["d"])
+    return nn.filter(F.size("embedding") == dim), dim, int(mode["count"])
 
 
 def ivf_topk(
@@ -76,7 +99,10 @@ def ivf_topk(
     centers = model.clusterCenters()
 
     def cos(a, b):
-        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # zero-norm guard: NaN would make the probe sort arbitrary; -inf
+        # deterministically ranks degenerate centroids last
+        d = np.linalg.norm(a) * np.linalg.norm(b)
+        return float(np.dot(a, b) / d) if d > 0 else float("-inf")
 
     probe = sorted(
         range(len(centers)), key=lambda i: (-cos(q, np.asarray(centers[i])), i)

@@ -784,6 +784,45 @@ def _emb_norms(raw: DataFrame) -> DataFrame:
     return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nm"))
 
 
+def _bucket_candidates(buckets: DataFrame, overflow_hint: str) -> DataFrame:
+    """Distinct (vec_a, vec_b) pairs from a (vec_id, bucket) table, with
+    the per-bucket overflow guard (VERDICT r4 #1): a pathologically skewed
+    bucket would square into a quadratic candidate set — raise INSIDE the
+    executor instead.  The count-window partitions by bucket, the very key
+    the candidate join shuffles on, so no extra pass, and it never fires
+    below BUCKET_CAP members per bucket.
+
+    Merge hint on the self-join: the bucket table scales with the corpus,
+    but its mapInPandas source has no stats, so Catalyst would size it off
+    the tiny scan and BROADCAST one side — which dies at real corpus
+    sizes; the window above already partitioned by bucket, so the merge
+    join reuses that exchange.  Shared by the LSH and kmeans candidate
+    paths (identical skew/blow-up semantics by construction)."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("bucket")
+    guarded = buckets.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.when(F.col("bsz") <= BUCKET_CAP, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bucket overflow (> "),
+                    F.lit(str(BUCKET_CAP)),
+                    F.lit(" members) in bucket "),
+                    F.col("bucket").cast("string"),
+                    F.lit(" — " + overflow_hint),
+                )
+            )
+        )
+    ).drop("bsz")
+    return (
+        guarded.alias("x").hint("merge")
+        .join(guarded.alias("y").hint("merge"), "bucket")  # equi — never cartesian
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()  # a pair may collide in several shared buckets
+    )
+
+
 def _embedding_lsh_candidates(
     spark: SparkSession, raw: DataFrame, n: DataFrame
 ) -> DataFrame:
@@ -792,8 +831,6 @@ def _embedding_lsh_candidates(
     Factored out so tests/test_dedup_scale.py can gate the candidate COUNT
     (<= 0.05*n^2 at sf0.1) independently of the verified result.
     """
-    from pyspark.sql.window import Window
-
     # cheap corpus count (parquet-footer statistics) selects the tier
     arity, sig_dims, anchor = _lsh_tier(raw.count())
     offset = _ANCHOR_OFFSET
@@ -880,38 +917,9 @@ def _embedding_lsh_candidates(
     buckets = n.select("vec_id", "v").mapInPandas(
         buckets_udf, "vec_id bigint, bucket bigint"
     )
-    # per-bucket overflow guard (VERDICT r4 #1): a pathologically skewed
-    # bucket would square into a quadratic candidate set; raise INSIDE the
-    # executor instead.  The count-window partitions by bucket — the very
-    # key the candidate join below shuffles on — so no extra pass, and it
-    # never fires below BUCKET_CAP members per bucket.
-    wb = Window.partitionBy("bucket")
-    buckets = buckets.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
-        F.when(F.col("bsz") <= BUCKET_CAP, F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("LSH bucket overflow (> "),
-                    F.lit(str(BUCKET_CAP)),
-                    F.lit(" members) in bucket "),
-                    F.col("bucket").cast("string"),
-                    F.lit(" — skewed signatures; raise the tier or cap"),
-                )
-            )
-        )
-    ).drop("bsz")
-    # candidate generation over ids only: narrow shuffle, dedup pre-verify.
-    # merge hint: the bucket table scales with the corpus (n * C(L, arity)
-    # rows), so the self-join must stay a shuffle join on bucket — without
-    # stats (mapInPandas source) Catalyst would size it off the tiny scan
-    # and BROADCAST one side, which dies at real corpus sizes; the window
-    # above already partitioned by bucket, so the merge join reuses that
-    # exchange.
-    return (
-        buckets.alias("x").hint("merge")
-        .join(buckets.alias("y").hint("merge"), "bucket")  # equi-join — never cartesian
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()  # a pair may collide in several shared buckets
+    # candidate generation over ids only: narrow shuffle, dedup pre-verify
+    return _bucket_candidates(
+        buckets, "skewed signatures; raise the tier or cap"
     )
 
 
@@ -984,27 +992,33 @@ def dedup_embedding_kmeans_candidates(
     nprobe (vec_id, cid) rows per vector.  Candidates come from the same
     merge-hinted bucket equi-join + overflow guard as the LSH path.
     Deterministic: seeded fit + ties broken by centroid id."""
-    from pyspark.sql.window import Window
-
     from thesis_iceberg_spark.operators.ann import build_ivf_index
 
+    from thesis_iceberg_spark.operators.ann import clean_embeddings
+
+    # fit and size k off the CLEAN corpus (non-null, modal-width rows):
+    # raw counts inflated by degenerate rows would oversize k past the
+    # fit input, and a ragged row surfacing first in a sample must not
+    # redefine the corpus width (review findings, round 7)
+    clean, _dim, n_clean = clean_embeddings(raw)
     if n is None:
-        n = raw.count()
+        n = n_clean
+    n = min(n, n_clean) if n_clean else 0
     if n < 2:
         # no pairs possible; KMeans.fit on 0-1 rows would throw — return
         # the typed empty candidate frame instead
         return spark.createDataFrame([], "vec_a BIGINT, vec_b BIGINT")
     if k is None:
         k = _kmeans_k(n)
-    k = min(k, n)  # KMeans needs k <= n
+    k = min(k, n)  # KMeans needs k <= clean points
     if nprobe is None:
         nprobe = _kmeans_nprobe(k)
     fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
-    fit_df = raw
+    fit_df = clean
     if n > fit_rows:
         # deterministic sample: centroid quality needs ~tens of rows per
         # cluster, not the corpus — bounds fit cost at 1e8+ vectors
-        fit_df = raw.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
+        fit_df = clean.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
     _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
@@ -1042,29 +1056,10 @@ def dedup_embedding_kmeans_candidates(
     assigned = e.select("vec_id", "v").mapInPandas(
         assign_udf, "vec_id bigint, bucket bigint"
     )
-    # same skew insurance as the LSH path: a runaway bucket raises in the
-    # executor instead of silently squaring (kmeans CAN collapse clusters
-    # on degenerate data)
-    wb = Window.partitionBy("bucket")
-    assigned = assigned.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
-        F.when(F.col("bsz") <= BUCKET_CAP, F.lit(True)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("kmeans bucket overflow (> "),
-                    F.lit(str(BUCKET_CAP)),
-                    F.lit(" members) in bucket "),
-                    F.col("bucket").cast("string"),
-                    F.lit(" — raise k or lower KMEANS_BUCKET_TARGET"),
-                )
-            )
-        )
-    ).drop("bsz")
-    return (
-        assigned.alias("x").hint("merge")
-        .join(assigned.alias("y").hint("merge"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
+    # same skew insurance + merge-hinted equi-join as the LSH path
+    # (kmeans CAN collapse clusters on degenerate data)
+    return _bucket_candidates(
+        assigned, "raise k or lower KMEANS_BUCKET_TARGET"
     )
 
 
@@ -1116,7 +1111,13 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_a", "vec_b")
     )
-    brute = dedup_embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    # brute feeds TWO counts (denominator + recall join): checkpoint the
+    # O(n^2) nested-loop join once, mirroring cand's treatment above
+    brute = (
+        dedup_embedding_cosine_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
     n_cand = cand.count()
     n_brute = brute.count()
     n_hit = verified.join(brute, ["vec_a", "vec_b"]).count()
@@ -1298,14 +1299,29 @@ def semdedup_keepers(
         return labels.select("vec_id", F.col("label").alias("canonical_vec_id"))
     emb = _emb_norms(load_table(spark, sf_dir, "embeddings"))
     members = labels.join(emb, "vec_id")  # (vec_id, label, v, nm)
-    head = emb.select("v").first()  # fixed width; one driver row
-    if head is None:
+    # dim = MODAL corpus width, not the arbitrary first row's: a ragged
+    # first row would shrink every centroid and silently turn each cos_c
+    # NULL -> +inf, degrading the paper's keeper to min-id (review
+    # finding, round 7).  Ragged vectors cannot REACH a cluster anyway —
+    # their cosine vs anything is NULL (zip_with pads with NULL), which
+    # fails the >= 0.45 pair filter in BOTH engines — so members are
+    # always modal-width and the DuckDB oracle's per-position centroids
+    # agree; one cheap size() aggregation pins dim against the ordering
+    # accident regardless.
+    mode = (
+        emb.filter(F.col("v").isNotNull())
+        .groupBy(F.size("v").alias("d"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("d").desc())
+        .first()
+    )
+    if mode is None:
         # empty embeddings table: no pairs, no clusters — return the
         # (vec_id, canonical_vec_id) shape empty instead of TypeError
         return labels.select(
             "vec_id", F.col("label").alias("canonical_vec_id")
         )
-    dim = len(head["v"])
+    dim = int(mode["d"])
     centroids = _cluster_centroids(members, dim)
     cn = centroids.select(
         "label", "c", F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cn")

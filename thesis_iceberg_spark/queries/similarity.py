@@ -184,8 +184,11 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.operators.ann import build_ivf_index, ivf_topk
 
     corpus = load_table(spark, sf_dir, "embeddings")
-    qid = corpus.agg(FF.min("vec_id")).first()[0]
     indexed, model = build_ivf_index(spark, corpus, k=N_CENTROIDS)
+    # qid from the INDEXED corpus, not the raw one: build_ivf_index drops
+    # NULL/ragged rows, and a degenerate raw-minimum row would make
+    # ivf_topk's lookup raise KeyError (review finding, round 7)
+    qid = indexed.agg(FF.min("vec_id")).first()[0]
     ivf = ivf_topk(spark, indexed, model, qid, top_k=TOP_K, nprobe=4)
 
     # exact brute-force top-k (the recall denominator), all Spark-side
