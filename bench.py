@@ -11,8 +11,9 @@ $SPARK_GRAFT_BENCH_COLD_RUNS) — each sample is a separate subprocess with
 its own JVM, so whole-stage-codegen JIT and Python-worker spin-up are
 sampled independently and machine noise cannot masquerade as a code delta
 (VERDICT r5 #3 / r6 #2: single-pass cold numbers flattered one round and
-slandered the next).  STEADY is a second pass in an already-warm JVM,
-separating JIT from plan cost.
+slandered the next).  STEADY is the per-query MEDIAN of 3 warm passes in
+one JVM ($SPARK_GRAFT_BENCH_STEADY_RUNS), separating JIT from plan cost
+with the same noise immunity.
 """
 
 from __future__ import annotations
@@ -161,12 +162,24 @@ def main() -> None:
         _cold_pass(sf_dir)  # uncounted warm pass (same code path as children)
     spark = get_spark(app_name="bench")
     headline = _headline(REGISTRY)
-    steady: dict[str, float] = {}
-    for name in headline:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        steady[name] = round(time.perf_counter() - t0, 4)
+    # steady gets the same median treatment as cold (single-pass steady
+    # measured a 14-18 s spread across same-day quiet runs — machine
+    # noise, not code): three warm passes in this one JVM, per-query
+    # median.  Cheap relative to the cold children.
+    n_steady = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STEADY_RUNS", "3")))
+    steady_runs: list[dict[str, float]] = []
+    for _ in range(n_steady):
+        one: dict[str, float] = {}
+        for name in headline:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            one[name] = round(time.perf_counter() - t0, 4)
+        steady_runs.append(one)
+    steady = {
+        name: round(statistics.median(r[name] for r in steady_runs), 4)
+        for name in headline
+    }
 
     med = {
         name: round(statistics.median(r[name] for r in cold_runs), 4)
@@ -182,7 +195,8 @@ def main() -> None:
                 "queries": med,  # per-query MEDIAN over JVM-fresh cold runs
                 "cold_runs": len(cold_runs),
                 "queries_cold_samples": cold_runs,
-                "queries_steady": steady,
+                "queries_steady": steady,  # per-query MEDIAN of warm passes
+                "steady_runs": len(steady_runs),
                 "value_steady": round(sum(steady.values()), 4),
                 "sf": sf,
             }
