@@ -50,6 +50,12 @@ HEADLINE_EXTRA = [
     "pipeline_decontaminate",
     "ann_batch_topk",
     "text_gopher_repetition_signals",
+    # round 8 (VERDICT r7 #2): the r7 flagship dedup paths get a
+    # round-over-round series — the most complex plans in the repo had no
+    # bench history.  Round comparisons use the common-19 subset.
+    "dedup_embedding_kmeans_pairs",
+    "dedup_semdedup_centroid_far",
+    "dedup_exact_substr_spans",
 ]
 
 
@@ -144,7 +150,17 @@ def main() -> None:
                 file=sys.stderr,
             )
             continue
-        cold_runs.append(json.loads(lines[-1]))
+        try:
+            # stray non-JSON stdout (JVM/py4j shutdown chatter) must degrade
+            # to fewer samples like every other child-failure path, not
+            # abort the whole bench (ADVICE r7)
+            cold_runs.append(json.loads(lines[-1]))
+        except json.JSONDecodeError:
+            print(
+                f"bench: cold child last line not JSON: {lines[-1][-200:]}",
+                file=sys.stderr,
+            )
+            continue
     fallback_ran = False
     if not cold_runs:
         # degenerate: every child failed — measure in-process so the

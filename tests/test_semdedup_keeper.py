@@ -105,6 +105,81 @@ def test_zero_norm_member_never_wins_keeper(spark, tmp_path, monkeypatch):
     assert set(got.values()) == {1}
 
 
+def test_mixed_width_cluster_keeps_true_centroid_far(spark, tmp_path):
+    # ADVICE r7 (medium): two vectors of the SAME non-modal width have a
+    # well-defined cosine, pass the 0.45 filter, and form a cluster.  With
+    # a corpus-global centroid width, that cluster's centroid carried NULL
+    # past the members' width, every cos_c coalesced to +inf, and the
+    # keeper silently degraded to min-vec_id — diverging from the DuckDB
+    # oracle's per-member-width centroids.  After the per-cluster slice
+    # fix, the width-32 cluster below must keep its true centroid-far
+    # member (102), not min id (100).  The pairs flow through the REAL
+    # LSH path (no monkeypatch): the short-vector signature path buckets
+    # them, and the verify cosine is non-NULL because widths match.
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(6)
+    ]  # corpus max/modal width stays 64
+    a32 = [1.0] * 32
+    b32 = a32[:]
+    b32[31] = 1.1
+    c32 = [3.0] * 4 + [1.0] * 28  # least typical member of the 32-cluster
+    rows += [(100, a32), (101, b32), (102, c32)]
+    d = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    got = {
+        r.vec_id: r.canonical_vec_id
+        for r in semdedup_keepers(spark, d, keeper="centroid_far").collect()
+    }
+    assert got == {100: 102, 101: 102, 102: 102}
+
+
+def test_mixed_width_cluster_matches_duckdb_oracle(spark, tmp_path):
+    # The full cross-engine gate on the same corpus: the oracle previously
+    # ERRORED outright ("list dimensions must be equal" — DuckDB's
+    # list_dot_product on a cross-width candidate pair) where Spark's
+    # zip_with pads NULL; the CASE width guard in _SQL_EMB_SELECT is the
+    # twin.  All three LSH-family oracles must value-match here.
+    import random
+
+    import duckdb
+
+    from thesis_iceberg_spark.oracle import compare_query
+    from thesis_iceberg_spark.queries import REGISTRY, queries
+
+    queries()
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(6)
+    ]
+    a32 = [1.0] * 32
+    b32 = a32[:]
+    b32[31] = 1.1
+    c32 = [3.0] * 4 + [1.0] * 28
+    rows += [(100, a32), (101, b32), (102, c32)]
+    d = str(tmp_path / "mixedo")
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    for name in (
+        "dedup_embedding_lsh_pairs",
+        "dedup_embedding_cluster_canonical",
+        "dedup_semdedup_centroid_far",
+    ):
+        spec = REGISTRY[name]
+        res = compare_query(spark, con, name, spec.fn, spec.oracle, d)
+        assert res.ok, str(res)
+
+
 def test_centroid_is_single_shuffle_at_d1024(spark):
     # VERDICT r6 ask #6: the D-wide per-dimension avg() centroid must plan
     # as ONE Exchange with a partial/final HashAggregate pair even at

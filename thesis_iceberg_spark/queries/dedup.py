@@ -711,11 +711,20 @@ cand AS (
   FROM buckets x JOIN buckets y
     ON x.bucket = y.bucket AND x.vec_id < y.vec_id)"""
 
+# The CASE width guard is the oracle twin of Spark's zip_with semantics on
+# a MIXED-WIDTH candidate pair: zip_with pads the shorter vector with NULL
+# -> NULL cosine -> filtered, while DuckDB's list_dot_product ERRORS on
+# unequal lengths ("list dimensions must be equal") — and a WHERE-clause
+# len() predicate does not guarantee short-circuit, only CASE does.
+# Identical values on uniform-width corpora (round 8, with the mixed-width
+# keeper fix).
 _SQL_EMB_SELECT = """
-SELECT c.vec_a, c.vec_b,
-       list_dot_product(a.v, b.v) / (a.nm * b.nm) AS cosine
-FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.45
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT c.vec_a, c.vec_b,
+         CASE WHEN len(a.v) = len(b.v)
+              THEN list_dot_product(a.v, b.v) / (a.nm * b.nm) END AS cosine
+  FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id) s
+WHERE cosine >= 0.45
 """
 
 
@@ -1299,32 +1308,41 @@ def semdedup_keepers(
         return labels.select("vec_id", F.col("label").alias("canonical_vec_id"))
     emb = _emb_norms(load_table(spark, sf_dir, "embeddings"))
     members = labels.join(emb, "vec_id")  # (vec_id, label, v, nm)
-    # dim = MODAL corpus width, not the arbitrary first row's: a ragged
-    # first row would shrink every centroid and silently turn each cos_c
-    # NULL -> +inf, degrading the paper's keeper to min-id (review
-    # finding, round 7).  Ragged vectors cannot REACH a cluster anyway —
-    # their cosine vs anything is NULL (zip_with pads with NULL), which
-    # fails the >= 0.45 pair filter in BOTH engines — so members are
-    # always modal-width and the DuckDB oracle's per-position centroids
-    # agree; one cheap size() aggregation pins dim against the ordering
-    # accident regardless.
-    mode = (
+    # Centroid width is PER CLUSTER, not a corpus-global constant (ADVICE
+    # r7, medium): two vectors of the same NON-modal width have a
+    # perfectly well-defined cosine (zip_with pads nothing when lengths
+    # match), can pass the 0.45 pair filter, and form a cluster of their
+    # own.  A corpus-modal dim would give that cluster a centroid with
+    # NULLs at every position past the members' width, turning _dot(c,c)
+    # and all cos_c NULL -> +inf and silently degrading the paper's
+    # keeper to min-id — while the DuckDB oracle (per-position unnest
+    # over the members' ACTUAL widths) picks the true centroid-far
+    # member.  Mixed widths WITHIN one cluster remain impossible (a
+    # length-mismatched cosine is NULL in both engines, failing the pair
+    # filter), so slicing the centroid to each cluster's max member width
+    # reproduces the oracle exactly.  The static wide expression is built
+    # at the corpus MAX width (cheap single-row aggregate, no pair
+    # recompute) and sliced per label afterwards.
+    mx = (
         emb.filter(F.col("v").isNotNull())
-        .groupBy(F.size("v").alias("d"))
-        .count()
-        .orderBy(F.col("count").desc(), F.col("d").desc())
+        .agg(F.max(F.size("v")).alias("d"))
         .first()
     )
-    if mode is None:
+    if mx is None or mx["d"] is None:
         # empty embeddings table: no pairs, no clusters — return the
         # (vec_id, canonical_vec_id) shape empty instead of TypeError
         return labels.select(
             "vec_id", F.col("label").alias("canonical_vec_id")
         )
-    dim = int(mode["d"])
+    dim = int(mx["d"])
     centroids = _cluster_centroids(members, dim)
-    cn = centroids.select(
-        "label", "c", F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cn")
+    # per-cluster width: one map-side-combined aggregate on the same key
+    # the centroid shuffle already uses; clusters << corpus -> broadcast
+    wl = members.groupBy("label").agg(F.max(F.size("v")).alias("w"))
+    cn = (
+        centroids.join(F.broadcast(wl), "label")
+        .select("label", F.slice(F.col("c"), F.lit(1), F.col("w")).alias("c"))
+        .select("label", "c", F.sqrt(_dot(F.col("c"), F.col("c"))).alias("cn"))
     )
     cos = (
         members.join(F.broadcast(cn), "label")
@@ -1374,7 +1392,9 @@ cent AS (SELECT label, pos, avg(val) AS cval FROM memx GROUP BY label, pos),
 centv AS (SELECT label, list(cval ORDER BY pos) AS c FROM cent GROUP BY label),
 cnn AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnorm FROM centv),
 cosv AS (SELECT m.label, m.vec_id,
-                coalesce(list_dot_product(m.v, cnn.c) / (m.nm * cnn.cnorm),
+                coalesce(CASE WHEN len(m.v) = len(cnn.c)
+                              THEN list_dot_product(m.v, cnn.c)
+                                   / (m.nm * cnn.cnorm) END,
                          1e308) AS cos_c
          FROM mem m JOIN cnn ON m.label = cnn.label),
 keep AS (SELECT label, vec_id AS canonical_vec_id FROM (
