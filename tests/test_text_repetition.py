@@ -232,32 +232,48 @@ def test_dedup_paragraphs_real_text(spark):
 
 
 def test_c4_badwords_crafted_docs(spark, tmp_path):
-    """Blocklist rule (round 6): token entries match token-wise only (no
-    substring bleed), phrase entries substring-match the normalized text,
-    NULL text propagates NULL flags like every C4 page column."""
-    from thesis_iceberg_spark.queries.text import c4_badwords_flags_df
+    """Blocklist rule (round 6; real LDNOOBW subset r9): token entries
+    match token-wise only (no substring bleed), phrase entries
+    substring-match the normalized text, NULL text propagates NULL flags
+    like every C4 page column."""
+    from thesis_iceberg_spark.queries.text import (
+        C4_BADWORDS_FIXTURE,
+        c4_badwords_flags_df,
+    )
 
     sf_dir = str(tmp_path / "bw")
     rows = [
-        (1, "a dup token and another dup here"),  # 2 token hits
+        (1, "a dup token and another dup here"),  # 2 fixture token hits
         (2, "duplicate is not dup-licate as a token"),  # substrings don't count
-        (3, "the slow  query path"),  # phrase hits across extra whitespace
+        (3, "the slow  query path"),  # fixture phrase across extra whitespace
         (4, "totally clean text"),
         (5, None),
+        (6, "oh Shit that went badly"),  # real-list token, case-folded
+        (7, "classic scunthorpe problem text"),  # real token as substring only
+        (8, "a golden  shower curtain review"),  # real phrase, whitespace-run
     ]
     spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
         f"{sf_dir}/documents.parquet"
     )
+    # the REGISTERED query runs the real curated LDNOOBW subset
     fn = REGISTRY["text_c4_badwords_flags"].fn
     got = {r.doc_id: r.asDict() for r in fn(spark, sf_dir).collect()}
-    assert got[1]["n_badword_tokens"] == 2 and got[1]["keep"] is False
-    assert got[2]["n_badword_tokens"] == 0 and got[2]["keep"] is True
-    assert got[3]["n_badword_phrases"] == 1 and got[3]["has_badword"] is True
+    assert got[1]["has_badword"] is False  # fixture words are NOT real entries
     assert got[4]["has_badword"] is False and got[4]["keep"] is True
     assert got[5]["has_badword"] is None and got[5]["keep"] is None
+    assert got[6]["n_badword_tokens"] == 1 and got[6]["keep"] is False
+    assert got[7]["n_badword_tokens"] == 0 and got[7]["keep"] is True
+    assert got[8]["n_badword_phrases"] == 1 and got[8]["has_badword"] is True
 
-    # custom blocklists through the df-level function
+    # the fixture list still exercises both match shapes via the df API
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    fx = {
+        r.doc_id: r.asDict()
+        for r in c4_badwords_flags_df(df, badwords=C4_BADWORDS_FIXTURE).collect()
+    }
+    assert fx[1]["n_badword_tokens"] == 2 and fx[1]["keep"] is False
+    assert fx[2]["n_badword_tokens"] == 0 and fx[2]["keep"] is True
+    assert fx[3]["n_badword_phrases"] == 1 and fx[3]["has_badword"] is True
     custom = {
         r.doc_id: r.n_badword_tokens
         for r in c4_badwords_flags_df(df, badwords=("clean",)).collect()

