@@ -112,28 +112,113 @@ def main() -> None:
 
 
 
+def make_corpus_df(spark, n_base: int, n_planted: int, dim: int = 64,
+                   seed: int = 20260814, partitions: int = 64):
+    """Distributed version of make_corpus for 1e6+ rows (VERDICT r8 ask #2):
+    vectors are a pure deterministic function of (seed, vec_id) via
+    numpy SeedSequence, generated inside mapInPandas — the corpus never
+    exists driver-side.  ids < n_base are iid-normal base rows; id
+    n_base+j is a near-dup of src(j) = j * (n_base // n_planted) planted
+    at exact cosine (0.7, 0.8, 0.9)[j % 3], matching make_corpus's
+    construction.  Returns (df, planted)."""
+    import numpy as np
+
+    stride = n_base // n_planted
+    cosines = (0.7, 0.8, 0.9)
+
+    def _base_vec(i: int) -> "np.ndarray":
+        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+        return rng.standard_normal(dim)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_base:
+                    out.append(_base_vec(i))
+                    continue
+                j = i - n_base
+                c = cosines[j % 3]
+                b = _base_vec(j * stride)
+                nb = np.linalg.norm(b)
+                u = b / nb
+                rng = np.random.default_rng(np.random.SeedSequence([seed, i, 1]))
+                w = rng.standard_normal(dim)
+                w -= w.dot(u) * u
+                w /= np.linalg.norm(w)
+                out.append((c * u + np.sqrt(1 - c * c) * w) * nb)
+            yield pd.DataFrame({"vec_id": pdf["id"], "embedding": out})
+
+    df = spark.range(n_base + n_planted, numPartitions=partitions).mapInPandas(
+        gen, "vec_id bigint, embedding array<double>"
+    )
+    planted = [
+        (j * stride, n_base + j, cosines[j % 3]) for j in range(n_planted)
+    ]
+    return df, planted
+
+
 def kmeans_mode() -> None:
-    """Measure the kmeans-bounded path on the same planted corpus:
-    python tests/exp_lsh_generative_rung.py --kmeans [n_base] [n_planted]"""
+    """Measure the kmeans-bounded path on the planted corpus with a
+    per-phase breakdown (fit / assign / candidates / recall):
+    python tests/exp_lsh_generative_rung.py --kmeans [n_base] [n_planted]
+    Corpora past 200k rows are generated distributed (make_corpus_df)."""
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     n_planted = int(sys.argv[3]) if len(sys.argv) > 3 else 1_500
 
     import pandas as pd
 
     from thesis_iceberg_spark import get_spark
+    from thesis_iceberg_spark.operators.ann import clean_embeddings
     from thesis_iceberg_spark.queries import dedup
 
     spark = get_spark(app_name="kmeans-pairs-exp")
     spark.sparkContext.setLogLevel("ERROR")
-    ids, vecs, planted = make_corpus(n_base, n_planted)
-    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
-    emb = spark.createDataFrame(pdf).repartition(32).cache()
-    emb.count()
-    n_total = len(ids)
     t0 = time.perf_counter()
-    cand = dedup.dedup_embedding_kmeans_candidates(spark, emb)
+    if n_base + n_planted > 200_000:
+        emb, planted = make_corpus_df(spark, n_base, n_planted)
+        emb = emb.cache()
+        n_total = emb.count()
+    else:
+        ids, vecs, planted = make_corpus(n_base, n_planted)
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        emb = spark.createDataFrame(pdf).repartition(32).cache()
+        n_total = emb.count()
+    t_gen = time.perf_counter() - t0
+
+    # phase-by-phase: the same steps dedup_embedding_kmeans_candidates
+    # composes, materialized separately so each wall is attributable
+    clean, _dim, n_clean = clean_embeddings(emb)
+    k = min(dedup._kmeans_k(n_clean), n_clean)
+    nprobe = dedup._kmeans_nprobe(k)
+
+    t0 = time.perf_counter()
+    centers = dedup._kmeans_fit_centers(spark, clean, k=k, n=n_clean, seed=42)
+    t_fit = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    assigned = (
+        dedup._emb_norms(emb)
+        .select("vec_id", "v")
+        .mapInPandas(
+            dedup._kmeans_assign_kernel(centers, nprobe),
+            "vec_id bigint, bucket bigint",
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_assign = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cand = dedup._bucket_candidates(assigned, "exp overflow").localCheckpoint(
+        eager=True
+    )
     n_cand = cand.count()
-    wall = time.perf_counter() - t0
+    t_cand = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     planted_set = sorted({(a, b) if a < b else (b, a) for a, b, _ in planted})
     got = {
         (r.a, r.b)
@@ -141,16 +226,19 @@ def kmeans_mode() -> None:
         .join(spark.createDataFrame(planted_set, "a BIGINT, b BIGINT"), ["a", "b"])
         .collect()
     }
+    t_recall = time.perf_counter() - t0
     by_cos: dict[float, tuple[int, int]] = {}
     for a, b, c in planted:
         key = (a, b) if a < b else (b, a)
         t, h = by_cos.get(c, (0, 0))
         by_cos[c] = (t + 1, h + (key in got))
     rec = "  ".join(f"r@{c}={h / t:.3f}" for c, (t, h) in sorted(by_cos.items()))
-    k = max(dedup.KMEANS_MIN_K, n_total // dedup.KMEANS_BUCKET_TARGET)
     print(
-        f"kmeans k={k} nprobe={dedup._kmeans_nprobe(k)} n={n_total} "
-        f"cand={n_cand} ratio={n_cand / n_total**2:.6f} {rec} wall={wall:.1f}s",
+        f"kmeans k={k} nprobe={nprobe} n={n_total} "
+        f"cand={n_cand} ratio={n_cand / n_total**2:.6f} "
+        f"per_doc={n_cand / n_total:.1f} {rec} "
+        f"gen={t_gen:.1f}s fit={t_fit:.1f}s assign={t_assign:.1f}s "
+        f"cand={t_cand:.1f}s recall_join={t_recall:.1f}s",
         flush=True,
     )
 

@@ -21,6 +21,7 @@ operator inherits the input partitioning (at 100 TB: one pass, no shuffle).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -275,49 +276,275 @@ def audio_window_features(media: DataFrame, window_bytes: int = 256) -> DataFram
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """Decode image payloads to (width, height, mode) using PIL.
+# ---------------------------------------------------------------------------
+# Pure-Python image decode: uncompressed BMP (24/32-bit BI_RGB) and binary
+# PPM/PGM (P6/P5).  These make decode_media executable end-to-end without any
+# image library; PIL, when importable, extends coverage to compressed formats
+# (png/jpeg/...).  Format specs are public: BITMAPFILEHEADER/BITMAPINFOHEADER
+# (Windows BMP) and the Netpbm P5/P6 headers.
+# ---------------------------------------------------------------------------
 
-    STUB in this environment: the image libraries are not installed, so this
-    raises ``NotImplementedError`` at call time unless PIL is importable.
-    The mapInPandas signature and output schema are the real contract.
-    """
+
+def encode_bmp(width: int, height: int, pixels) -> bytes:
+    """Build a 24-bit uncompressed (BI_RGB) bottom-up BMP.
+
+    ``pixels`` is ``height`` rows top-to-bottom, each ``width`` ``(r, g, b)``
+    tuples.  Rows are stored bottom-up as BGR with 4-byte row padding, per the
+    BMP spec — exactly the layout parse_bmp must undo."""
+    if len(pixels) != height or any(len(row) != width for row in pixels):
+        raise ValueError("pixels must be height rows of width (r,g,b) tuples")
+    pad = (4 - (width * 3) % 4) % 4
+    body = bytearray()
+    for row in reversed(pixels):
+        for r, g, b in row:
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def encode_ppm(width: int, height: int, pixels, *, gray: bool = False) -> bytes:
+    """Build a binary Netpbm image: P6 (RGB) or, with ``gray=True``, P5
+    (single-channel; the red value of each pixel tuple is used)."""
+    if len(pixels) != height or any(len(row) != width for row in pixels):
+        raise ValueError("pixels must be height rows of width (r,g,b) tuples")
+    magic = b"P5" if gray else b"P6"
+    body = bytearray()
+    for row in pixels:
+        for px in row:
+            body += bytes((px[0],)) if gray else bytes(px[:3])
+    return magic + b"\n%d %d\n255\n" % (width, height) + bytes(body)
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24/32-bit BI_RGB BMP without any image library.
+
+    Returns ``{width, height, mode, px_mean, pixels}`` where ``pixels`` is a
+    top-down ``(height, width, channels)`` uint8 RGB(A) array and ``px_mean``
+    is the exact mean over every stored channel byte (int sum / int count in
+    IEEE double).  Handles bottom-up (positive height) and top-down (negative
+    height) storage, 4-byte row padding, and any BITMAPINFOHEADER-or-later
+    header via the pixel-array offset.  Raises ValueError on anything else
+    (compressed, paletted, truncated)."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — not supported
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, raw_height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = raw_height < 0
+    height = -raw_height if top_down else raw_height
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{raw_height}")
+    channels = bpp // 8
+    stride = ((width * channels + 3) // 4) * 4
+    need = offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes, need {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = rows.reshape(height, stride)[:, : width * channels]
+    px = rows.reshape(height, width, channels)
+    if not top_down:
+        px = px[::-1]
+    # stored order is BGR(A) -> return RGB(A)
+    px = px[:, :, [2, 1, 0, 3] if channels == 4 else [2, 1, 0]]
+    return {
+        "width": width,
+        "height": height,
+        "mode": "RGBA" if channels == 4 else "RGB",
+        "px_mean": float(int(px.sum())) / px.size,
+        "pixels": np.ascontiguousarray(px),
+    }
+
+
+def parse_ppm(payload: bytes) -> dict:
+    """Parse a binary Netpbm image (P6 RGB / P5 grayscale, maxval <= 255)
+    without any image library.  Honors '#' comments in the header and the
+    single whitespace byte that terminates it.  Returns the same dict shape
+    as parse_bmp (mode 'RGB' or 'L'); raises ValueError otherwise."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5") or len(payload) < 7:
+        raise ValueError("not a binary PPM/PGM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    if pos >= len(payload) or payload[pos : pos + 1] not in b" \t\r\n":
+        raise ValueError("PPM header must end with one whitespace byte")
+    pos += 1
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255:
+        raise ValueError(f"bad PPM geometry {width}x{height} maxval={maxval}")
+    channels = 3 if magic == b"P6" else 1
+    need = width * height * channels
+    if len(payload) - pos < need:
+        raise ValueError(f"truncated PPM: {len(payload) - pos} bytes, need {need}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    px = px.reshape(height, width, channels)
+    return {
+        "width": width,
+        "height": height,
+        "mode": "RGB" if channels == 3 else "L",
+        "px_mean": float(int(px.sum())) / px.size,
+        "pixels": px,
+    }
+
+
+def decode_image_payload(payload: bytes | None) -> dict | None:
+    """Dispatch one payload to a decoder: pure-Python BMP/PPM first, PIL (if
+    importable) for everything else.  Returns the parse dict plus a
+    ``decoder`` tag, or None when nothing can decode it."""
+    if not payload:
+        return None
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without PIL
-        raise NotImplementedError(
-            "decode_media requires PIL, which is not installed in this "
-            "container; media_features provides the deterministic fake path"
-        ) from exc
+        if payload[:2] == b"BM":
+            return {**parse_bmp(payload), "decoder": "bmp"}
+        if payload[:2] in (b"P6", b"P5"):
+            return {**parse_ppm(payload), "decoder": "ppm"}
+    except ValueError:
+        return None
+    try:  # pragma: no cover - PIL not installed in this container
+        import io
 
-    import io
+        from PIL import Image
+        import numpy as np
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        return {
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+            "px_mean": float(int(arr.sum())) / arr.size if arr.size else None,
+            "pixels": arr,
+            "decoder": "pil",
+        }
+    except Exception:
+        return None
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("decoder", StringType()),
+        StructField("px_mean", DoubleType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode image payloads to (width, height, mode, px_mean).
+
+    Executable WITHOUT image libraries: uncompressed BMP (24/32-bit BI_RGB)
+    and binary PPM/PGM decode in pure Python + numpy inside Arrow batches;
+    PIL, when importable, extends coverage to compressed formats.  Payloads
+    no decoder accepts come back with NULL dims and decoder='unsupported'
+    instead of failing the batch (at 100 TB a corrupt file must not kill the
+    job).  Narrow map — inherits input partitioning, payload bytes never
+    leave the executor."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_image_payload(payload)
+                if d is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "width": None,
+                            "height": None,
+                            "mode": None,
+                            "decoder": "unsupported",
+                            "px_mean": None,
+                        }
+                    )
+                else:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "mode": d["mode"],
+                            "decoder": d["decoder"],
+                            "px_mean": d["px_mean"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(decode, DECODE_SCHEMA)
+    )
+
+
+def documents_as_image_media(docs: DataFrame) -> DataFrame:
+    """Crafted-image media table for the decode path: each document becomes a
+    tiny solid-color uncompressed image whose dims and color are pure
+    arithmetic on doc_id (even doc_id -> 24-bit BMP, odd -> binary PPM P6),
+    so a SQL oracle can predict the decoded output exactly:
+    width = doc_id%4+1, height = doc_id%3+1,
+    color = (doc_id%256, doc_id*7%256, doc_id*13%256)."""
+
+    def craft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = i % 4 + 1, i % 3 + 1
+                rgb = (i % 256, i * 7 % 256, i * 13 % 256)
+                px = [[rgb] * w] * h
+                payloads.append(
+                    encode_bmp(w, h, px) if i % 2 == 0 else encode_ppm(w, h, px)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
 
     schema = StructType(
         [
             StructField("media_id", LongType()),
-            StructField("width", IntegerType()),
-            StructField("height", IntegerType()),
-            StructField("mode", StringType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
         ]
     )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        from PIL import Image
-
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                img = Image.open(io.BytesIO(row["payload"]))
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": img.width,
-                        "height": img.height,
-                        "mode": img.mode,
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
-        decode, schema
-    )
+    return docs.select("doc_id").mapInPandas(craft, schema)

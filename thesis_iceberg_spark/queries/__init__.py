@@ -75,10 +75,10 @@ def _load_all() -> None:
 #     never-driver-checked queries first, then oldest green, from the
 #     driver's own CORRECTNESS_r*.json records.
 #   * Names not (yet) registered are skipped harmlessly.
-# Round 7 block: the new centroid-far SemDeDup keeper query, plus the
-# queries whose code changed this round (ADVICE r6 fixes: C4 bad-words
-# NULL contract in text.py, SemDeDup keeper guards in dedup.py, eq-delete
-# IN-list parser in tablefmt/sql.py).
+# Round 9 block: queries whose code changed since the r8 driver run
+# (the post-r8-verdict commit 851ad08 plus this round) and the one new
+# registration.  Kept minimal so the fallback's ~44 slots absorb the 26
+# queries whose newest green is r6 (VERDICT r8 ask #6).
 _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # comfortably above the worst-case stale backlog (the registry grows ~2-4
 # queries/round, so <=20 queries can age past the 2-round line between
@@ -86,20 +86,12 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    "dedup_semdedup_centroid_far",   # NEW r7 (VERDICT r6 ask #5)
-    "dedup_embedding_kmeans_pairs",  # NEW r7 (1e8+ scale path self-check)
-    "text_c4_badwords_flags",        # changed r7 (NULL contract fix)
-    "dedup_embedding_lsh_pairs",     # changed r7 (measured-T tier bounds)
-    "dedup_embedding_cluster_canonical",  # changed r7 (keeper guards + tiers)
-    "sql_dml_update_delete",         # changed r7 (IN-list parser fix)
-    "array_funcs_embeddings",        # changed r7 (ANSI-safe F.get index)
-    "text_quality_scores",           # changed r7 (try_divide empty docs)
-    "pipeline_clean_corpus",         # changed r7 (composes quality_scores)
-    "pipeline_dedup_paragraphs",     # changed r7 (try_divide empty paras)
-    "ann_cosine_topk",               # changed r7 (try_divide cosine)
-    "ann_ivf_topk",                  # changed r7 (same)
-    "ann_batch_topk",                # changed r7 (same)
-    "ann_ivf_kmeans_topk",           # changed r7 (NULL/ragged fit guard)
+    "multimodal_decode_image",       # NEW r9 (pure-Python BMP/PPM decode)
+    "dedup_embedding_kmeans_pairs",  # changed (bounded self-check denominator
+    #                                  + vectorized assign kernel, 851ad08)
+    "dedup_semdedup_centroid_far",   # changed (centroid width over members)
+    "dedup_embedding_cluster_canonical",  # changed (same keeper width path)
+    "text_c4_badwords_flags",        # changed (real LDNOOBW-subset default)
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

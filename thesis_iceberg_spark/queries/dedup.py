@@ -1006,6 +1006,18 @@ def _kmeans_nprobe(k: int) -> int:
 # so fit cost is bounded by 20*k^2 distance evals per iteration.
 KMEANS_K_FINE_CAP = 65536
 KMEANS_FIT_ROWS_PER_CENTROID = 20
+# Past this k the fit switches from pyspark.ml KMeans to a local BLAS-3
+# spherical Lloyd on the (already driver-sized) fit sample: MLlib's
+# k-means|| init collects ~2*k*initSteps weighted candidates and runs
+# LocalKMeans on them SINGLE-THREADED on the driver — O(k^2 * d * iters)
+# work that dominates everything else by k ~ 10^4 (measured: the 1e6-row
+# rehearsal's k=15.8k fit never finished under it).  The local fit is the
+# faiss-style production shape anyway: train the quantizer on a bounded
+# sample near the driver, assign distributed.  Threshold chosen so every
+# small-corpus path (driver sf0.01/sf0.1, tests: k <= ~800) keeps the
+# pyspark.ml fit byte-identical to prior rounds.
+KMEANS_LOCAL_FIT_K_THRESHOLD = 4096
+KMEANS_LOCAL_FIT_ITERS = 10
 # Ceiling on the brute-force recall DENOMINATOR inside the registered
 # kmeans self-check (dedup_embedding_kmeans_pairs): above this many
 # vectors the ground-truth pair list is computed on a deterministic
@@ -1025,6 +1037,89 @@ def _kmeans_k(n: int) -> int:
     return max(KMEANS_K_FINE_CAP, n * p * p // (2 * _CAND_PER_DOC_BUDGET))
 
 
+def _fit_centroids_spherical(X, k: int, seed: int, iters: int = KMEANS_LOCAL_FIT_ITERS):
+    """Local spherical k-means (cosine Lloyd) for the large-k fit regime.
+
+    ``X`` is the (m x d) fit sample; rows are L2-normalized so Euclidean
+    Lloyd == cosine Lloyd — matching the cosine the assign kernel and the
+    verify filter use (the pyspark.ml small-k path fits unnormalized
+    Euclidean, which agrees in ordering only approximately; for bucketing
+    both work, but the large-k path might as well be exactly spherical).
+    Assignment is chunked (rows x d) @ (d x k) BLAS-3 in float32 — the
+    whole point vs MLlib's per-pair distance loop and single-threaded
+    k-means|| LocalKMeans init.  Deterministic: seeded init (k distinct
+    sample rows), fixed iteration count, argmax ties -> lowest centroid
+    id (numpy argmax contract); empty clusters reseed from a seeded
+    permutation.  Returns a (k x d) float64 list-of-lists for the assign
+    kernel's closure."""
+    import numpy as np
+
+    X = np.ascontiguousarray(X, dtype=np.float32)
+    m, d = X.shape
+    if m < k:
+        raise ValueError(
+            f"spherical fit needs >= k sample rows (k={k}, sample={m}); "
+            "KMEANS_FIT_ROWS_PER_CENTROID guarantees 20x — a smaller "
+            "sample means the caller sized k off the wrong count"
+        )
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0  # zero rows become zero unit-rows: never argmax
+    X = X / norms[:, None]
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(m, size=k, replace=False)].copy()
+    chunk = max(1, (64 << 20) // (4 * k))  # ~64 MB of f32 scores per block
+    assign = np.empty(m, dtype=np.int64)
+    for _ in range(iters):
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            assign[lo:hi] = np.argmax(X[lo:hi] @ C.T, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        C_new = np.zeros((k, d), dtype=np.float64)
+        for j in range(d):
+            C_new[:, j] = np.bincount(assign, weights=X[:, j], minlength=k)
+        nz = counts > 0
+        C_new[nz] /= counts[nz, None]
+        cn = np.linalg.norm(C_new, axis=1)
+        ok = nz & (cn > 0)
+        C_new[ok] /= cn[ok, None]
+        if not ok.all():
+            # reseed dead centroids from a seeded permutation of the sample
+            C_new[~ok] = X[rng.permutation(m)[: int((~ok).sum())]]
+        C = C_new.astype(np.float32)
+    return [[float(x) for x in row] for row in C]
+
+
+def _kmeans_fit_centers(
+    spark: SparkSession, clean: DataFrame, k: int, n: int, seed: int
+) -> list:
+    """Fit centroids for the kmeans-bounded candidate path on a
+    deterministic bounded sample (KMEANS_FIT_ROWS_PER_CENTROID rows per
+    centroid — centroid QUALITY needs ~tens of points per cluster, not
+    the corpus, so fit cost is independent of corpus size).  Small k uses
+    pyspark.ml KMeans (unchanged vs prior rounds); past
+    KMEANS_LOCAL_FIT_K_THRESHOLD the sample is collected (it is already
+    driver-sized by construction: 20*k rows * d floats, ~160 MB at the
+    1e6-corpus k=15.8k, ~1.3 GB at the budget-regime 1e8 corpus) and fit
+    with the BLAS-3 spherical Lloyd above — the faiss shape: train the
+    quantizer locally, assign distributed."""
+    from thesis_iceberg_spark.operators.ann import build_ivf_index
+
+    fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
+    fit_df = clean
+    if n > fit_rows:
+        fit_df = clean.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
+    if k <= KMEANS_LOCAL_FIT_K_THRESHOLD:
+        _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+    import numpy as np
+
+    sample = fit_df.select(
+        F.transform("embedding", lambda x: x.cast("float")).alias("v")
+    ).toPandas()["v"]
+    X = np.stack([np.asarray(v, dtype=np.float32) for v in sample])
+    return _fit_centroids_spherical(X, k=k, seed=seed)
+
+
 def dedup_embedding_kmeans_candidates(
     spark: SparkSession,
     raw: DataFrame,
@@ -1036,16 +1131,16 @@ def dedup_embedding_kmeans_candidates(
     """Distinct (vec_a, vec_b) near-dup candidates from seeded-KMeans
     buckets with multi-probe assignment.
 
-    Shape: one seeded pyspark.ml KMeans fit (at 100 TB: fit on a sample,
-    assign at write time), then assignment as ONE shuffle-free Arrow
+    Shape: one seeded KMeans fit on a bounded sample (pyspark.ml below
+    KMEANS_LOCAL_FIT_K_THRESHOLD, BLAS-3 local spherical Lloyd above it —
+    at 100 TB: fit on a sample, assign at write time), then assignment
+    as ONE shuffle-free Arrow
     mapInPandas — the centroid matrix rides the closure (k x d doubles;
     ~0.5 MB at k=1000, d=64 — broadcast territory well past 1e5
     centroids) and each batch is a single vectorized matmul emitting
     nprobe (vec_id, cid) rows per vector.  Candidates come from the same
     merge-hinted bucket equi-join + overflow guard as the LSH path.
     Deterministic: seeded fit + ties broken by centroid id."""
-    from thesis_iceberg_spark.operators.ann import build_ivf_index
-
     from thesis_iceberg_spark.operators.ann import clean_embeddings
 
     # fit and size k off the CLEAN corpus (non-null, modal-width rows):
@@ -1065,14 +1160,7 @@ def dedup_embedding_kmeans_candidates(
     k = min(k, n)  # KMeans needs k <= clean points
     if nprobe is None:
         nprobe = _kmeans_nprobe(k)
-    fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
-    fit_df = clean
-    if n > fit_rows:
-        # deterministic sample: centroid quality needs ~tens of rows per
-        # cluster, not the corpus — bounds fit cost at 1e8+ vectors
-        fit_df = clean.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
-    _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    centers = _kmeans_fit_centers(spark, clean, k=k, n=n, seed=seed)
 
     assign_udf = _kmeans_assign_kernel(centers, nprobe)
 

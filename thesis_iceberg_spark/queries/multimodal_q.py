@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from thesis_iceberg_spark.operators.multimodal import (
+    decode_media,
+    documents_as_image_media,
     documents_as_media,
     media_features,
     media_metadata,
@@ -80,3 +82,32 @@ FROM documents d JOIN stats s USING (doc_id)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return media_features(media)
+
+
+@register(
+    "multimodal_decode_image",
+    # The crafted corpus is solid-color uncompressed images whose dims and
+    # color are pure doc_id arithmetic (documents_as_image_media), so the
+    # decoded output is exactly predictable in SQL.  px_mean: a solid-color
+    # image's channel-byte mean is (r+g+b)/3 — the decoder computes
+    # int-sum/int-count and IEEE division is correctly rounded, so dividing
+    # w*h*(r+g+b) by 3*w*h and (r+g+b) by 3 yield the identical double.
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 4 + 1 AS INT) AS width,
+       CAST(doc_id % 3 + 1 AS INT) AS height,
+       'RGB' AS mode,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS decoder,
+       CAST(doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256 AS DOUBLE)
+           / 3 AS px_mean
+FROM documents
+""",
+    doc="REAL image decode with no image library: pure-Python uncompressed "
+    "BMP (24-bit BI_RGB, bottom-up, row-padded) and binary PPM P6 decoders "
+    "run inside Arrow-batched mapInPandas over a crafted corpus of solid-"
+    "color images derived from doc_id. Every decoded width/height/mode/"
+    "pixel-mean is value-oracled against doc_id arithmetic in DuckDB.",
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_image_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)
