@@ -56,6 +56,9 @@ HEADLINE_EXTRA = [
     "dedup_embedding_kmeans_pairs",
     "dedup_semdedup_centroid_far",
     "dedup_exact_substr_spans",
+    # round 9: the pure-Python image-decode path (crafted BMP/PPM corpus)
+    # gets a series from birth
+    "multimodal_decode_image",
 ]
 
 

@@ -175,10 +175,29 @@ def kmeans_mode() -> None:
     from thesis_iceberg_spark.operators.ann import clean_embeddings
     from thesis_iceberg_spark.queries import dedup
 
-    spark = get_spark(app_name="kmeans-pairs-exp")
+    big = n_base + n_planted > 200_000
+    # 1e6-run tuning (measured, round 9): the assign kernel's per-batch
+    # cosine matrix is rows x k doubles — at k ~ 15.8k the default 10k-row
+    # Arrow batch is 1.3 GB per worker and 32 workers of default-threaded
+    # OpenBLAS oversubscribe 32x32 threads (459 s assign); 2048-row
+    # batches + 1 BLAS thread per worker assign in ~30 s.  192 shuffle
+    # partitions keep the 8e8-row candidate distinct at ~4M rows/task.
+    spark = get_spark(
+        app_name="kmeans-pairs-exp",
+        extra_conf=(
+            {
+                "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+                "spark.sql.shuffle.partitions": "192",
+                "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+                "spark.executorEnv.OMP_NUM_THREADS": "1",
+            }
+            if big
+            else None
+        ),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    if n_base + n_planted > 200_000:
+    if big:
         emb, planted = make_corpus_df(spark, n_base, n_planted)
         emb = emb.cache()
         n_total = emb.count()
@@ -211,34 +230,44 @@ def kmeans_mode() -> None:
     )
     t_assign = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    cand = dedup._bucket_candidates(assigned, "exp overflow").localCheckpoint(
-        eager=True
-    )
-    n_cand = cand.count()
-    t_cand = time.perf_counter() - t0
+    # candidate count + per-grade recall in ONE streaming aggregation over
+    # the distinct pair set — materializing 8e8 candidate rows
+    # (localCheckpoint) is what OOM'd the first 1e6 attempt; a count +
+    # broadcast-join + conditional-sum pass needs no storage at all
+    from pyspark.sql import functions as F
 
     t0 = time.perf_counter()
-    planted_set = sorted({(a, b) if a < b else (b, a) for a, b, _ in planted})
-    got = {
-        (r.a, r.b)
-        for r in cand.toDF("a", "b")
-        .join(spark.createDataFrame(planted_set, "a BIGINT, b BIGINT"), ["a", "b"])
-        .collect()
-    }
-    t_recall = time.perf_counter() - t0
-    by_cos: dict[float, tuple[int, int]] = {}
-    for a, b, c in planted:
-        key = (a, b) if a < b else (b, a)
-        t, h = by_cos.get(c, (0, 0))
-        by_cos[c] = (t + 1, h + (key in got))
-    rec = "  ".join(f"r@{c}={h / t:.3f}" for c, (t, h) in sorted(by_cos.items()))
+    cand = dedup._bucket_candidates(assigned, "exp overflow")
+    planted_rows = [
+        ((a, b) if a < b else (b, a)) + (c,) for a, b, c in planted
+    ]
+    pl = spark.createDataFrame(planted_rows, "a BIGINT, b BIGINT, c DOUBLE")
+    agg = (
+        cand.toDF("a", "b")
+        .join(F.broadcast(pl), ["a", "b"], "left")
+        .agg(
+            F.count("*").alias("n_cand"),
+            *[
+                F.sum(F.when(F.col("c") == c, 1).otherwise(0)).alias(f"h{i}")
+                for i, c in enumerate((0.7, 0.8, 0.9))
+            ],
+        )
+        .collect()[0]
+    )
+    t_cand = time.perf_counter() - t0
+    n_cand = agg.n_cand
+    totals = {c: sum(1 for _, _, pc in planted if pc == c) for c in (0.7, 0.8, 0.9)}
+    rec = "  ".join(
+        f"r@{c}={agg[f'h{i}'] / totals[c]:.3f}"
+        for i, c in enumerate((0.7, 0.8, 0.9))
+        if totals[c]
+    )
     print(
         f"kmeans k={k} nprobe={nprobe} n={n_total} "
         f"cand={n_cand} ratio={n_cand / n_total**2:.6f} "
         f"per_doc={n_cand / n_total:.1f} {rec} "
         f"gen={t_gen:.1f}s fit={t_fit:.1f}s assign={t_assign:.1f}s "
-        f"cand={t_cand:.1f}s recall_join={t_recall:.1f}s",
+        f"cand+recall={t_cand:.1f}s",
         flush=True,
     )
 
