@@ -164,10 +164,13 @@ def make_corpus_df(spark, n_base: int, n_planted: int, dim: int = 64,
 def kmeans_mode() -> None:
     """Measure the kmeans-bounded path on the planted corpus with a
     per-phase breakdown (fit / assign / candidates / recall):
-    python tests/exp_lsh_generative_rung.py --kmeans [n_base] [n_planted]
-    Corpora past 200k rows are generated distributed (make_corpus_df)."""
+    python tests/exp_lsh_generative_rung.py --kmeans [n_base] [n_planted] [nprobe]
+    Corpora past 200k rows are generated distributed (make_corpus_df);
+    the optional nprobe overrides _kmeans_nprobe to measure the
+    recall-vs-candidates knob at fixed k."""
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     n_planted = int(sys.argv[3]) if len(sys.argv) > 3 else 1_500
+    nprobe_override = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     import pandas as pd
 
@@ -212,7 +215,7 @@ def kmeans_mode() -> None:
     # composes, materialized separately so each wall is attributable
     clean, _dim, n_clean = clean_embeddings(emb)
     k = min(dedup._kmeans_k(n_clean), n_clean)
-    nprobe = dedup._kmeans_nprobe(k)
+    nprobe = nprobe_override or dedup._kmeans_nprobe(k)
 
     t0 = time.perf_counter()
     centers = dedup._kmeans_fit_centers(spark, clean, k=k, n=n_clean, seed=42)
