@@ -92,7 +92,7 @@ def test_all_rows_degenerate_yields_typed_empty():
 def test_exact_cosine_ties_break_to_lower_centroid_id():
     """Duplicate centroids (kmeans CAN collapse clusters on degenerate
     data) produce exact cosine ties: the lower centroid id must win, both
-    inside the selected top-p and at the argpartition boundary."""
+    inside the selected top-p and at the top-p boundary."""
     # centroids 1 and 3 are identical; 0 and 2 are identical
     centers = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
     pdf = pd.DataFrame(
@@ -109,10 +109,10 @@ def test_exact_cosine_ties_break_to_lower_centroid_id():
     assert list(got[got.vec_id == 11]["bucket"]) == [1, 3]
 
 
-def test_boundary_tie_straddles_argpartition_cut():
+def test_boundary_tie_straddles_topp_cut():
     """A tie exactly AT the top-p boundary (selected min == best excluded)
-    must resolve to the lower centroid id deterministically — the rare-row
-    lexsort fallback path."""
+    must resolve to the lower centroid id deterministically (argmax's
+    first-max contract in the successive-argmax kernel)."""
     # all four centroids equidistant from the query -> every cut is a tie
     centers = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0]]
     pdf = pd.DataFrame(

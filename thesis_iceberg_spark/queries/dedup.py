@@ -1193,6 +1193,18 @@ def _kmeans_assign_kernel(centers, nprobe: int):
         k_, d_ = C.shape
         cn = np.linalg.norm(C, axis=1)
         cn[cn == 0] = 1.0
+        # Pre-normalize ONCE and score in float32 (the faiss convention):
+        # cosine becomes a single SGEMM over unit rows instead of three
+        # rows-x-k passes (f64 matmul write + materialized norm outer
+        # product + divide).  The 1e6 rehearsal measured assignment as
+        # memory-bandwidth-bound at k*8 B/row of scores (PERFORMANCE.md);
+        # this is the standard fix: half the bytes, one pass.  Ordering
+        # agrees with the f64 reference loop except on ~1e-7 relative
+        # near-ties, which bucketing tolerates by construction (recall is
+        # gated at cosine 0.45+, and EXACT ties — collapsed duplicate
+        # centroids — are exactly representable in f32, so the
+        # deterministic (-cos, cid) tie-break is unaffected).
+        CnT = np.ascontiguousarray((C / cn[:, None]).T, dtype=np.float32)
         p = min(nprobe, k_)
         for pdf in batches:
             vecs = pdf["v"].to_numpy()
@@ -1225,35 +1237,25 @@ def _kmeans_assign_kernel(centers, nprobe: int):
                 )
                 continue
             # ONE (rows x d) @ (d x k) product for the whole batch — the
-            # per-vector Python matvec loop this replaces dominated
-            # assignment wall at budget-regime k (VERDICT r8 #2)
-            cos = (A @ C.T) / (na[:, None] * cn[None, :])
+            # per-vector Python matvec loop this replaced dominated
+            # assignment wall at budget-regime k (VERDICT r8 #2); norms
+            # stay f64 so the zero-norm mask is bit-identical to the
+            # reference loop, then the unit rows drop to f32 for the GEMM
+            cos = (A / na[:, None]).astype(np.float32) @ CnT
             rows = cos.shape[0]
-            if p < k_:
-                # argpartition gives an UNORDERED top-p per row in O(k);
-                # boundary ties (an unselected centroid with cosine equal
-                # to the selected minimum) are resolved by falling back to
-                # a full lexsort for just those rows, keeping the contract
-                # deterministic: top-p by (-cos, cid)
-                part = np.argpartition(-cos, p - 1, axis=1)[:, :p]
-                ridx = np.arange(rows)[:, None]
-                sel = cos[ridx, part]
-                boundary = sel.min(axis=1)
-                tied = (cos >= boundary[:, None]).sum(axis=1) > p
-                # order the selected p deterministically: pre-sort by cid so
-                # a STABLE argsort of -cos keeps the lower centroid id first
-                # on exact ties
-                part_sorted = np.sort(part, axis=1)
-                sel_sorted = cos[ridx, part_sorted]
-                inner = np.argsort(-sel_sorted, axis=1, kind="stable")
-                top = part_sorted[ridx, inner]
-                for r in np.flatnonzero(tied):
-                    order = np.lexsort((np.arange(k_), -cos[r]))[:p]
-                    top[r] = order
-            else:
-                top = np.lexsort(
-                    (np.broadcast_to(np.arange(k_), cos.shape), -cos), axis=1
-                )[:, :p]
+            # top-p by (-cos, cid) as p successive argmax+mask passes:
+            # argmax returns the FIRST maximal index, which IS the
+            # lowest-centroid-id tie-break, so ordering and boundary ties
+            # are deterministic by construction — no argpartition (whose
+            # per-row introselect measured 5x the SGEMM at k=15.8k) and
+            # no tie-fallback path.  p SIMD reduction passes over the
+            # scores; cos is masked in place (it is not read afterwards).
+            top = np.empty((rows, p), dtype=np.int64)
+            ridx = np.arange(rows)
+            for j in range(p):
+                idx = np.argmax(cos, axis=1)
+                top[:, j] = idx
+                cos[ridx, idx] = -np.inf
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, p),
