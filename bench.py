@@ -59,6 +59,9 @@ HEADLINE_EXTRA = [
     # round 9: the pure-Python image-decode path (crafted BMP/PPM corpus)
     # gets a series from birth
     "multimodal_decode_image",
+    # round 9: CCNet-style unigram-LM rarity filter (word-count fit +
+    # one-row vocab-map broadcast scoring) — new family, series from birth
+    "text_lm_rarity_stats",
 ]
 
 

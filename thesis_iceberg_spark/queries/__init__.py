@@ -92,6 +92,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semdedup_centroid_far",   # changed (centroid width over members)
     "dedup_embedding_cluster_canonical",  # changed (same keeper width path)
     "text_c4_badwords_flags",        # changed (real LDNOOBW-subset default)
+    "text_lm_rarity_stats",          # NEW r9 (CCNet-style unigram-LM filter)
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

@@ -1130,3 +1130,195 @@ def text_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(compute, schema)
+
+
+# --- CCNet-style LM rarity / perplexity filter ------------------------------
+# Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+# Web Crawl Data" (2019, public): score each document under a language
+# model trained on reference text and filter (or tercile-split) by
+# perplexity.  Re-expressed Spark-first and self-contained: the LM is an
+# add-one-smoothed unigram model fit on the corpus itself —
+#   fit    = the canonical word count (ONE map-side-combined shuffle on
+#            token) + a top-V vocab cut (TakeOrdered, no full sort; ties
+#            at the cut break on token ASC so the vocab is deterministic
+#            in both engines), then the V (token -> count) entries fold
+#            into a ONE-ROW map DataFrame;
+#   score  = that one-row map crossJoin-broadcast onto documents (a
+#            broadcast nested-loop of exactly one row), per-doc stats via
+#            higher-order functions over the token array — ZERO shuffle,
+#            no UDF, whole-stage-codegen.
+# At 100 TB: the fit is a word count (the textbook scalable aggregation),
+# the vocab is V entries regardless of corpus size, and scoring is a
+# narrow map — the same shape at any scale.  Reference text other than
+# the corpus itself (CCNet uses Wikipedia) is a drop-in: fit on one
+# DataFrame, score another.
+#
+# Exactness split (cross-engine cookbook, DEVNOTES): token counts, OOV
+# counts and their single-division ratios are EXACT in both engines and
+# form the registered value-oracled query; the ln-based perplexity itself
+# is excluded from the oracle (JVM StrictMath vs libm differ by 1 ulp)
+# and is pinned by pytest against a pure-Python reference instead
+# (tests/test_lm_filter.py).
+
+LM_VOCAB_SIZE = 65_536  # production default: top-V unigram vocab
+# The registered query uses a small V so the OOV path is actually
+# exercised at driver scale: every sf of the synthetic corpus has exactly
+# 31 distinct tokens, so a production-sized V would make n_oov
+# identically zero and the oracle would never see the left-join-miss arm.
+LM_VOCAB_SIZE_REGISTERED = 16
+
+
+def _lm_ftoks(col: str = "text"):
+    """Non-empty whitespace tokens of the lowercased text; NULL text scores
+    as the empty document (coalesce in BOTH twins — see _SQL_LM_FTOKS)."""
+    return F.filter(_toks_of(F.coalesce(F.col(col), F.lit(""))), lambda t: t != F.lit(""))
+
+
+def _toks_of(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+_SQL_LM_FTOKS = (
+    "list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), "
+    "'\\s+'), t -> t <> '')"
+)
+
+
+def lm_unigram_vocab(docs: DataFrame, v: int) -> DataFrame:
+    """(t, c): corpus token counts for the top-``v`` vocabulary.
+    One map-side-combined groupBy(token) + TakeOrdered(v) by
+    (count DESC, token ASC) — deterministic at the cut."""
+    return (
+        docs.select(F.explode(_lm_ftoks()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(v)
+    )
+
+
+def lm_rarity_df(
+    spark: SparkSession, docs: DataFrame, v: int = LM_VOCAB_SIZE, perplexity: bool = False
+) -> DataFrame:
+    """Per-document unigram-LM stats: (doc_id, n_tokens, n_oov,
+    sum_vocab_cnt, oov_frac, mean_vocab_cnt[, ppl]).
+
+    Exact columns: n_tokens (non-empty tokens), n_oov (tokens outside the
+    top-``v`` vocab), sum_vocab_cnt (sum of corpus counts of the in-vocab
+    tokens), oov_frac = n_oov/n_tokens and mean_vocab_cnt =
+    sum_vocab_cnt/(n_tokens - n_oov) (each ONE IEEE division of two exact
+    integers; NULL on empty/all-OOV docs via try_divide).
+
+    perplexity=True adds ``ppl``: exp of the mean negative ln-probability
+    under the add-one-smoothed unigram LM, p(t) = (c(t) + 1) / (N + V + 1)
+    with c(t) = 0 outside the vocab, N = total corpus tokens, V = vocab
+    size actually materialized.  NULL on empty docs.  ln/exp are engine-
+    specific to 1 ulp, so this column stays out of the value oracle
+    (pytest-pinned in tests/test_lm_filter.py).
+    """
+    vocab = lm_unigram_vocab(docs, v)
+    # total corpus tokens N: one scalar aggregate over the SAME token
+    # explode (not the vocab — OOV mass counts toward N)
+    totals = (
+        docs.select(F.explode(_lm_ftoks()).alias("t"))
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    # V entries -> ONE row holding the (token -> count) map + actual V;
+    # crossJoin(broadcast(...)) of a single row is a broadcast nested
+    # loop, i.e. a free per-partition closure — scoring stays narrow
+    vmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "c"))).alias("m"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    ftoks = _lm_ftoks()
+    # try_element_at, not element_at: under ANSI (Spark 4 default) a map
+    # miss THROWS MAP_KEY_DOES_NOT_EXIST; try_ yields NULL = OOV
+    hit = lambda t: F.try_element_at(F.col("m"), t)  # noqa: E731
+    scored = (
+        docs.crossJoin(F.broadcast(vmap))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.size(ftoks).alias("n_tokens"),
+            F.size(F.filter(ftoks, lambda t: hit(t).isNull())).alias("n_oov"),
+            F.aggregate(
+                ftoks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.coalesce(hit(t), F.lit(0).cast("long")),
+            ).alias("sum_vocab_cnt"),
+            *(
+                [
+                    F.aggregate(
+                        ftoks,
+                        F.lit(0.0),
+                        lambda acc, t: acc
+                        - F.log(
+                            (F.coalesce(hit(t), F.lit(0).cast("long")) + F.lit(1)).cast(
+                                "double"
+                            )
+                            / (F.col("n_total") + F.col("v_size") + F.lit(1)).cast(
+                                "double"
+                            )
+                        ),
+                    ).alias("nll_sum")
+                ]
+                if perplexity
+                else []
+            ),
+        )
+    )
+    out = scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        "sum_vocab_cnt",
+        F.try_divide(F.col("n_oov").cast("double"), F.col("n_tokens")).alias("oov_frac"),
+        F.try_divide(
+            F.col("sum_vocab_cnt").cast("double"),
+            (F.col("n_tokens") - F.col("n_oov")),
+        ).alias("mean_vocab_cnt"),
+        *(
+            [F.exp(F.try_divide(F.col("nll_sum"), F.col("n_tokens"))).alias("ppl")]
+            if perplexity
+            else []
+        ),
+    )
+    return out
+
+
+@register(
+    "text_lm_rarity_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_LM_FTOKS}) AS t FROM documents),
+lm AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t, c FROM lm ORDER BY c DESC, t ASC LIMIT {LM_VOCAB_SIZE_REGISTERED}),
+per_doc AS (
+  SELECT tok.doc_id AS doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_vocab_cnt
+  FROM tok LEFT JOIN vocab v ON tok.t = v.t
+  GROUP BY tok.doc_id)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(coalesce(p.sum_vocab_cnt, 0) AS BIGINT) AS sum_vocab_cnt,
+       CAST(coalesce(p.n_oov, 0) AS DOUBLE) / nullif(coalesce(p.n_tokens, 0), 0)
+           AS oov_frac,
+       CAST(coalesce(p.sum_vocab_cnt, 0) AS DOUBLE)
+           / nullif(coalesce(p.n_tokens, 0) - coalesce(p.n_oov, 0), 0)
+           AS mean_vocab_cnt
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+    doc="CCNet-style LM filter, exact half: per-doc token/OOV counts and "
+    "rarity ratios under a corpus-fit top-V unigram LM (V=16 registered so "
+    "the OOV arm is exercised at driver scale; production default 65536). "
+    "Fit = one word-count shuffle + TakeOrdered(V); score = one-row vocab "
+    "map broadcast, zero shuffle, no UDF.  The ln-based perplexity column "
+    "(lm_rarity_df(perplexity=True)) is pytest-pinned, not value-oracled.",
+)
+def text_lm_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_rarity_df(
+        spark, _docs(spark, sf_dir), v=LM_VOCAB_SIZE_REGISTERED, perplexity=False
+    )
