@@ -62,6 +62,9 @@ HEADLINE_EXTRA = [
     # round 9: CCNet-style unigram-LM rarity filter (word-count fit +
     # one-row vocab-map broadcast scoring) — new family, series from birth
     "text_lm_rarity_stats",
+    # round 9: BM25 lexical top-k (narrow HOF tf/dl map, one-row stats
+    # broadcast, TakeOrdered) — new family, series from birth
+    "search_bm25_topk",
 ]
 
 

@@ -55,6 +55,7 @@ def _load_all() -> None:
         multimodal_q,
         pipeline_q,
         relational,
+        search,
         similarity,
         sql_shapes,
         streaming_q,
@@ -93,6 +94,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cluster_canonical",  # changed (same keeper width path)
     "text_c4_badwords_flags",        # changed (real LDNOOBW-subset default)
     "text_lm_rarity_stats",          # NEW r9 (CCNet-style unigram-LM filter)
+    "search_bm25_topk",              # NEW r9 (BM25 lexical top-k retrieval)
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (
