@@ -179,6 +179,7 @@ def test_registered_query_matches_duckdb_oracle(spark, tmp_path):
         (11, "join slow join slow"),
         (12, "slow"),
         (13, "dup join slow"),  # dup of 9: exact tie across the engines
+        (14, "dup\x0bjoin slow"),  # \x0B folds to a space in BOTH engines
     ]
     d = _write_docs(spark, tmp_path, rows, name="bm25oracle")
     con = duckdb.connect()

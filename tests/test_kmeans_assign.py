@@ -135,11 +135,32 @@ def test_nprobe_at_least_k_takes_all_centroids_ordered():
         _assert_equiv(centers, nprobe, pdf)
 
 
+def _near_tie(centers, nprobe, v, floor=1e-5) -> bool:
+    """True when any adjacent f64-cosine gap inside the top-(nprobe+1)
+    selection region is a nonzero value below ``floor``: the kernel scores
+    in float32 (~1e-7 relative rounding, BLAS-dependent), so ordering on
+    such rows is legitimately environment-specific and must not be pinned
+    by a randomized test.  EXACT ties (gap == 0 — probability zero on
+    continuous data) stay in; the crafted-tie tests above pin those."""
+    C = np.asarray(centers, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    a = np.asarray(v, dtype=np.float64)
+    na = np.linalg.norm(a)
+    if na == 0:
+        return False
+    cos = np.sort((C @ a) / (cn * na))[::-1][: nprobe + 1]
+    gaps = -np.diff(cos)
+    return bool(((gaps > 0) & (gaps < floor)).any())
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("k,d,rows,nprobe", [(7, 5, 64, 3), (33, 8, 128, 5), (4, 3, 16, 2)])
 def test_randomized_equivalence(seed, k, d, rows, nprobe):
     """Randomized batches with injected NULL/ragged/zero rows: vectorized
-    kernel == reference loop row for row."""
+    kernel == reference loop row for row.  Rows whose top-p boundary has a
+    sub-1e-5 (but nonzero) f64 gap are regenerated — the f32 kernel's
+    ordering there depends on BLAS rounding, which is not the contract."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(k, d)).tolist()
     vs: list = []
@@ -152,7 +173,10 @@ def test_randomized_equivalence(seed, k, d, rows, nprobe):
         elif r == 2:
             vs.append([0.0] * d)
         else:
-            vs.append(rng.normal(size=d).tolist())
+            v = rng.normal(size=d).tolist()
+            while _near_tie(centers, nprobe, v):
+                v = rng.normal(size=d).tolist()
+            vs.append(v)
     pdf = pd.DataFrame(
         {"vec_id": np.arange(rows, dtype=np.int64), "v": vs}
     )

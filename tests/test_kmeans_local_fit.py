@@ -70,10 +70,21 @@ def test_duplicate_point_corpus_reseeds_empty_clusters():
     assert (sims.max(axis=0) > 0.99).all()
 
 
-def test_zero_rows_never_win():
+def test_zero_rows_dropped_from_fit():
+    """Zero-norm rows have no direction: they are excluded before init,
+    so no centroid can be seeded dead-zero and every centroid stays unit
+    norm (pre-fix they argmaxed to centroid 0 and could seed a dead one)."""
     X = np.vstack([np.zeros((5, 8)), np.eye(8)[:4]])
     C = np.array(_fit_centroids_spherical(X, k=2, seed=11))
     assert np.isfinite(C).all()
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-6)
+
+
+def test_zero_rows_do_not_count_toward_k():
+    # 5 zero rows + 1 real row cannot seed k=2 centroids
+    X = np.vstack([np.zeros((5, 8)), np.eye(8)[:1]])
+    with pytest.raises(ValueError, match="zero-norm"):
+        _fit_centroids_spherical(X, k=2, seed=0)
 
 
 def test_sample_smaller_than_k_raises():

@@ -134,6 +134,45 @@ def test_dispatch_unsupported_returns_none():
     assert d is not None and d["decoder"] == "ppm"
 
 
+def test_bmp_parse_failure_falls_through_to_pil(monkeypatch):
+    """A BM-magic payload the pure-Python parser rejects (compressed,
+    paletted, 16-bit...) must reach the PIL branch instead of returning
+    None early — PIL, when importable, decodes several of those variants.
+    Simulated here with a stub PIL module (the container has none)."""
+    import io
+    import sys
+    import types
+
+    from thesis_iceberg_spark.operators import multimodal as mm
+
+    calls = []
+
+    class _Img:
+        width, height, mode = 2, 1, "P"
+
+        def __array__(self, dtype=None, copy=None):
+            import numpy as np
+
+            return np.zeros((1, 2), dtype=np.uint8)
+
+    fake_image = types.SimpleNamespace(
+        open=lambda buf: (calls.append(buf.getvalue()), _Img())[1]
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    monkeypatch.setattr(mm, "_PIL_OK", True)
+    # BM magic + garbage: parse_bmp raises ValueError -> falls through
+    payload = b"BM" + b"\x00" * 40
+    d = mm.decode_image_payload(payload)
+    assert calls == [payload]  # PIL actually saw the payload
+    assert d is not None and d["decoder"] == "pil" and d["width"] == 2
+    # and the availability probe is memoized: flipping it off disables PIL
+    monkeypatch.setattr(mm, "_PIL_OK", False)
+    assert mm.decode_image_payload(payload) is None
+
+
 def test_decode_media_end_to_end(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(60)
     media = documents_as_image_media(docs)

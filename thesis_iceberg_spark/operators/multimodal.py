@@ -7,9 +7,11 @@ everything the engine does with them runs through Arrow-batched
 ``mapInPandas`` so Python-side decoding libraries slot in per-batch without
 per-row overhead.
 
-This container has no image/audio libraries, so the DECODE step is stubbed:
-``decode_media`` raises ``NotImplementedError`` unless PIL is importable,
-and ``media_features`` computes a DETERMINISTIC FAKE feature vector (byte
+This container has no image/audio libraries; ``decode_media`` decodes
+uncompressed BMP (24/32-bit BI_RGB) and PPM/PGM (P6/P5) with pure
+Python+numpy parsers, falls back to PIL when importable for everything
+else, and tags undecodable payloads ``decoder='unsupported'``.
+``media_features`` computes a DETERMINISTIC FAKE feature vector (byte
 statistics) clearly marked as such.  The Spark-side plumbing — schemas,
 partitioning, UDF signatures, Arrow batch shapes — is real and tested.
 
@@ -421,6 +423,23 @@ def parse_ppm(payload: bytes) -> dict:
     }
 
 
+_PIL_OK: bool | None = None
+
+
+def _pil_available() -> bool:
+    """Probe PIL ONCE per process: a FAILED import is not cached by Python,
+    so probing per payload would rescan sys.path for every corrupt row."""
+    global _PIL_OK
+    if _PIL_OK is None:
+        try:  # pragma: no cover - PIL not installed in this container
+            import PIL  # noqa: F401
+
+            _PIL_OK = True
+        except ImportError:
+            _PIL_OK = False
+    return _PIL_OK
+
+
 def decode_image_payload(payload: bytes | None) -> dict | None:
     """Dispatch one payload to a decoder: pure-Python BMP/PPM first, PIL (if
     importable) for everything else.  Returns the parse dict plus a
@@ -433,6 +452,12 @@ def decode_image_payload(payload: bytes | None) -> dict | None:
         if payload[:2] in (b"P6", b"P5"):
             return {**parse_ppm(payload), "decoder": "ppm"}
     except ValueError:
+        # a BMP/PPM the pure-Python parsers reject (compressed, paletted,
+        # 16-bit, maxval > 255, truncated...) falls THROUGH to PIL, which
+        # decodes several of those variants — only if PIL also fails is
+        # the payload unsupported
+        pass
+    if not _pil_available():
         return None
     try:  # pragma: no cover - PIL not installed in this container
         import io

@@ -1055,16 +1055,21 @@ def _fit_centroids_spherical(X, k: int, seed: int, iters: int = KMEANS_LOCAL_FIT
     import numpy as np
 
     X = np.ascontiguousarray(X, dtype=np.float32)
+    norms = np.linalg.norm(X, axis=1)
+    # zero-norm rows have no direction: they would argmax to centroid 0
+    # every iteration (all-zero scores -> first index) and a seeded init
+    # or reseed could pick one as a permanently-dead centroid — drop them
+    # from the fit sample, matching the assign kernel and build_ivf_index
+    nz_rows = norms > 0
+    X = X[nz_rows] / norms[nz_rows][:, None]
     m, d = X.shape
     if m < k:
         raise ValueError(
-            f"spherical fit needs >= k sample rows (k={k}, sample={m}); "
+            f"spherical fit needs >= k non-degenerate sample rows (k={k}, "
+            f"sample={m} after dropping zero-norm rows); "
             "KMEANS_FIT_ROWS_PER_CENTROID guarantees 20x — a smaller "
             "sample means the caller sized k off the wrong count"
         )
-    norms = np.linalg.norm(X, axis=1)
-    norms[norms == 0] = 1.0  # zero rows become zero unit-rows: never argmax
-    X = X / norms[:, None]
     rng = np.random.default_rng(seed)
     C = X[rng.choice(m, size=k, replace=False)].copy()
     chunk = max(1, (64 << 20) // (4 * k))  # ~64 MB of f32 scores per block

@@ -35,8 +35,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _toks(col: str = "text"):
-    """Whitespace tokens of the lowercased text (split + lower are codegen'd)."""
-    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    """Whitespace tokens of the lowercased text (split + lower are codegen'd).
+    Delegates to _toks_of (defined with the LM-filter family below) so the
+    canonical tokenizer expression exists exactly once in this module."""
+    return _toks_of(F.col(col))
 
 
 def _sql_toks(col: str = "text") -> str:
@@ -1170,17 +1172,27 @@ LM_VOCAB_SIZE_REGISTERED = 16
 
 def _lm_ftoks(col: str = "text"):
     """Non-empty whitespace tokens of the lowercased text; NULL text scores
-    as the empty document (coalesce in BOTH twins — see _SQL_LM_FTOKS)."""
-    return F.filter(_toks_of(F.coalesce(F.col(col), F.lit(""))), lambda t: t != F.lit(""))
+    as the empty document (coalesce in BOTH twins — see _SQL_LM_FTOKS).
+
+    \\x0B (vertical tab) is folded to a space BEFORE splitting in BOTH
+    engines: Java's \\s matches it, RE2's does not (the divergence
+    test_vertical_tab_actually_diverges_in_duckdb pins), so neutralizing
+    it is what makes these twins safe on NON-ASCII-certified text —
+    unlike the Arrow shingle kernels, which certify-and-raise instead."""
+    return F.filter(
+        _toks_of(F.translate(F.coalesce(F.col(col), F.lit("")), "\x0b", " ")),
+        lambda t: t != F.lit(""),
+    )
 
 
 def _toks_of(col):
+    """Column-input twin of _toks() — ONE canonical tokenizer expression."""
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
 _SQL_LM_FTOKS = (
-    "list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), "
-    "'\\s+'), t -> t <> '')"
+    "list_filter(regexp_split_to_array(trim(lower(replace(coalesce(text, ''), "
+    "chr(11), ' '))), '\\s+'), t -> t <> '')"
 )
 
 
@@ -1217,12 +1229,6 @@ def lm_rarity_df(
     (pytest-pinned in tests/test_lm_filter.py).
     """
     vocab = lm_unigram_vocab(docs, v)
-    # total corpus tokens N: one scalar aggregate over the SAME token
-    # explode (not the vocab — OOV mass counts toward N)
-    totals = (
-        docs.select(F.explode(_lm_ftoks()).alias("t"))
-        .agg(F.count(F.lit(1)).alias("n_total"))
-    )
     # V entries -> ONE row holding the (token -> count) map + actual V;
     # crossJoin(broadcast(...)) of a single row is a broadcast nested
     # loop, i.e. a free per-partition closure — scoring stays narrow
@@ -1230,13 +1236,23 @@ def lm_rarity_df(
         F.map_from_entries(F.collect_list(F.struct("t", "c"))).alias("m"),
         F.count(F.lit(1)).alias("v_size"),
     )
+    scored = docs.crossJoin(F.broadcast(vmap))
+    if perplexity:
+        # total corpus tokens N (OOV mass counts toward N, so this is a
+        # separate scalar aggregate over the full token explode — Catalyst
+        # cannot prove agg-without-grouping is one row, so the crossJoin
+        # would survive even unused: only build it when ppl needs N)
+        totals = (
+            docs.select(F.explode(_lm_ftoks()).alias("t"))
+            .agg(F.count(F.lit(1)).alias("n_total"))
+        )
+        scored = scored.crossJoin(F.broadcast(totals))
     ftoks = _lm_ftoks()
     # try_element_at, not element_at: under ANSI (Spark 4 default) a map
     # miss THROWS MAP_KEY_DOES_NOT_EXIST; try_ yields NULL = OOV
     hit = lambda t: F.try_element_at(F.col("m"), t)  # noqa: E731
     scored = (
-        docs.crossJoin(F.broadcast(vmap))
-        .crossJoin(F.broadcast(totals))
+        scored
         .select(
             "doc_id",
             F.size(ftoks).alias("n_tokens"),
