@@ -206,27 +206,73 @@ def main() -> None:
         for name in headline
     }
 
+    # Machine-speed canary: FIXED work, no I/O, code-independent — lets
+    # round-over-round comparisons separate code deltas from host deltas
+    # (r9 measured unchanged-code queries uniformly +40-70% vs the r8
+    # numbers on a quiet box, load < 1: the HOST was slower, not the
+    # plans; without an anchor that reads as a universal regression).
+    import numpy as _np
+
+    def _canary_jvm() -> float:
+        from pyspark.sql import functions as _F
+
+        t0 = time.perf_counter()
+        # bit_xor, not sum: a sum of 1e8 64-bit hashes overflows under ANSI
+        spark.range(0, 100_000_000, 1, 32).select(
+            _F.expr("bit_xor(xxhash64(id))")
+        ).collect()
+        return time.perf_counter() - t0
+
+    def _canary_numpy() -> float:
+        a = _np.full((1024, 1024), 1.0003, dtype=_np.float64)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = _np.clip(a @ a, 0.5, 1.5)
+        return time.perf_counter() - t0
+
+    canary_jvm = round(statistics.median(_canary_jvm() for _ in range(3)), 4)
+    canary_np = round(statistics.median(_canary_numpy() for _ in range(3)), 4)
+
     med = {
         name: round(statistics.median(r[name] for r in cold_runs), 4)
         for name in headline
     }
     total = round(sum(med.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": med,  # per-query MEDIAN over JVM-fresh cold runs
-                "cold_runs": len(cold_runs),
-                "queries_cold_samples": cold_runs,
-                "queries_steady": steady,  # per-query MEDIAN of warm passes
-                "steady_runs": len(steady_runs),
-                "value_steady": round(sum(steady.values()), 4),
-                "sf": sf,
-            }
-        )
+    # Full record (raw cold samples etc.) goes to a sidecar file; the
+    # stdout line must stay COMPACT: the grading driver keeps only the
+    # LAST 2000 BYTES of output and json-parses the final line — the
+    # verbose line overflowed that window in r7/r8 (BENCH_r0{7,8}.json
+    # have parsed: null) and the per-round series silently degraded to
+    # whatever fit in the tail.  Hard-asserted below; if the headline
+    # list ever grows past the budget, steady medians get dropped from
+    # stdout before the contract-required cold "queries" do.
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": med,  # per-query MEDIAN over JVM-fresh cold runs
+        "cold_runs": len(cold_runs),
+        "queries_steady": steady,  # per-query MEDIAN of warm passes
+        "steady_runs": len(steady_runs),
+        "value_steady": round(sum(steady.values()), 4),
+        "canary_jvm_sec": canary_jvm,  # fixed 1e8-row xxhash64 sum
+        "canary_numpy_sec": canary_np,  # fixed 8x 1024^3 GEMM chain
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump({**record, "queries_cold_samples": cold_runs}, f, indent=1)
+    line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 1900:
+        record.pop("queries_steady")
+        line = json.dumps(record, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"bench stdout line is {len(line)} bytes; the driver tail-captures "
+        "2000 — trim the headline list or the record"
     )
+    print(line)
 
 
 if __name__ == "__main__":
