@@ -112,6 +112,55 @@ def test_perplexity_matches_python_reference(spark, crafted_dir):
     assert got[6] > got[2]
 
 
+def test_map_and_join_modes_agree(spark, crafted_dir):
+    """The O(V)-per-token map path and the broadcast-hash-join path must
+    produce identical rows (integers exactly, ppl to float summation
+    order) — the auto switch at LM_SCORE_JOIN_V_CEILING must never change
+    results, only the plan."""
+    docs = _docs_df(spark, crafted_dir)
+    for ppl in (False, True):
+        a = {
+            r.doc_id: r.asDict()
+            for r in lm_rarity_df(spark, docs, v=4, perplexity=ppl, mode="map").collect()
+        }
+        b = {
+            r.doc_id: r.asDict()
+            for r in lm_rarity_df(
+                spark, docs, v=4, perplexity=ppl, mode="join"
+            ).collect()
+        }
+        assert set(a) == set(b)
+        for did in a:
+            ra, rb = a[did], b[did]
+            pa, pb = ra.pop("ppl", None), rb.pop("ppl", None)
+            assert ra == rb, (did, ra, rb)
+            if pa is None or pb is None:
+                assert pa == pb
+            else:
+                assert pb == pytest.approx(pa, rel=1e-12)
+
+
+def test_join_mode_is_default_at_production_v(spark, crafted_dir):
+    from thesis_iceberg_spark.queries.text import (
+        LM_SCORE_JOIN_V_CEILING,
+        LM_VOCAB_SIZE,
+    )
+
+    assert LM_VOCAB_SIZE > LM_SCORE_JOIN_V_CEILING  # production V auto-joins
+    assert LM_VOCAB_SIZE_REGISTERED <= LM_SCORE_JOIN_V_CEILING  # driver: map
+    docs = _docs_df(spark, crafted_dir)
+    plan = (
+        lm_rarity_df(spark, docs, v=LM_VOCAB_SIZE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # hash-probed broadcast join, not a per-token map scan; the per-doc
+    # re-aggregation is the one keyed shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "map_from_entries" not in plan
+
+
 def test_registered_query_matches_duckdb_oracle(spark, tmp_path):
     # cross-engine gate on a corpus with MORE distinct tokens than the
     # registered V=16, so the OOV left-join-miss arm is exercised end to

@@ -1209,8 +1209,23 @@ def lm_unigram_vocab(docs: DataFrame, v: int) -> DataFrame:
     )
 
 
+# Above this vocabulary size the one-row-map scoring path switches to an
+# explode + broadcast HASH join: Spark's map lookup (GetMapValue /
+# try_element_at) is a LINEAR SCAN of the map's key array — O(V) string
+# compares PER TOKEN — so at the production V=65536 the "zero-shuffle"
+# map path costs ~V/2 compares/token and loses by orders of magnitude to
+# a hash-probed broadcast join + one map-side-combined re-aggregation
+# (measured while building the 100x scale rehearsal: the map path's wall
+# tracks the MATERIALIZED vocab size, not the corpus).
+LM_SCORE_JOIN_V_CEILING = 256
+
+
 def lm_rarity_df(
-    spark: SparkSession, docs: DataFrame, v: int = LM_VOCAB_SIZE, perplexity: bool = False
+    spark: SparkSession,
+    docs: DataFrame,
+    v: int = LM_VOCAB_SIZE,
+    perplexity: bool = False,
+    mode: str | None = None,
 ) -> DataFrame:
     """Per-document unigram-LM stats: (doc_id, n_tokens, n_oov,
     sum_vocab_cnt, oov_frac, mean_vocab_cnt[, ppl]).
@@ -1227,8 +1242,70 @@ def lm_rarity_df(
     size actually materialized.  NULL on empty docs.  ln/exp are engine-
     specific to 1 ulp, so this column stays out of the value oracle
     (pytest-pinned in tests/test_lm_filter.py).
+
+    mode: None -> auto ('map' for v <= LM_SCORE_JOIN_V_CEILING, 'join'
+    above).  'map' scores through a one-row broadcast (token -> count)
+    map — ZERO shuffle, but each lookup linearly scans the map's key
+    array, so it only wins while V is small.  'join' explodes tokens
+    into a broadcast HASH join against the vocab and re-aggregates per
+    doc — one map-side-combined keyed shuffle, O(1) per token at any V
+    (the 100 TB shape for production vocabularies).  Identical results
+    (integer columns exactly; ppl to float summation order) — pinned by
+    tests/test_lm_filter.py::test_map_and_join_modes_agree.
     """
+    if mode is None:
+        mode = "map" if v <= LM_SCORE_JOIN_V_CEILING else "join"
+    if mode not in ("map", "join"):
+        raise ValueError(f"unknown lm_rarity mode: {mode}")
     vocab = lm_unigram_vocab(docs, v)
+    if mode == "join":
+        base = docs.select("doc_id", _lm_ftoks().alias("toks"))
+        ex = base.select("doc_id", F.explode("toks").alias("t"))
+        j = ex.join(F.broadcast(vocab), "t", "left")
+        if perplexity:
+            scal = F.broadcast(
+                vocab.agg(F.count(F.lit(1)).alias("v_size")).crossJoin(
+                    ex.agg(F.count(F.lit(1)).alias("n_total"))
+                )
+            )
+            j = j.crossJoin(scal)
+        aggs = [
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("c").isNull().cast("long")).alias("n_oov"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(
+                "sum_vocab_cnt"
+            ),
+        ]
+        if perplexity:
+            aggs.append(
+                F.sum(
+                    -F.log(
+                        (F.coalesce(F.col("c"), F.lit(0).cast("long")) + F.lit(1)).cast(
+                            "double"
+                        )
+                        / (F.col("n_total") + F.col("v_size") + F.lit(1)).cast("double")
+                    )
+                ).alias("nll_sum")
+            )
+        per_doc = j.groupBy("doc_id").agg(*aggs)
+        # docs with no tokens never reach the explode: restore them with
+        # zero counts (NULL nll_sum keeps ppl NULL), mirroring the
+        # oracle's documents LEFT JOIN per_doc
+        scored = (
+            base.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+                F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).alias("n_oov"),
+                F.coalesce(F.col("sum_vocab_cnt"), F.lit(0).cast("long")).alias(
+                    "sum_vocab_cnt"
+                ),
+                *(["nll_sum"] if perplexity else []),
+            )
+        )
+        return _lm_rarity_tail(scored, perplexity)
+    # --- mode == 'map' -------------------------------------------------
     # V entries -> ONE row holding the (token -> count) map + actual V;
     # crossJoin(broadcast(...)) of a single row is a broadcast nested
     # loop, i.e. a free per-partition closure — scoring stays narrow
@@ -1283,6 +1360,12 @@ def lm_rarity_df(
             ),
         )
     )
+    return _lm_rarity_tail(scored, perplexity)
+
+
+def _lm_rarity_tail(scored: DataFrame, perplexity: bool) -> DataFrame:
+    """Shared ratio/ppl projection over (doc_id, n_tokens, n_oov,
+    sum_vocab_cnt[, nll_sum]) — both scoring modes end here."""
     out = scored.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
