@@ -1489,7 +1489,17 @@ def _cluster_centroids(members: DataFrame, dim: int, mode: str | None = None) ->
         "label",
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.col("m")[i],  # map lookup: NULL where no member has pos i
+            # map lookup: NULL where no member has pos i.  Spark map
+            # lookups are O(|m|) linear scans (the lm_rarity V-ceiling
+            # lesson), so this assembly is O(dim^2) int compares PER
+            # CLUSTER — ~10 ms at D=4096, bounded because explode mode
+            # only engages past D=2048 and rows here are one-per-cluster.
+            # If a future corpus pushes D to ~10^4+: positions are DENSE
+            # whenever a cluster's members share one width (the pair
+            # filter guarantees it — see semdedup_keepers), so a
+            # sort_array(collect_list(struct(pos, cval))) fast path
+            # assembles in O(D log D) there.
+            lambda i: F.col("m")[i],
         ).alias("c"),
     )
 
