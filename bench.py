@@ -255,7 +255,7 @@ def main() -> None:
         "queries_steady": steady,  # per-query MEDIAN of warm passes
         "steady_runs": len(steady_runs),
         "value_steady": round(sum(steady.values()), 4),
-        "canary_jvm_sec": canary_jvm,  # fixed 1e8-row xxhash64 sum
+        "canary_jvm_sec": canary_jvm,  # fixed 1e8-row xxhash64 bit_xor
         "canary_numpy_sec": canary_np,  # fixed 8x 1024^3 GEMM chain
         "sf": sf,
     }

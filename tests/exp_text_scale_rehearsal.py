@@ -23,7 +23,7 @@ Run:  python tests/exp_text_scale_rehearsal.py [max_replication]
 
 from __future__ import annotations
 
-import statistics
+import shutil
 import sys
 import tempfile
 import time
@@ -43,7 +43,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    n_src = src.count()
 
     def build(repl: int) -> str:
         copies = spark.range(repl).withColumnRenamed("id", "copy")
@@ -126,6 +125,9 @@ def main() -> None:
             .collect()
         )
         t_bm = timeit(lambda: bm25_topk_df(spark, docs).collect())
+        # corpus is pinned by the localCheckpoint; the parquet (hundreds
+        # of MB at 100x) must not accumulate in /tmp across runs
+        shutil.rmtree(d, ignore_errors=True)
         base.setdefault("lm", t_lm)
         base.setdefault("ppl", t_ppl)
         base.setdefault("bm", t_bm)

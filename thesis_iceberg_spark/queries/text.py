@@ -1257,21 +1257,36 @@ def lm_rarity_df(
         mode = "map" if v <= LM_SCORE_JOIN_V_CEILING else "join"
     if mode not in ("map", "join"):
         raise ValueError(f"unknown lm_rarity mode: {mode}")
+    # PRECONDITION (both modes, and the oracle): doc_id is a KEY of
+    # ``docs``.  On duplicate doc_ids the modes legitimately diverge
+    # (map scores each row; join's groupBy(doc_id) merges them) — the
+    # documents tables are keyed everywhere in this engine, so this is
+    # the same contract every other per-doc query already assumes.
     vocab = lm_unigram_vocab(docs, v)
     if mode == "join":
         base = docs.select("doc_id", _lm_ftoks().alias("toks"))
-        ex = base.select("doc_id", F.explode("toks").alias("t"))
+        # explode_OUTER keeps zero-token docs as a single NULL-token row,
+        # so the per-doc aggregation below sees EVERY doc and no restore
+        # join is needed: the whole path is one broadcast hash join +
+        # one map-side-combined keyed shuffle
+        ex = base.select("doc_id", F.explode_outer("toks").alias("t"))
+        if perplexity:
+            # vocab appears on the join side AND in v_size: checkpoint the
+            # tiny (<= V rows) fit result so the word-count shuffle +
+            # TakeOrdered subtree executes once, not twice
+            vocab = vocab.localCheckpoint(eager=True)
         j = ex.join(F.broadcast(vocab), "t", "left")
         if perplexity:
             scal = F.broadcast(
                 vocab.agg(F.count(F.lit(1)).alias("v_size")).crossJoin(
-                    ex.agg(F.count(F.lit(1)).alias("n_total"))
+                    ex.agg(F.count("t").alias("n_total"))
                 )
             )
             j = j.crossJoin(scal)
+        real = F.col("t").isNotNull()  # the NULL-token row of an empty doc
         aggs = [
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("c").isNull().cast("long")).alias("n_oov"),
+            F.count("t").alias("n_tokens"),  # count(col) skips NULLs
+            F.sum((real & F.col("c").isNull()).cast("long")).alias("n_oov"),
             F.sum(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(
                 "sum_vocab_cnt"
             ),
@@ -1279,31 +1294,21 @@ def lm_rarity_df(
         if perplexity:
             aggs.append(
                 F.sum(
-                    -F.log(
-                        (F.coalesce(F.col("c"), F.lit(0).cast("long")) + F.lit(1)).cast(
-                            "double"
-                        )
-                        / (F.col("n_total") + F.col("v_size") + F.lit(1)).cast("double")
+                    F.when(
+                        real,
+                        -F.log(
+                            (
+                                F.coalesce(F.col("c"), F.lit(0).cast("long"))
+                                + F.lit(1)
+                            ).cast("double")
+                            / (F.col("n_total") + F.col("v_size") + F.lit(1)).cast(
+                                "double"
+                            )
+                        ),
                     )
-                ).alias("nll_sum")
+                ).alias("nll_sum")  # empty docs: sum of no rows -> NULL -> ppl NULL
             )
-        per_doc = j.groupBy("doc_id").agg(*aggs)
-        # docs with no tokens never reach the explode: restore them with
-        # zero counts (NULL nll_sum keeps ppl NULL), mirroring the
-        # oracle's documents LEFT JOIN per_doc
-        scored = (
-            base.select("doc_id")
-            .join(per_doc, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
-                F.coalesce(F.col("n_oov"), F.lit(0).cast("long")).alias("n_oov"),
-                F.coalesce(F.col("sum_vocab_cnt"), F.lit(0).cast("long")).alias(
-                    "sum_vocab_cnt"
-                ),
-                *(["nll_sum"] if perplexity else []),
-            )
-        )
+        scored = j.groupBy("doc_id").agg(*aggs)
         return _lm_rarity_tail(scored, perplexity)
     # --- mode == 'map' -------------------------------------------------
     # V entries -> ONE row holding the (token -> count) map + actual V;
