@@ -77,8 +77,8 @@ def _load_all() -> None:
 #     driver's own CORRECTNESS_r*.json records.
 #   * Names not (yet) registered are skipped harmlessly.
 # Round 9 block: queries whose code changed since the r8 driver run
-# (the post-r8-verdict commit 851ad08 plus this round) and the one new
-# registration.  Kept minimal so the fallback's ~44 slots absorb the 26
+# (the post-r8-verdict commit 851ad08 plus this round) and the three new
+# registrations.  Kept minimal so the fallback's ~43 slots absorb the 26
 # queries whose newest green is r6 (VERDICT r8 ask #6).
 _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # comfortably above the worst-case stale backlog (the registry grows ~2-4
