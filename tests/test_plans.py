@@ -5,6 +5,7 @@ that decide whether a query survives a 100x scale-up."""
 from __future__ import annotations
 
 from thesis_iceberg_spark.plans import (
+    assert_broadcast_hints_only,
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filters,
@@ -42,10 +43,31 @@ def test_agg_prunes_to_referenced_columns(spark, sf_dir):
     assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
 
 
-def test_star_join_broadcasts_all_dims(spark, sf_dir):
+def test_star_join_hint_discipline(spark, sf_dir):
+    # Forced F.broadcast is legal ONLY on bounded-cardinality dims (nation
+    # 25 rows / region 5 rows at ANY SF).  Orders and customer scale with
+    # SF — a hint there overrides autoBroadcastJoinThreshold and OOMs at
+    # 100 TB, so the analyzed plan must carry hints on nation/region only;
+    # AQE still picks broadcast for all four at sf0.1 from measured sizes.
     df = _q("star_join_revenue_by_nation", spark, sf_dir)
-    assert_broadcast_join(df, min_count=4)  # orders, customer, nation, region
+    assert_broadcast_hints_only(df, "n_nationkey", "r_regionkey")
+    assert_broadcast_join(df, min_count=2)  # nation + region always broadcast
     assert_no_cartesian(df)
+
+
+def test_cust_orders_join_has_no_forced_hint(spark, sf_dir):
+    # customer is 150k rows per TPC-H SF — NOT a bounded dim; the join must
+    # leave the strategy to AQE (no ResolvedHint at all in the analyzed plan)
+    df = _q("join_inner_cust_orders", spark, sf_dir)
+    assert_broadcast_hints_only(df)  # no markers allowed => zero hints
+    assert_no_cartesian(df)
+
+
+def test_tpch_analogs_hint_discipline(spark, sf_dir):
+    # q3/q14 join SF-scaling tables (customer, part) — no forced hints
+    # anywhere in either analyzed plan; AQE owns the strategy
+    assert_broadcast_hints_only(_q("q3_unshipped_topk", spark, sf_dir))
+    assert_broadcast_hints_only(_q("q14_promo_revenue", spark, sf_dir))
 
 
 def test_asof_join_not_cartesian(spark, sf_dir):

@@ -56,6 +56,38 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
     assert n >= min_count, f"expected >= {min_count} broadcast joins, found {n}\n{plan}"
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+
+
+def assert_broadcast_hints_only(df: DataFrame, *allowed_markers: str) -> None:
+    """Every ``ResolvedHint`` in the ANALYZED plan must sit over a relation
+    identified by one of ``allowed_markers`` (a column unique to that table,
+    e.g. ``n_nationkey``).
+
+    This is the 100 TB hint-discipline gate: ``F.broadcast`` is only
+    legitimate on BOUNDED-cardinality dimensions (nation: 25 rows, region: 5
+    at any TPC-H SF).  A forced hint on an SF-scaling table (orders,
+    customer, lineitem) overrides autoBroadcastJoinThreshold and OOMs
+    building the broadcast at scale — the physical plan can't reveal this at
+    small SF (AQE legitimately picks broadcast there from measured sizes),
+    so the gate reads the analyzed logical plan where hints are explicit.
+    """
+    plan = analyzed_plan(df)
+    lines = plan.splitlines()
+    hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    for i in hints:
+        # the hinted subtree's relation is the first scan line below the hint
+        rel = next(
+            (ln for ln in lines[i + 1 :] if "Relation" in ln or "LogicalRDD" in ln),
+            "",
+        )
+        assert any(m in rel for m in allowed_markers), (
+            f"forced hint over a non-allowed relation (allowed markers "
+            f"{allowed_markers}):\n{rel}\nfull analyzed plan:\n{plan}"
+        )
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"plan degenerated to cartesian:\n{plan}"

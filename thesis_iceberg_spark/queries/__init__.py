@@ -76,10 +76,12 @@ def _load_all() -> None:
 #     never-driver-checked queries first, then oldest green, from the
 #     driver's own CORRECTNESS_r*.json records.
 #   * Names not (yet) registered are skipped harmlessly.
-# Round 9 block: queries whose code changed since the r8 driver run
-# (the post-r8-verdict commit 851ad08 plus this round) and the three new
-# registrations.  Kept minimal so the fallback's ~43 slots absorb the 26
-# queries whose newest green is r6 (VERDICT r8 ask #6).
+# Round 10 block: queries whose code changed this round — the broadcast-
+# hint-discipline sweep (forced F.broadcast removed from every SF-scaling
+# join side, VERDICT r9 'What's wrong' #1/#2 plus the same disease found
+# in q3/q14/stream-static) and the \x0B tokenizer unification (the older
+# _toks/_sql_toks twins now fold vertical tab to a space like the r9
+# LM/BM25 twins — touches the shingle-based text/pipeline queries).
 _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # comfortably above the worst-case stale backlog (the registry grows ~2-4
 # queries/round, so <=20 queries can age past the 2-round line between
@@ -87,14 +89,12 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    "multimodal_decode_image",       # NEW r9 (pure-Python BMP/PPM decode)
-    "dedup_embedding_kmeans_pairs",  # changed (bounded self-check denominator
-    #                                  + vectorized assign kernel, 851ad08)
-    "dedup_semdedup_centroid_far",   # changed (centroid width over members)
-    "dedup_embedding_cluster_canonical",  # changed (same keeper width path)
-    "text_c4_badwords_flags",        # changed (real LDNOOBW-subset default)
-    "text_lm_rarity_stats",          # NEW r9 (CCNet-style unigram-LM filter)
-    "search_bm25_topk",              # NEW r9 (BM25 lexical top-k retrieval)
+    # hint-discipline sweep (forced broadcast removed from SF-scaling sides)
+    "star_join_revenue_by_nation",
+    "join_inner_cust_orders",
+    "q3_unshipped_topk",
+    "q14_promo_revenue",
+    "streaming_static_dim_join",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

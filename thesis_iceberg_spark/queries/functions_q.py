@@ -287,10 +287,11 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
     doc="TPC-H Q3 analog: segment-filtered customers x date-bounded orders "
-    "x unshipped lineitems, revenue per order, top-10. customer (true dim) "
-    "broadcasts; orders is a FACT table, so lineitem-orders is left to "
-    "AQE (shuffle join at scale, broadcast only if the filtered side is "
-    "genuinely small at runtime); TakeOrderedAndProject for the limit.",
+    "x unshipped lineitems, revenue per order, top-10. No forced hints: "
+    "orders is a FACT table and customer scales with SF, so both joins are "
+    "left to AQE (shuffle join at scale, broadcast only if the filtered "
+    "side is genuinely small at runtime); TakeOrderedAndProject for the "
+    "limit.",
 )
 def q3_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -304,11 +305,12 @@ def q3_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
     )
     return (
-        # no broadcast hint on orders: it is a fact table — a forced hint
-        # would override spark.sql.autoBroadcastJoinThreshold and OOM at
-        # 100x scale; AQE picks broadcast at small SF, shuffle join at scale
+        # no broadcast hint on ANY side: orders is a fact table and customer
+        # scales with SF (150k rows per TPC-H SF) — a forced hint would
+        # override spark.sql.autoBroadcastJoinThreshold and OOM at 100x
+        # scale; AQE picks broadcast at small SF, shuffle join at scale
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
         .select(
@@ -338,8 +340,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
 """,
     doc="TPC-H Q14 analog (promo revenue share): month-sliced lineitem "
-    "joined to the part dimension (broadcast), conditional decimal "
-    "aggregation. Exercises LIKE-prefix predicates + CASE inside SUM.",
+    "joined to part (SF-scaling — AQE picks the strategy, no forced hint), "
+    "conditional decimal aggregation. Exercises LIKE-prefix predicates + "
+    "CASE inside SUM.",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -354,7 +357,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF (200k rows per TPC-H SF) — no forced hint;
+        # AQE broadcasts at small SF from measured sizes
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(promo).cast("string").cast("double").alias("promo_revenue"),
             F.sum(rev).cast("string").cast("double").alias("total_revenue"),

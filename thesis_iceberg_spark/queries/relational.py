@@ -250,14 +250,18 @@ SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_name
 """,
-    doc="§2B inner equi-join + agg. customer:orders is 1:10 — the smaller "
-    "side broadcasts (explicit hint), so the orders scan never shuffles.",
+    doc="§2B inner equi-join + agg. customer:orders is 1:10, but BOTH sides "
+    "scale with SF (customer is 150k rows *per TPC-H SF* — multi-TB at the "
+    "100 TB target), so neither side carries a broadcast hint: a forced hint "
+    "would override spark.sql.autoBroadcastJoinThreshold and OOM building "
+    "the broadcast at scale.  AQE picks broadcast at small SF from measured "
+    "sizes and a shuffle join at scale (the q3 rule, functions_q.py).",
 )
 def join_inner_cust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
@@ -363,9 +367,16 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n.n_name, r.r_name
 """,
-    doc="§2B star join (TPC-H Q5 style): fact lineitem joins 4 dims; every "
-    "dim is broadcast so the only shuffle is the final tiny group-by. This "
-    "is THE 100 TB pattern — fact table streams through once.",
+    doc="§2B star join (TPC-H Q5 style): fact lineitem joins orders, "
+    "customer, nation, region.  Only the BOUNDED-cardinality dims (nation "
+    "25 rows, region 5 rows at ANY SF) carry broadcast hints; orders and "
+    "customer scale with SF (~29% of orders survives the 2-year filter — "
+    "terabytes at the 100 TB target), so a forced F.broadcast would "
+    "override autoBroadcastJoinThreshold and kill the job building the "
+    "broadcast.  AQE decides those joins from measured shuffle sizes: "
+    "broadcast at small SF, shuffle join at scale.  The shuffle-free "
+    "alternative at scale is the bucketed layout demonstrated by "
+    "join_bucketed_colocated (zero-Exchange plan gate).",
 )
 def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -378,8 +389,8 @@ def star_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice").cast(DEC)) * (F.lit(1) - F.col("l_discount").cast(DEC))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))

@@ -115,9 +115,11 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """,
     doc="Stream-static join: the event stream enriched against the static "
-    "customer dimension (broadcast per micro-batch — the streaming lookup-"
-    "table pattern), aggregated in complete mode. Oracle is the batch "
-    "equivalent.",
+    "customer dimension, aggregated in complete mode. No forced broadcast "
+    "hint — customer scales with SF, so the per-micro-batch join strategy "
+    "is left to the planner (broadcast when the dim is genuinely small; at "
+    "scale a pre-bucketed dim or a state-store join keeps it bounded). "
+    "Oracle is the batch equivalent.",
 )
 def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
@@ -127,7 +129,7 @@ def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    joined = stream.join(dim, stream.user_id == dim.c_custkey)
     agg = joined.groupBy("c_mktsegment", "event_type").agg(F.count("*").alias("n"))
     sink = f"ssd_{_uuid.uuid4().hex[:8]}"
     q = (
