@@ -1,14 +1,17 @@
-"""Tokenizer contract (VERDICT r7 ask #6 / r8 #5): the three tokenizer
-implementations — the Python Arrow twin (`_py_shingles`), Spark's
-Java-regex `\\s+` pipeline (`_shingles()`), and the DuckDB RE2 oracle
-(`_SQL_SHINGLES`) — are certified to agree EXACTLY on ASCII text without
-a vertical tab, and `_py_shingles` fails LOUDLY outside that contract
-instead of silently diverging.
+"""Tokenizer contract (VERDICT r7 ask #6 / r8 #5 / r10 \\x0B unification):
+the three tokenizer implementations — the Python Arrow twin
+(`_py_shingles`), Spark's Java-regex `\\s+` pipeline (`_shingles()`), and
+the DuckDB RE2 oracle (`_SQL_SHINGLES`) — are certified to agree EXACTLY
+on ALL ASCII text, and `_py_shingles` fails LOUDLY on non-ASCII instead
+of silently diverging.
 
 Why the contract is what it is (pinned by the directed tests below):
   * RE2 `\\s` is [\\t\\n\\f\\r ] — it excludes \\x0B, which both Java
-    `\\s` and Python ASCII `\\s` include, so a vertical-tab document
-    tokenizes differently in the DuckDB oracle than in Spark;
+    `\\s` and Python ASCII `\\s` include.  Since r10 every twin folds
+    \\x0B to a space BEFORE trimming (replace() inside trim() on the SQL
+    side, translate/str.replace before strip on the Spark/Python sides —
+    the recipe the r9 LM/BM25 twins introduced), so \\x0B text is IN
+    contract; the raw RE2 divergence is kept as a tripwire test.
   * unicode lower() tailoring differs between engines on edge codepoints
     (e.g. U+0130 expands to two codepoints under Python), so non-ASCII
     text is out of contract rather than half-certified.
@@ -29,10 +32,10 @@ from thesis_iceberg_spark.queries.dedup import (
     _shingles,
 )
 
-# the certified alphabet: printable ASCII plus every ASCII whitespace the
-# three engines agree on (\x0B deliberately excluded — see module doc)
-_CONTRACT_ALPHABET = string.printable.replace("\x0b", "")
-assert "\x0b" not in _CONTRACT_ALPHABET and "\t" in _CONTRACT_ALPHABET
+# the certified alphabet: ALL of printable ASCII — \x0B included since the
+# r10 fold unification (see module doc)
+_CONTRACT_ALPHABET = string.printable
+assert "\x0b" in _CONTRACT_ALPHABET and "\t" in _CONTRACT_ALPHABET
 
 
 def _duck_shingles(text: str) -> set[str]:
@@ -70,6 +73,12 @@ def test_python_twin_matches_spark_on_contract_corpus(spark):
         "UPPER lower MiXeD case tokens",
         "digits 123 456 789 0",
         "a  b   c    d",  # runs of spaces
+        # \x0B shapes, in contract since r10: interior, edge, runs, solo
+        "a\x0bb c d e",
+        "\x0bleading vt then words here",
+        "trailing words then vt\x0b",
+        "vt\x0b\x0bruns\x0b mixed \x0b\twith tabs",
+        "\x0b",
     ] + [
         "".join(rng.choice(_CONTRACT_ALPHABET) for _ in range(rng.randint(0, 80)))
         for _ in range(60)
@@ -84,24 +93,36 @@ def test_python_twin_matches_spark_on_contract_corpus(spark):
         assert _duck_shingles(t) == _py_shingles(t), f"DuckDB diverges on {t!r}"
 
 
-def test_vertical_tab_actually_diverges_in_duckdb():
-    """The reason \\x0B is out of contract: RE2 does not treat it as
-    whitespace, so DuckDB keeps 'a\\x0bb' as ONE token where Java and
-    Python split it in two.  If DuckDB ever changes this, the contract
-    can widen — this test is the tripwire."""
-    text = "a\x0bb c d e"
-    duck = _duck_shingles(text)
-    py = {"a b c", "b c d", "c d e"}  # Python ASCII \s splits on \x0b
-    assert duck != py
-    assert any("a\x0bb" in s for s in duck)
+def test_vertical_tab_diverges_in_raw_re2_split():
+    """The reason the fold exists: RE2 does not treat \\x0B as whitespace,
+    so a RAW regexp_split keeps 'a\\x0bb' as ONE token where Java and
+    Python split it in two.  If DuckDB ever changes this, the fold becomes
+    redundant (though still correct) — this test is the tripwire."""
+    (row,) = duckdb.execute(
+        "SELECT regexp_split_to_array(trim(lower(text)), '\\s+') "
+        "FROM (SELECT 'a\x0bb c d e' AS text)"
+    ).fetchall()
+    raw_tokens = row[0]
+    assert "a\x0bb" in raw_tokens  # RE2 kept it as one token
+    # ...whereas the folded twins all split it:
+    assert _py_shingles("a\x0bb c d e") == {"a b c", "b c d", "c d e"}
+    assert _duck_shingles("a\x0bb c d e") == {"a b c", "b c d", "c d e"}
+
+
+def test_vertical_tab_edge_fold_matches_trim():
+    """Edge \\x0B must fold BEFORE the space-only trim in every engine:
+    '\\x0bfoo bar baz qux' tokenizes with no leading empty token."""
+    t = "\x0bfoo bar baz qux"
+    expect = {"foo bar baz", "bar baz qux"}
+    assert _py_shingles(t) == expect
+    assert _duck_shingles(t) == expect
 
 
 @pytest.mark.parametrize(
     "bad",
     [
-        "a\x0bb c d e",       # vertical tab: RE2 vs Java/Python \s
         "café au lait",  # non-ASCII letter
-        "a b c d",       # non-breaking space
+        "a\xa0b c d",    # non-breaking space
         "İstanbul is large",  # dotted capital I: lower() expands
         "em—dash spaced here",
     ],

@@ -95,6 +95,24 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q3_unshipped_topk",
     "q14_promo_revenue",
     "streaming_static_dim_join",
+    # \x0B unification: 27 queries' twins changed (the fold touches the
+    # shared _toks/_sql_toks/_norm/_norm_sql helpers); the cap holds the
+    # 10 with MATERIAL Spark-side changes — the certify-and-raise removal
+    # (_py_shingles kernels), the exact-substr kernel + span CTEs, and the
+    # md5-of-normalized-text fingerprints — while the 17 whose edit is the
+    # symmetric fold only (identical results on \x0B-free corpora) ride
+    # the stalest-first fallback; ALL 27 are value-oracle-verified locally
+    # at sf0.001 (tests/test_correctness.py) and sf0.01 (gate sim).
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_cluster_canonical",
+    "pipeline_decontaminate",
+    "dedup_exact_substr_spans",
+    "pipeline_remove_dup_spans",
+    "dedup_exact_hash",
+    "dedup_simhash",
+    "text_fingerprint",
+    "text_token_stats",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

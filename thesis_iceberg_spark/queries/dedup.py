@@ -44,11 +44,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _norm_sql(col: str = "text") -> str:
-    return f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+    # chr(11) = \x0B folded to a space BEFORE trim/lower/collapse, exactly
+    # like _norm(): RE2's \s excludes \x0B while Java's and Python's
+    # include it (see the tokenizer-contract block below)
+    return f"regexp_replace(trim(lower(replace({col}, chr(11), ' '))), '\\s+', ' ', 'g')"
 
 
 def _norm(col: str = "text"):
-    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    return F.regexp_replace(
+        F.trim(F.lower(F.translate(F.col(col), "\x0b", " "))), r"\s+", " "
+    )
 
 
 # --- shingling (3-token shingles over whitespace tokens) -------------------
@@ -102,12 +107,14 @@ def _df_cap(n_docs: int) -> float:
 _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 # The three tokenizer implementations (this Python twin, Spark's Java-regex
-# `\s+`, DuckDB's RE2 `\s+`) agree EXACTLY on ASCII text without a vertical
-# tab, and can silently diverge outside it (r7 ask #6, pinned by property
-# test in tests/test_tokenizer_contract.py):
+# `\s+`, DuckDB's RE2 `\s+`) agree EXACTLY on ASCII text (r7 ask #6 /
+# r9 unification, pinned by property test in
+# tests/test_tokenizer_contract.py):
 #   * RE2 `\s` is [\t\n\f\r ] — it EXCLUDES \x0B, which Java and Python
-#     ASCII `\s` both include, so an \x0B-bearing doc tokenizes
-#     differently in the DuckDB oracle than in either Spark path;
+#     ASCII `\s` both include.  Since r10 ALL twins fold \x0B to a space
+#     BEFORE trimming (replace() inside trim() on the SQL side, translate
+#     / str.replace before strip on the Spark/Python sides — the r9
+#     LM/BM25 twins' recipe, unified), so \x0B text is IN contract;
 #   * non-ASCII: Python ASCII `\s` and Java `\s` skip unicode whitespace
 #     consistently, but lower() is full-unicode in all three engines with
 #     engine-specific tailoring (e.g. U+0130 expands under Python/Java
@@ -115,25 +122,27 @@ _WS_ASCII = re.compile(r"\s+", re.ASCII)
 #     certify, so it fails loudly instead of silently diverging.
 _TOKENIZER_CONTRACT_MSG = (
     "tokenizer contract violated: the md5-portable shingle kernels are "
-    "certified only for ASCII text without vertical tab (\\x0B) — Java, "
-    "RE2 and Python regex `\\s` classes and unicode lower() tailoring "
-    "diverge outside it.  Normalize the corpus (e.g. NFKC + whitespace "
-    "fold to ' ') before the dedup operators, or extend the contract "
-    "test in tests/test_tokenizer_contract.py."
+    "certified only for ASCII text — unicode lower() tailoring and `\\s` "
+    "class membership diverge between Java, RE2 and Python outside it.  "
+    "Normalize the corpus (e.g. NFKC + whitespace fold to ' ') before "
+    "the dedup operators, or extend the contract test in "
+    "tests/test_tokenizer_contract.py."
 )
 
 
 def _py_shingles(text: str | None):
     """Python twin of _shingles()/_SQL_SHINGLES for Arrow kernels: distinct
     3-token shingles of the normalized text, or an empty set below 3
-    tokens.  Tokenizer rules shared with the oracle: ASCII \\s+ over
-    strip(' ').lower() (both engines' trim() is space-only).  Raises
-    ValueError on text outside the certified ASCII-no-\\x0B contract —
-    loud failure beats a silent Spark/DuckDB divergence."""
+    tokens.  Tokenizer rules shared with the oracle: \\x0B folded to a
+    space first (before strip — the fold sits inside trim() on the SQL
+    side), then ASCII \\s+ over strip(' ').lower() (both engines' trim()
+    is space-only).  Raises ValueError on non-ASCII text (outside the
+    certifiable contract) — loud failure beats a silent Spark/DuckDB
+    divergence."""
     t = text or ""
-    if not t.isascii() or "\x0b" in t:
+    if not t.isascii():
         raise ValueError(_TOKENIZER_CONTRACT_MSG)
-    toks = _WS_ASCII.sub(" ", t.strip(" ").lower()).split(" ")
+    toks = _WS_ASCII.sub(" ", t.replace("\x0b", " ").strip(" ").lower()).split(" ")
     if len(toks) < 3:
         return set()
     return {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
@@ -367,7 +376,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy shuffle (~50 rows/doc) entirely and verification joins move
     # 2 array rows per candidate side instead of ~50 exploded rows.
     # Tokenizer twin of _norm()/the oracle (same rules as
-    # text_gopher_repetition_signals): ASCII \s+, space-only strip.
+    # text_gopher_repetition_signals): \x0B folded to a space first, then
+    # ASCII \s+, space-only strip.
     # Shingle identity crossing engines is the 28-hex md5 prefix (112
     # bits, collisions 2^-112 and symmetric anyway).
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1773,8 +1783,9 @@ for _j in range(1, EXACT_SUBSTR_K):
 # spans that differ from what the spans query reports).
 _SQL_SPAN_CTES = f"""tt AS (
   SELECT doc_id,
-         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                        x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
+         list_transform(
+             regexp_split_to_array(trim(lower(replace(text, chr(11), ' '))), '\\s+'),
+             x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
   FROM documents),
 g AS (
   SELECT doc_id,
@@ -1839,7 +1850,9 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, poss, hh = [], [], []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = _WS_ASCII.split((text or "").strip(" ").lower())
+                toks = _WS_ASCII.split(
+                    (text or "").replace("\x0b", " ").strip(" ").lower()
+                )
                 t = len(toks)
                 if t < k:
                     continue
@@ -1893,7 +1906,8 @@ WITH {_SQL_SPAN_CTES},
 tok AS (
   SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) - 1 AS pos
   FROM (SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               regexp_split_to_array(trim(lower(replace(text, chr(11), ' '))),
+                                     '\\s+') AS toks
         FROM documents)),
 kept AS (
   SELECT t.* FROM tok t ANTI JOIN spans s
@@ -1928,9 +1942,7 @@ def pipeline_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     tok = docs.select(
         "doc_id",
-        F.posexplode(
-            F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
-        ).alias("pos", "tk"),
+        F.posexplode(F.split(_norm(), " ")).alias("pos", "tk"),
     )
     kept = tok.alias("t").join(
         spans.alias("s"),

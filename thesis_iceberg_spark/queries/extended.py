@@ -121,7 +121,8 @@ def range_join_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udf_scalar_text",
     oracle="""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words_udf,
+       len(regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+'))
+           AS n_words_udf,
        length(text) - length(replace(text, 'a', '')) AS n_letter_a
 FROM documents
 """,
@@ -132,7 +133,16 @@ FROM documents
 def pandas_udf_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def n_words(texts: pd.Series) -> pd.Series:
-        return texts.str.strip().str.split(r"\s+").map(len)
+        # NULL text -> NULL count (pandas str.split leaves NaN; a bare
+        # map(len) crashed on it — caught by the r10 \x0B-corpus sweep);
+        # \x0B needs no fold here: pandas strip/\s+ already treat it as
+        # whitespace, matching the chr(11)-folded oracle
+        return (
+            texts.str.strip()
+            .str.split(r"\s+")
+            .map(lambda x: len(x) if isinstance(x, list) else None)
+            .astype("Int64")
+        )
 
     @F.pandas_udf("long")
     def n_letter_a(texts: pd.Series) -> pd.Series:
@@ -351,10 +361,15 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_tokenize_positions",
     oracle="""
-SELECT doc_id,
-       unnest(regexp_split_to_array(trim(text), '\\s+')) AS token,
-       CAST(generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS INT) AS pos
-FROM documents WHERE doc_id <= 50
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+             regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+'),
+             x -> x <> '') AS toks
+  FROM documents WHERE doc_id <= 50)
+SELECT doc_id, unnest(toks) AS token,
+       CAST(generate_subscripts(toks, 1) AS INT) AS pos
+FROM t
 """,
     doc="Python UDTF (table function): one input document row expands to "
     "one row per token with its 1-based position. Demonstrates the UDTF "
@@ -367,6 +382,11 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class Tokenize:
         def eval(self, text: str):
+            # NULL text -> zero rows, like the oracle's unnest(NULL);
+            # no-arg split() already treats \x0B as whitespace (edges
+            # included), matching the chr(11)-folded oracle
+            if text is None:
+                return
             for i, tok in enumerate(text.strip().split(), start=1):
                 yield tok, i
 

@@ -29,7 +29,8 @@ WITH quality AS ({REGISTRY["text_quality_scores"].oracle}),
 langd AS ({REGISTRY["text_lang_id"].oracle}),
 dups AS ({REGISTRY["dedup_ngram_jaccard_pairs"].oracle})
 SELECT d.doc_id, q.quality_score, l.detected_lang,
-       len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+       len(regexp_split_to_array(trim(replace(d.text, chr(11), ' ')), '\\s+'))
+           AS n_tokens
 FROM documents d
 JOIN quality q ON q.doc_id = d.doc_id
 JOIN langd l ON l.doc_id = d.doc_id
@@ -116,7 +117,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "quality_score",
             "detected_lang",
-            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_tokens"),
+            F.size(
+                F.split(
+                    F.trim(F.lower(F.translate(F.col("text"), "\x0b", " "))), r"\s+"
+                )
+            ).alias("n_tokens"),
         )
     )
 
@@ -185,7 +190,8 @@ CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
     "pipeline_chunk_documents",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  SELECT doc_id,
+         regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+') AS t
   FROM documents),
 starts AS (
   SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
@@ -207,7 +213,7 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    t = F.split(F.trim(F.translate(F.col("text"), "\x0b", " ")), r"\s+")
     with_starts = docs.select(
         "doc_id",
         t.alias("t"),
@@ -286,7 +292,8 @@ PACK_BUDGET = 512  # tokens per packed training sequence
 WITH langd AS ({REGISTRY["text_lang_id"].oracle}),
 toks AS (
   SELECT d.doc_id, l.detected_lang,
-         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+         len(regexp_split_to_array(trim(replace(d.text, chr(11), ' ')), '\\s+'))
+             AS n_tokens
   FROM documents d JOIN langd l ON l.doc_id = d.doc_id),
 packed AS (
   SELECT detected_lang, n_tokens,
@@ -317,7 +324,9 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     lang = text_lang_id(spark, sf_dir)
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = F.size(
+        F.split(F.trim(F.translate(F.col("text"), "\x0b", " ")), r"\s+")
+    )
     toks = docs.join(lang, "doc_id").select(
         "doc_id", "detected_lang", n_tokens.alias("n_tokens")
     )

@@ -42,8 +42,9 @@ def _toks(col: str = "text"):
 
 
 def _sql_toks(col: str = "text") -> str:
-    """DuckDB twin of _toks()."""
-    return f"regexp_split_to_array(trim(lower({col})), '\\s+')"
+    """DuckDB twin of _toks(); chr(11) = \\x0B folded to a space exactly
+    like the Spark side (see _toks_of — RE2's \\s excludes \\x0B)."""
+    return f"regexp_split_to_array(trim(lower(replace({col}, chr(11), ' '))), '\\s+')"
 
 
 @register(
@@ -51,7 +52,8 @@ def _sql_toks(col: str = "text") -> str:
     oracle=f"""
 SELECT doc_id,
        len({_sql_toks()}) AS n_tokens,
-       length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+       length(regexp_extract_all(lower(replace(text, chr(11), ' ')),
+                                 '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
        length(text) AS n_chars_m,
        CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len({_sql_toks()})
            AS avg_token_len
@@ -66,9 +68,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0))).alias(
-            "n_tokens_bpe"
-        ),
+        F.size(
+            F.regexp_extract_all(
+                # \x0b fold: [^a-z0-9\s] differs Java-vs-RE2 on \x0B just
+                # like the split tokenizer (see _toks_of)
+                F.lower(F.translate(F.col("text"), "\x0b", " ")),
+                F.lit(r"[a-z0-9]+|[^a-z0-9\s]"),
+                F.lit(0),
+            )
+        ).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_m"),
         (
             F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast("double")
@@ -197,19 +205,23 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
 SELECT doc_id,
-       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(trim(lower(replace(text, chr(11), ' '))), '\\s+', ' ', 'g'))
+           AS fingerprint
 FROM documents
 """,
     doc="Document fingerprinting: md5 over whitespace-normalized lowercase "
     "text — the exact-dedup key (a keyed rolling hash would drop in the "
-    "same slot; md5 is the portable choice both engines share).",
+    "same slot; md5 is the portable choice both engines share). \\x0B "
+    "folds to a space in both engines (see _toks_of).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").cast("binary")).alias(
-            "fingerprint"
-        ),
+        F.md5(
+            F.regexp_replace(
+                F.trim(F.lower(F.translate(F.col("text"), "\x0b", " "))), r"\s+", " "
+            ).cast("binary")
+        ).alias("fingerprint"),
     )
 
 
@@ -459,12 +471,14 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
     # plan has NO exchange at all — strictly better at 1000 executors,
     # where the JVM form's two doc_id shuffles move the whole gram mass.
     # Tokenizer twin of _toks()/the oracle's regexp_split: re.ASCII \s+
-    # equals Java's default-ASCII \s ([ \t\n\x0B\f\r], \x0B == \v); both
-    # engines' trim() removes SPACES only, so the Python twin is
-    # strip(' ') — a bare strip() would also eat edge \n/\t and shift the
-    # tokenization.  The corpus is ASCII (FIXTURES.md) so lower() agrees
-    # across engines.  NULL text mirrors the oracle's LEFT JOIN: zero
-    # fractions, keep=true.
+    # equals Java's default-ASCII \s ([ \t\n\x0B\f\r], \x0B == \v); RE2's
+    # \s EXCLUDES \x0B, so all three twins fold it to a space FIRST
+    # (replace before strip — the fold must precede edge-trimming exactly
+    # like the SQL replace() sits inside trim()).  Both engines' trim()
+    # removes SPACES only, so the Python twin is strip(' ') — a bare
+    # strip() would also eat edge \n/\t and shift the tokenization.  The
+    # corpus is ASCII (FIXTURES.md) so lower() agrees across engines.
+    # NULL text mirrors the oracle's LEFT JOIN: zero fractions, keep=true.
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     pairs = [("top", n) for n in _TOP_NS] + [("dup", n) for n in _DUP_NS]
     cols = [f"{agg}_{n}gram_char_frac" for agg, n in pairs]
@@ -487,7 +501,7 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = ws.split((text or "").strip(" ").lower())
+                toks = ws.split((text or "").replace("\x0b", " ").strip(" ").lower())
                 t = len(toks)
                 hs = np.fromiter(
                     (h40(tk) for tk in toks), dtype=np.int64, count=t
@@ -803,16 +817,18 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         ws = re.compile(r"\s+", re.ASCII)
-        nan = float("nan")
 
         def dup_fracs(pieces, dl):
             cnt = Counter(pieces)
             np_ = len(pieces)
             dp = sum(c for c in cnt.values() if c > 1)
             dc = sum(c * len(p) for p, c in cnt.items() if c > 1)
-            # dl == 0 (empty doc: one '' token, dc necessarily 0) mirrors
-            # both engines' 0.0/0.0 -> NaN
-            return dp / np_, (dc / dl) if dl else nan
+            # dl == 0 (empty doc: one '' token, dc necessarily 0): DuckDB's
+            # 0/0 is NULL, which the oracle COALESCEs to 0.0 / keep=true —
+            # mirror that here (the previous NaN silently diverged from the
+            # oracle on empty/whitespace-only docs; caught by the r10
+            # \x0B-corpus parity sweep, tests/test_vt_corpus_parity.py)
+            return dp / np_, (dc / dl) if dl else 0.0
 
         for pdf in batches:
             recs = []
@@ -822,7 +838,7 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # oracle's LEFT JOIN + COALESCE path (0.0 / keep)
                     recs.append((int(doc_id), 0.0, 0.0, 0.0, 0.0, True))
                     continue
-                toks = ws.split(text.strip(" ").lower())
+                toks = ws.split(text.replace("\x0b", " ").strip(" ").lower())
                 dl = sum(len(t) for t in toks) + len(toks) - 1
                 lines = [
                     " ".join(toks[i : i + line_toks])
@@ -899,7 +915,9 @@ def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_EN) -> DataFrame:
     with every other text operator."""
     words = [w for w in badwords if " " not in w]
     phrases = [w for w in badwords if " " in w]
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.translate(F.col("text"), "\x0b", " "))), r"\s+", " "
+    )
     n_bad = F.size(F.filter(_toks(), lambda t: t.isin(*words))) if words else F.lit(0)
     n_phr = (
         F.size(F.filter(F.lit(list(phrases)), lambda p: norm.contains(p)))
@@ -927,7 +945,9 @@ _SQL_BAD_TOKS = ", ".join(
     f"'{w}'" for w in C4_BADWORDS_EN if " " not in w
 )
 _SQL_BAD_PHRASES = ", ".join(f"'{w}'" for w in C4_BADWORDS_EN if " " in w)
-_SQL_BAD_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_SQL_BAD_NORM = (
+    "regexp_replace(trim(lower(replace(text, chr(11), ' '))), '\\s+', ' ', 'g')"
+)
 _SQL_BAD_N = f"len(list_filter({_sql_toks()}, t -> t IN ({_SQL_BAD_TOKS})))"
 _SQL_BAD_P = (
     f"len(list_filter([{_SQL_BAD_PHRASES}], p -> contains({_SQL_BAD_NORM}, p)))"
@@ -1088,7 +1108,7 @@ def text_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     recs.append((int(doc_id), 0, 0, 0.0, None, None, None, None))
                     continue
                 raw = text
-                toks = ws.split(raw.strip(" ").lower())
+                toks = ws.split(raw.replace("\x0b", " ").strip(" ").lower())
                 lines = [
                     " ".join(toks[i : i + line_toks])
                     for i in range(0, len(toks), line_toks)
@@ -1174,26 +1194,31 @@ def _lm_ftoks(col: str = "text"):
     """Non-empty whitespace tokens of the lowercased text; NULL text scores
     as the empty document (coalesce in BOTH twins — see _SQL_LM_FTOKS).
 
-    \\x0B (vertical tab) is folded to a space BEFORE splitting in BOTH
-    engines: Java's \\s matches it, RE2's does not (the divergence
-    test_vertical_tab_actually_diverges_in_duckdb pins), so neutralizing
-    it is what makes these twins safe on NON-ASCII-certified text —
-    unlike the Arrow shingle kernels, which certify-and-raise instead."""
+    The \\x0B-to-space fold lives in _toks_of itself since r10 (it was
+    pioneered here in r9 and then unified into the canonical tokenizer),
+    so this wrapper only adds the NULL coalesce and empty-token filter."""
     return F.filter(
-        _toks_of(F.translate(F.coalesce(F.col(col), F.lit("")), "\x0b", " ")),
+        _toks_of(F.coalesce(F.col(col), F.lit(""))),
         lambda t: t != F.lit(""),
     )
 
 
 def _toks_of(col):
-    """Column-input twin of _toks() — ONE canonical tokenizer expression."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Column-input twin of _toks() — ONE canonical tokenizer expression.
+
+    \\x0B (vertical tab) is folded to a space BEFORE lower/trim/split in
+    BOTH engines (here and _sql_toks): Java's \\s matches it, RE2's does
+    not (test_vertical_tab_actually_diverges_in_duckdb pins the raw
+    divergence), so folding is what makes every _toks-based twin safe on
+    \\x0B-bearing text.  Unified across the whole registry in r10 — the
+    r9 LM/BM25 twins pioneered the fold; the older certify-and-raise
+    contract is gone (non-ASCII remains out of contract for the
+    md5-portable shingle kernels only, see dedup._py_shingles)."""
+    return F.split(F.trim(F.lower(F.translate(col, "\x0b", " "))), r"\s+")
 
 
-_SQL_LM_FTOKS = (
-    "list_filter(regexp_split_to_array(trim(lower(replace(coalesce(text, ''), "
-    "chr(11), ' '))), '\\s+'), t -> t <> '')"
-)
+_SQL_COALESCED_TEXT = "coalesce(text, '')"
+_SQL_LM_FTOKS = f"list_filter({_sql_toks(_SQL_COALESCED_TEXT)}, t -> t <> '')"
 
 
 def lm_unigram_vocab(docs: DataFrame, v: int) -> DataFrame:
