@@ -1,0 +1,240 @@
+"""Local-fit init study (VERDICT r9 'What's missing' #3 / r10 ask #4).
+
+Question: can the local BLAS-3 spherical Lloyd replace the small-k
+pyspark.ml KMeans fit WITHOUT losing the 0.7 candidate-recall grade on
+the sf0.1 hard-regime corpus?  Round 9 measured (ad hoc, recorded in
+PERFORMANCE.md):
+  * every plain local init (random, spherical D², Euclidean D²):
+    0.646-0.660 — below the gate;
+  * a Bahmani-style k-means|| oversampling init (5 rounds of D²-batch
+    sampling at l=2k, count-weighted Lloyd on the candidates): closes
+    most of the gap but is SEED-DEPENDENT at the edge (0.694/0.743/0.708
+    at seeds 42/7/123);
+  * MLlib k-means||: 0.708 — itself a knife-edge pass.
+
+Round-10 hypothesis: best-of-R restarts selected by LABEL-FREE spherical
+inertia (mean max-cosine of the fit sample to its nearest centroid)
+de-seed-sensitizes the Bahmani init.  This script measures it — plus the
+baselines, reproduced — across 5 seeds so the decision is a measurement,
+not a narrative.
+
+Methodology (mirrors the registered path exactly):
+  corpus   = sf0.1 embeddings (SPARK_GRAFT_SF_DIR overrides), cleaned
+             like operators.ann.clean_embeddings (non-null, modal width,
+             then zero-norm rows dropped by the fit/assign);
+  truth    = brute-force cosine >= 0.45 pairs over the full corpus
+             (the verify threshold the registered query uses);
+  fit      = sample of min(n, 20*k) rows (same deterministic shape as
+             _kmeans_fit_centers; here the whole corpus at n=2000 <
+             2560), k = _kmeans_k(n), p = _kmeans_nprobe(k);
+  assign   = top-p centroids by cosine, ties -> lowest cid (the
+             production kernel's argmax contract);
+  recall   = fraction of true pairs sharing >= 1 bucket.
+
+Usage: PYTHONPATH=/root/repo python tests/exp_local_fit_init.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from thesis_iceberg_spark.queries.dedup import (  # noqa: E402
+    KMEANS_FIT_ROWS_PER_CENTROID,
+    KMEANS_LOCAL_FIT_ITERS,
+    _kmeans_k,
+    _kmeans_nprobe,
+)
+
+VERIFY_COS = 0.45
+SEEDS = (42, 7, 123, 2026, 777)
+RESTARTS = 3
+
+
+def load_corpus(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    rows = t.column("embedding").to_pylist()
+    widths = [len(r) for r in rows if r is not None]
+    modal = max(set(widths), key=widths.count)
+    X = np.array(
+        [r for r in rows if r is not None and len(r) == modal], dtype=np.float64
+    )
+    return X
+
+
+def true_pairs(X: np.ndarray) -> set[tuple[int, int]]:
+    nrm = np.linalg.norm(X, axis=1)
+    nz = nrm > 0
+    U = np.zeros_like(X)
+    U[nz] = X[nz] / nrm[nz][:, None]
+    S = U @ U.T
+    iu = np.triu_indices(len(X), k=1)
+    hits = S[iu] >= VERIFY_COS
+    return set(zip(iu[0][hits].tolist(), iu[1][hits].tolist()))
+
+
+def unitize(X: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(X, axis=1)
+    keep = nrm > 0
+    return (X[keep] / nrm[keep][:, None]).astype(np.float32)
+
+
+def lloyd(X: np.ndarray, C: np.ndarray, iters: int) -> np.ndarray:
+    """Spherical Lloyd, identical update to _fit_centroids_spherical."""
+    m, d = X.shape
+    k = len(C)
+    rng = np.random.default_rng(0xC0FFEE)  # reseed source for dead centroids
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        C_new = np.zeros((k, d), dtype=np.float64)
+        for j in range(d):
+            C_new[:, j] = np.bincount(assign, weights=X[:, j], minlength=k)
+        nz = counts > 0
+        C_new[nz] /= counts[nz, None]
+        cn = np.linalg.norm(C_new, axis=1)
+        ok = nz & (cn > 0)
+        C_new[ok] /= cn[ok, None]
+        if not ok.all():
+            C_new[~ok] = X[rng.permutation(m)[: int((~ok).sum())]]
+        C = C_new.astype(np.float32)
+    return C
+
+
+def init_d2(X: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """k-means++ (D²) init on the unit sphere (d² = 2 - 2cos)."""
+    rng = np.random.default_rng(seed)
+    m = X.shape[0]
+    idx = [int(rng.integers(m))]
+    best = 2.0 - 2.0 * (X @ X[idx[0]])
+    for _ in range(k - 1):
+        p = np.maximum(best, 0)
+        tot = p.sum()
+        if tot <= 0:
+            idx.append(int(rng.integers(m)))
+        else:
+            idx.append(int(rng.choice(m, p=p / tot)))
+        best = np.minimum(best, 2.0 - 2.0 * (X @ X[idx[-1]]))
+    return X[idx].copy()
+
+
+def init_bahmani(
+    X: np.ndarray, k: int, seed: int, rounds: int = 5, l_factor: int = 2
+) -> np.ndarray:
+    """k-means|| oversampling init (Bahmani et al. 2012), local form:
+    `rounds` passes each sampling ~l=l_factor*k points with prob
+    l*d²(x)/cost, then the candidate set is count-weighted (corpus points
+    per nearest candidate) and reduced to k by a weighted D² pick +
+    weighted Lloyd — the same recipe the r9 ad-hoc run measured."""
+    rng = np.random.default_rng(seed)
+    m = X.shape[0]
+    C = X[[int(rng.integers(m))]].copy()
+    best = 2.0 - 2.0 * (X @ C[0])
+    for _ in range(rounds):
+        cost = max(best.sum(), 1e-12)
+        prob = np.minimum(1.0, l_factor * k * np.maximum(best, 0) / cost)
+        picked = np.flatnonzero(rng.random(m) < prob)
+        if len(picked) == 0:
+            continue
+        C = np.vstack([C, X[picked]])
+        best = np.minimum(best, (2.0 - 2.0 * (X @ X[picked].T)).min(axis=1))
+    # count-weight the candidates by corpus assignment
+    a = np.argmax(X @ C.T, axis=1)
+    w = np.bincount(a, minlength=len(C)).astype(np.float64)
+    keep = w > 0
+    C, w = C[keep], w[keep]
+    if len(C) <= k:
+        # degenerate: pad with D² picks
+        pad = init_d2(X, k - len(C), seed + 99) if len(C) < k else np.empty((0, X.shape[1]), np.float32)
+        return np.vstack([C, pad])[:k]
+    # weighted D² pick of k seeds among candidates, then weighted Lloyd
+    idx = [int(np.argmax(w))]
+    best_c = 2.0 - 2.0 * (C @ C[idx[0]])
+    for _ in range(k - 1):
+        p = np.maximum(best_c, 0) * w
+        tot = p.sum()
+        idx.append(int(rng.choice(len(C), p=p / tot)) if tot > 0 else int(rng.integers(len(C))))
+        best_c = np.minimum(best_c, 2.0 - 2.0 * (C @ C[idx[-1]]))
+    K = C[idx].copy()
+    for _ in range(10):  # weighted Lloyd over the candidate set
+        a = np.argmax(C @ K.T, axis=1)
+        K_new = np.zeros_like(K, dtype=np.float64)
+        cw = np.zeros(k)
+        for j in range(C.shape[1]):
+            K_new[:, j] = np.bincount(a, weights=C[:, j] * w, minlength=k)
+        cw = np.bincount(a, weights=w, minlength=k)
+        nz = cw > 0
+        K_new[nz] /= cw[nz, None]
+        cn = np.linalg.norm(K_new, axis=1)
+        ok = nz & (cn > 0)
+        K_new[ok] /= cn[ok, None]
+        K_new[~ok] = K[~ok]
+        K = K_new.astype(np.float32)
+    return K
+
+
+def inertia(X: np.ndarray, C: np.ndarray) -> float:
+    """Label-free fit quality: mean max-cosine (higher = tighter)."""
+    return float(np.mean(np.max(X @ C.T, axis=1)))
+
+
+def fit_variant(kind: str, X: np.ndarray, k: int, seed: int) -> np.ndarray:
+    if kind == "d2":
+        C0 = init_d2(X, k, seed)
+    elif kind == "bahmani":
+        C0 = init_bahmani(X, k, seed)
+    else:
+        raise ValueError(kind)
+    return lloyd(X, C0, KMEANS_LOCAL_FIT_ITERS)
+
+
+def fit_best_of(kind: str, X: np.ndarray, k: int, seed: int, r: int) -> np.ndarray:
+    cands = [fit_variant(kind, X, k, seed + 1000 * i) for i in range(r)]
+    scores = [inertia(X, C) for C in cands]
+    return cands[int(np.argmax(scores))]
+
+
+def recall(X: np.ndarray, C: np.ndarray, p: int, truth: set) -> float:
+    U = unitize(X)  # corpus rows (zero-norm already excluded from truth reach)
+    S = U @ C.T
+    # top-p by score, ties -> lowest cid: argsort on (-score, cid)
+    top = np.argsort(-S, axis=1, kind="stable")[:, :p]
+    buckets: list[set[int]] = [set(row.tolist()) for row in top]
+    hit = sum(1 for a, b in truth if buckets[a] & buckets[b])
+    return hit / max(1, len(truth))
+
+
+def main() -> None:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    X = load_corpus(sf)
+    n = len(X)
+    k = min(_kmeans_k(n), n)
+    p = _kmeans_nprobe(k)
+    truth = true_pairs(X)
+    U = unitize(X)
+    fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
+    Xfit = U if n <= fit_rows else U[np.random.default_rng(42).choice(len(U), fit_rows, replace=False)]
+    print(f"corpus n={n} k={k} p={p} true_pairs={len(truth)} fit_rows={len(Xfit)}")
+    for kind in ("d2", "bahmani"):
+        vals = []
+        for s in SEEDS:
+            C = fit_variant(kind, Xfit, k, s)
+            vals.append(recall(X, C, p, truth))
+        print(f"{kind:22s} " + " ".join(f"{v:.3f}" for v in vals)
+              + f"  min={min(vals):.3f}")
+    for kind in ("d2", "bahmani"):
+        vals = []
+        for s in SEEDS:
+            C = fit_best_of(kind, Xfit, k, s, RESTARTS)
+            vals.append(recall(X, C, p, truth))
+        print(f"{kind}+best-of-{RESTARTS:<8d} " + " ".join(f"{v:.3f}" for v in vals)
+              + f"  min={min(vals):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -393,3 +393,36 @@ def test_kmeans_k_rule_two_regimes():
     # monotone: k never shrinks as n grows
     ks = [_kmeans_k(n) for n in [10**e for e in range(3, 10)]]
     assert ks == sorted(ks)
+
+
+def test_kmeans_nprobe_tiers():
+    """The r10 k-aware probe rule: 3 / 5 / 8 at the measured boundaries,
+    ratio p^2/(2k) bounded at every tier edge, and the budget-regime k
+    sizing uses the SAME p the assign kernel defaults to (the two
+    formulas drifting apart would overshoot the per-doc budget)."""
+    from thesis_iceberg_spark.queries.dedup import (
+        _CAND_PER_DOC_BUDGET,
+        _kmeans_k,
+        _kmeans_nprobe,
+        KMEANS_K_FINE_CAP,
+        KMEANS_NPROBE_WIDE_K,
+    )
+
+    assert _kmeans_nprobe(128) == 3
+    assert _kmeans_nprobe(511) == 3
+    assert _kmeans_nprobe(512) == 5
+    assert _kmeans_nprobe(804) == 5  # the measured 51.5k-corpus point
+    assert _kmeans_nprobe(KMEANS_NPROBE_WIDE_K - 1) == 5
+    assert _kmeans_nprobe(KMEANS_NPROBE_WIDE_K) == 8
+    assert _kmeans_nprobe(15_781) == 8  # the measured 1e6-corpus point
+    # ratio bounded at each tier's MINIMUM k (worst case within the tier)
+    for k_edge in (128, 512, KMEANS_NPROBE_WIDE_K):
+        p = _kmeans_nprobe(k_edge)
+        assert p * p / (2 * k_edge) <= 0.05, (k_edge, p)
+    # budget regime: k >= fine cap >= wide tier, so assign p == sizing p
+    # and per-doc candidates land exactly at the budget
+    for n in (10**8, 10**9):
+        k = _kmeans_k(n)
+        assert k >= KMEANS_K_FINE_CAP >= KMEANS_NPROBE_WIDE_K
+        p = _kmeans_nprobe(k)
+        assert abs(p * p * n / (2 * k) - _CAND_PER_DOC_BUDGET) < 0.01 * _CAND_PER_DOC_BUDGET

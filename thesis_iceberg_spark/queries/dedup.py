@@ -989,17 +989,41 @@ KMEANS_BUCKET_TARGET = 64  # target mean bucket size n/k
 KMEANS_MIN_K = 128  # keeps ratio p^2/(2k) <= ~0.035 even on tiny corpora
 
 
+# Boundary of the third probe tier (below: p=5, at/above: p=8).  The 1e6
+# rehearsal (PERFORMANCE.md, r9) measured k=15,781/p=5 losing the 0.7
+# recall grade (0.530) where p=8 holds it (0.719 at ratio 0.0020 — 25x
+# under the 0.05 gate), while k=804/p=5 holds 0.952@0.8 on the planted
+# 51.5k corpus; the boundary sits between those measured points (geometric
+# mean ~3.6k, rounded to the local-fit threshold so both "large-k" paths
+# engage together).  Ratio stays bounded at the boundary: p^2/(2k) =
+# 64/8192 = 0.0078 at k=4096.
+KMEANS_NPROBE_WIDE_K = 4096
+
+
 def _kmeans_nprobe(k: int) -> int:
     """Adaptive probe count: finer partitions (big k) split near-dup
     pairs across more Voronoi cells, so recall needs more probes — and
-    big k also AFFORDS them, since ratio = p^2/(2k).  Measured on the
-    planted 51.5k corpus (tests/exp_lsh_generative_rung.py --kmeans):
-    k=804/p=3 lost recall@0.8 to 0.840; k=804/p=5 holds 0.952 at ratio
-    0.0152.  On tiny corpora p=3 at k=128 measures ratio 0.033-0.045
-    with recall 1.0 / 0.93 at sf0.001/sf0.01 against brute force (true
-    pairs at the hardest cosine 0.45-0.55 regime); p=5 there would blow
-    the 0.05 ratio gate (25/256)."""
-    return 3 if k < 512 else 5
+    big k also AFFORDS them, since ratio = p^2/(2k).  Measured tiers:
+      * k < 512 — p=3: at k=128 ratio is already 0.033-0.045 with recall
+        1.0 / 0.93 at sf0.001/sf0.01 against brute force (hardest cosine
+        0.45-0.55 regime); p=5 there would blow the 0.05 ratio gate
+        (25/256).
+      * 512 <= k < 4096 — p=5: k=804/p=3 lost recall@0.8 to 0.840;
+        k=804/p=5 holds 0.952 at ratio 0.0152 (planted 51.5k corpus,
+        tests/exp_lsh_generative_rung.py --kmeans).
+      * k >= 4096 — p=8: the 1e6/k=15.8k execution measured recall@0.7
+        0.530 at p=5 vs 0.719 at p=8 (0.915@0.8, 2.6x the candidates,
+        ratio 0.0020 — 25x under the gate).  r10 default; was p=5.
+    Candidate-budget interaction: the budget-regime k formula in
+    _kmeans_k sizes k with the SAME p this function returns for that
+    regime (budget k >= 65536 >= KMEANS_NPROBE_WIDE_K, so p=8 there) —
+    the two must stay consistent or per-doc candidates overshoot the
+    10k budget by (8/5)^2."""
+    if k < 512:
+        return 3
+    if k < KMEANS_NPROBE_WIDE_K:
+        return 5
+    return 8
 
 
 # The fit cost is the one step that is not trivially O(n): Lloyd
@@ -1043,7 +1067,12 @@ def _kmeans_k(n: int) -> int:
     fine = max(KMEANS_MIN_K, n // KMEANS_BUCKET_TARGET)
     if fine <= KMEANS_K_FINE_CAP:
         return fine
-    p = 5  # budget regime is always past the nprobe threshold
+    # budget regime k is always >= KMEANS_K_FINE_CAP >= the p=8 tier, so
+    # size k with the SAME probe count the assign kernel will default to
+    # (keeps per-doc candidates p^2*n/(2k) exactly at the budget; p=8
+    # grows k 2.56x faster than the old p=5 sizing — fit stays bounded
+    # at 20*k rows, assignment stays k dots/vector)
+    p = _kmeans_nprobe(KMEANS_K_FINE_CAP)
     return max(KMEANS_K_FINE_CAP, n * p * p // (2 * _CAND_PER_DOC_BUDGET))
 
 
