@@ -193,3 +193,22 @@ def test_zero_norm_centroid_does_not_crash():
     )
     for nprobe in (1, 2):
         _assert_equiv(centers, nprobe, pdf)
+
+
+def test_f32_near_tie_rescored_in_f64():
+    """ADVICE r9: a ~1e-9 cosine near-tie is invisible at f32 resolution
+    (~1e-7), so the f32 SGEMM's pick was BLAS-build-dependent.  The kernel
+    now re-scores rows whose top-p boundary gap is under 1e-6 in f64 —
+    this adversarial pair (the FARTHER centroid has the lower id, so the
+    f32 tie-break would pick it) must resolve to the f64-correct order."""
+    import math
+
+    far = [1.0 - 2e-9, math.sqrt(1.0 - (1.0 - 2e-9) ** 2)]
+    near = [1.0 - 1e-9, math.sqrt(1.0 - (1.0 - 1e-9) ** 2)]
+    centers = [far, near]  # id 0 = farther, id 1 = nearer
+    pdf = pd.DataFrame(
+        {"vec_id": np.array([1], dtype=np.int64), "v": [[1.0, 0.0]]}
+    )
+    got = _run_kernel(centers, 1, pdf)
+    assert list(got["bucket"]) == [1]  # f64 order, not the f32 tie-break
+    _assert_equiv(centers, 1, pdf)

@@ -91,3 +91,24 @@ def test_sample_smaller_than_k_raises():
     X = np.random.default_rng(0).standard_normal((10, 8))
     with pytest.raises(ValueError, match="sample"):
         _fit_centroids_spherical(X, k=11, seed=0)
+
+
+def test_fit_centers_arrow_collection_path(spark, monkeypatch):
+    """_kmeans_fit_centers' large-k branch collects the sample as ONE
+    Arrow table and views the flat values buffer (ADVICE r9: the pandas
+    object-column path held a Python list per row).  Force the branch at
+    tiny k via the threshold and pin shape, unit norm, determinism."""
+    from thesis_iceberg_spark.operators.ann import clean_embeddings
+    from thesis_iceberg_spark.queries import dedup
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    clean, _, n = clean_embeddings(df)
+    monkeypatch.setattr(dedup, "KMEANS_LOCAL_FIT_K_THRESHOLD", 2)
+    c1 = dedup._kmeans_fit_centers(spark, clean, k=4, n=n, seed=5)
+    c2 = dedup._kmeans_fit_centers(spark, clean, k=4, n=n, seed=5)
+    C = np.array(c1)
+    assert C.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-6)
+    assert c1 == c2  # deterministic across calls

@@ -94,6 +94,27 @@ def test_bmp_truncated_raises():
         parse_bmp(b"BM" + b"\x00" * 10)
 
 
+@pytest.mark.parametrize("bad_offset", [0, 10, 53])
+def test_bmp_offset_into_header_rejected(bad_offset):
+    """A malformed pixel-array offset pointing at/into the headers must be
+    rejected, not silently decode header bytes as pixels (ADVICE r9)."""
+    import struct
+
+    payload = bytearray(encode_bmp(3, 2, PIXELS))
+    struct.pack_into("<I", payload, 10, bad_offset)
+    with pytest.raises(ValueError, match="offset"):
+        parse_bmp(bytes(payload))
+
+
+def test_bmp_offset_past_payload_rejected():
+    import struct
+
+    payload = bytearray(encode_bmp(3, 2, PIXELS))
+    struct.pack_into("<I", payload, 10, len(payload) + 1)
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(payload))
+
+
 def test_ppm_p6_with_comments():
     payload = encode_ppm(3, 2, PIXELS)
     # inject comment lines into the header

@@ -354,6 +354,14 @@ def parse_bmp(payload: bytes) -> dict:
         raise ValueError(f"bad BMP dimensions {width}x{raw_height}")
     channels = bpp // 8
     stride = ((width * channels + 3) // 4) * 4
+    # the declared pixel-array offset must lie PAST both headers (a
+    # malformed offset of 0, or one pointing into the header, would
+    # otherwise silently decode header bytes as pixels) — reject so the
+    # payload falls through to PIL/unsupported (ADVICE r9)
+    if offset < 14 + hdr_size or offset > len(payload):
+        raise ValueError(
+            f"bad BMP pixel-array offset {offset} (headers end at {14 + hdr_size})"
+        )
     need = offset + stride * height
     if len(payload) < need:
         raise ValueError(f"truncated BMP: {len(payload)} bytes, need {need}")

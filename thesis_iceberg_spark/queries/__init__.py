@@ -113,6 +113,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "text_fingerprint",
     "text_token_stats",
+    # ADVICE r9: assign kernel gained an f64 re-score of f32 near-tie
+    # boundary rows (host-independent bucket choice)
+    "dedup_embedding_kmeans_pairs",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

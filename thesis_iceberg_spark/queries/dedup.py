@@ -1157,10 +1157,23 @@ def _kmeans_fit_centers(
         return [[float(x) for x in c] for c in model.clusterCenters()]
     import numpy as np
 
-    sample = fit_df.select(
+    # Collect the sample as ONE Arrow table and view the list column's
+    # flat values buffer directly: toPandas() materialized a Python list
+    # object per row (+ np.stack's second copy), several times the raw
+    # sample bytes at budget-regime k — peak driver memory now tracks the
+    # ~20*k*d*4 B sample itself (ADVICE r9)
+    tbl = fit_df.select(
         F.transform("embedding", lambda x: x.cast("float")).alias("v")
-    ).toPandas()["v"]
-    X = np.stack([np.asarray(v, dtype=np.float32) for v in sample])
+    ).toArrow()
+    col = tbl.column("v").combine_chunks()
+    widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    d = int(widths[0]) if len(widths) else 0
+    if len(widths) and not (widths == d).all():
+        # clean_embeddings guarantees modal-width rows; a ragged sample
+        # means the caller bypassed it
+        raise ValueError("fit sample has ragged vector widths")
+    X = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    X = X.reshape(-1, d) if d else X.reshape(0, 0)
     return _fit_centroids_spherical(X, k=k, seed=seed)
 
 
@@ -1248,8 +1261,16 @@ def _kmeans_assign_kernel(centers, nprobe: int):
         # gated at cosine 0.45+, and EXACT ties — collapsed duplicate
         # centroids — are exactly representable in f32, so the
         # deterministic (-cos, cid) tie-break is unaffected).
-        CnT = np.ascontiguousarray((C / cn[:, None]).T, dtype=np.float32)
+        Cn64 = C / cn[:, None]  # unit centroids, f64 — boundary re-score
+        CnT = np.ascontiguousarray(Cn64.T, dtype=np.float32)
         p = min(nprobe, k_)
+        # Rows whose f32 top-p BOUNDARY gap (p-th selected score minus the
+        # best unselected score) is below this get ONE f64 re-score, so
+        # bucket choice is host-independent: a ~1e-7 f32 near-tie would
+        # otherwise resolve by BLAS-build-dependent rounding (ADVICE r9).
+        # 1e-6 is ~8 f32 ulps at cosine scale; exact f64 ties remain and
+        # break deterministically by lowest centroid id (argmax contract).
+        BOUNDARY_GAP = 1e-6
         for pdf in batches:
             vecs = pdf["v"].to_numpy()
             # NULL or wrong-width vectors get no bucket (build_ivf_index
@@ -1296,10 +1317,25 @@ def _kmeans_assign_kernel(centers, nprobe: int):
             # scores; cos is masked in place (it is not read afterwards).
             top = np.empty((rows, p), dtype=np.int64)
             ridx = np.arange(rows)
+            val_p = None
             for j in range(p):
                 idx = np.argmax(cos, axis=1)
                 top[:, j] = idx
+                val_p = cos[ridx, idx]
                 cos[ridx, idx] = -np.inf
+            if p < k_:
+                # f64 re-score of boundary rows (see BOUNDARY_GAP above):
+                # the best UNselected score is now cos.max (selected are
+                # -inf); a sub-gap row's p-th pick is f32-rounding-dependent
+                runner = cos.max(axis=1)
+                near = np.flatnonzero(val_p - runner < BOUNDARY_GAP)
+                if near.size:
+                    cos64 = (A[near] / na[near][:, None]) @ Cn64.T
+                    nridx = np.arange(len(near))
+                    for j in range(p):
+                        idx = np.argmax(cos64, axis=1)
+                        top[near, j] = idx
+                        cos64[nridx, idx] = -np.inf
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, p),
