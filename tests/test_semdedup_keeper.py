@@ -305,3 +305,18 @@ def test_centroid_explode_matches_wide_on_ragged_arrays(spark):
     assert wide == expl
     assert wide[0] == [2.0, 2.0, None, None]
     assert wide[1] == [5.0, 6.0, 7.0, None]
+
+
+def test_centroid_explode_truncates_members_longer_than_dim(spark):
+    # the r10 sorted-prefix assembly filters pos >= dim before the
+    # aggregate (wide mode never reads past dim-1 either); a member longer
+    # than dim must not widen or shift the centroid
+    from thesis_iceberg_spark.queries.dedup import _cluster_centroids
+
+    rows = [(0, [1.0, 2.0, 9.0, 9.0]), (0, [3.0, 4.0])]
+    members = spark.createDataFrame(rows, "label BIGINT, v ARRAY<DOUBLE>")
+    wide = {r.label: r.c for r in _cluster_centroids(members, 2, mode="wide").collect()}
+    expl = {
+        r.label: r.c for r in _cluster_centroids(members, 2, mode="explode").collect()
+    }
+    assert wide == expl == {0: [2.0, 3.0]}

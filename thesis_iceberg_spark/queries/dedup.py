@@ -1537,11 +1537,15 @@ def _cluster_centroids(members: DataFrame, dim: int, mode: str | None = None) ->
     Exchange and a partial/final HashAggregate pair).
 
     mode='explode' (auto past the ceiling): posexplode to (label, pos,
-    val) rows, avg per (label, pos), re-assemble via a pos->avg map
-    looked up over sequence(0, dim-1) — trades a Dx row blow-up (still
-    map-side-combined, keyed on (label, pos)) for bounded per-row
-    aggregate width.  The sequence lookup pins the SAME output contract
-    as wide mode on ragged input: exactly dim elements, NULL at any
+    val) rows, avg per (label, pos), re-assemble by SORTED collect — a
+    Dx row blow-up (still map-side-combined, keyed on (label, pos)) for
+    bounded per-row aggregate width.  Assembly is O(D log D) per cluster
+    (r10; the previous pos->map lookup over sequence(0, dim-1) was
+    O(D^2) — Spark map access is a linear scan, the lm_rarity V-ceiling
+    lesson): a label's observed positions are always a dense prefix
+    0..L-1 (posexplode emits every pos < len(v), and a union of prefixes
+    is a prefix), so sort_array over (pos, avg) structs + a NULL pad to
+    dim reproduces the wide contract exactly — dim elements, NULL at any
     position no member carries.  Same values up to float summation order
     (equivalence pytest at 1e-12)."""
     if mode is None:
@@ -1556,26 +1560,24 @@ def _cluster_centroids(members: DataFrame, dim: int, mode: str | None = None) ->
         )
     if mode != "explode":
         raise ValueError(f"unknown centroid mode: {mode}")
-    ex = members.select("label", F.posexplode("v").alias("pos", "val"))
+    ex = members.select("label", F.posexplode("v").alias("pos", "val")).filter(
+        F.col("pos") < dim  # wide mode never reads past dim - 1 either
+    )
     per_dim = ex.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
-    return per_dim.groupBy("label").agg(
-        F.map_from_entries(F.collect_list(F.struct("pos", "cval"))).alias("m")
-    ).select(
-        "label",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            # map lookup: NULL where no member has pos i.  Spark map
-            # lookups are O(|m|) linear scans (the lm_rarity V-ceiling
-            # lesson), so this assembly is O(dim^2) int compares PER
-            # CLUSTER — ~10 ms at D=4096, bounded because explode mode
-            # only engages past D=2048 and rows here are one-per-cluster.
-            # If a future corpus pushes D to ~10^4+: positions are DENSE
-            # whenever a cluster's members share one width (the pair
-            # filter guarantees it — see semdedup_keepers), so a
-            # sort_array(collect_list(struct(pos, cval))) fast path
-            # assembles in O(D log D) there.
-            lambda i: F.col("m")[i],
-        ).alias("c"),
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("s"))
+        .select(
+            "label",
+            # positions are a dense prefix 0..size(s)-1 (see docstring), so
+            # the sorted cvals + a NULL tail pad IS the wide contract
+            F.concat(
+                F.transform("s", lambda e: e["cval"]),
+                F.array_repeat(
+                    F.lit(None).cast("double"), F.lit(dim) - F.size("s")
+                ),
+            ).alias("c"),
+        )
     )
 
 
