@@ -79,9 +79,16 @@ def true_pairs(X: np.ndarray) -> set[tuple[int, int]]:
 
 
 def unitize(X: np.ndarray) -> np.ndarray:
+    """Row-count-PRESERVING unit rows: zero-norm rows stay as zero vectors
+    (all-zero scores; truth never references them since cosine >= 0.45
+    can't hold) — dropping them would shift every later row's index and
+    misalign recall()'s bucket lookup against the truth pairs (review
+    r10; benign on the current fixture, which has no zero-norm rows)."""
     nrm = np.linalg.norm(X, axis=1)
-    keep = nrm > 0
-    return (X[keep] / nrm[keep][:, None]).astype(np.float32)
+    U = np.zeros_like(X, dtype=np.float64)
+    nz = nrm > 0
+    U[nz] = X[nz] / nrm[nz][:, None]
+    return U.astype(np.float32)
 
 
 def lloyd(X: np.ndarray, C: np.ndarray, iters: int) -> np.ndarray:

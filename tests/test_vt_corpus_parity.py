@@ -63,6 +63,11 @@ def vt_docs_dir(spark, tmp_path_factory):
         (8, "\x0b", "en", "web", 1),
         (9, "", "en", "web", 0),
         (10, None, "fr", "web", None),
+        # edge \n/\t: pandas .str.strip() eats them, space-only trim()
+        # keeps them as an empty token — the empty-drop contract must
+        # absorb the difference (review r10)
+        (11, "edge newline doc\n", "en", "web", 17),
+        (12, "\ttab lead doc", "en", "web", 13),
     ]
     spark.createDataFrame(
         rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"

@@ -75,16 +75,30 @@ def assert_broadcast_hints_only(df: DataFrame, *allowed_markers: str) -> None:
     """
     plan = analyzed_plan(df)
     lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        # tree position = column of the "+-" / ":-" node marker; the root
+        # line has none (depth -1, shallower than every child)
+        for marker in ("+- ", ":- "):
+            c = ln.find(marker)
+            if c >= 0:
+                return c
+        return -1
+
     hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
     for i in hints:
-        # the hinted subtree's relation is the first scan line below the hint
-        rel = next(
-            (ln for ln in lines[i + 1 :] if "Relation" in ln or "LogicalRDD" in ln),
-            "",
-        )
-        assert any(m in rel for m in allowed_markers), (
-            f"forced hint over a non-allowed relation (allowed markers "
-            f"{allowed_markers}):\n{rel}\nfull analyzed plan:\n{plan}"
+        # the hinted SUBTREE = following lines strictly deeper than the
+        # hint; searching past it could attribute the hint to a sibling's
+        # scan and vacuously pass (review r10)
+        d0 = depth(lines[i])
+        subtree = []
+        for ln in lines[i + 1 :]:
+            if depth(ln) <= d0:
+                break
+            subtree.append(ln)
+        assert any(any(m in ln for m in allowed_markers) for ln in subtree), (
+            f"forced hint over a non-allowed subtree (allowed markers "
+            f"{allowed_markers}):\n" + "\n".join(subtree) + f"\nfull analyzed plan:\n{plan}"
         )
 
 

@@ -1266,11 +1266,17 @@ def _kmeans_assign_kernel(centers, nprobe: int):
         p = min(nprobe, k_)
         # Rows whose f32 top-p BOUNDARY gap (p-th selected score minus the
         # best unselected score) is below this get ONE f64 re-score, so
-        # bucket choice is host-independent: a ~1e-7 f32 near-tie would
-        # otherwise resolve by BLAS-build-dependent rounding (ADVICE r9).
-        # 1e-6 is ~8 f32 ulps at cosine scale; exact f64 ties remain and
-        # break deterministically by lowest centroid id (argmax contract).
-        BOUNDARY_GAP = 1e-6
+        # bucket choice is host-independent: a sub-resolution f32 near-tie
+        # would otherwise resolve by BLAS-build-dependent rounding (ADVICE
+        # r9).  The threshold must dominate f32 SGEMM ACCUMULATION error,
+        # not just input rounding — a d-term dot product's worst-case
+        # error is ~d*eps32 of the |summand| scale (review r10; unit rows
+        # keep summands <= 1/sqrt(d) each but the conservative linear
+        # bound is cheap) — so it scales with d: 7.6e-6 at d=64, 1.2e-4
+        # at d=1024; re-scored rows stay a vanishing fraction.  Exact f64
+        # ties remain and break deterministically by lowest centroid id
+        # (argmax contract).
+        BOUNDARY_GAP = max(1e-6, d_ * float(np.finfo(np.float32).eps))
         for pdf in batches:
             vecs = pdf["v"].to_numpy()
             # NULL or wrong-width vectors get no bucket (build_ivf_index

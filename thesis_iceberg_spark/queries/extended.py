@@ -121,8 +121,9 @@ def range_join_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udf_scalar_text",
     oracle="""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+'))
-           AS n_words_udf,
+       len(list_filter(
+           regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+'),
+           x -> x <> '')) AS n_words_udf,
        length(text) - length(replace(text, 'a', '')) AS n_letter_a
 FROM documents
 """,
@@ -134,13 +135,20 @@ def pandas_udf_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def n_words(texts: pd.Series) -> pd.Series:
         # NULL text -> NULL count (pandas str.split leaves NaN; a bare
-        # map(len) crashed on it — caught by the r10 \x0B-corpus sweep);
+        # map(len) crashed on it — caught by the r10 \x0B-corpus sweep).
+        # Counting NON-EMPTY tokens is the only edge-stable contract:
+        # pandas .str.strip() eats edge \t/\n that DuckDB's space-only
+        # trim() keeps (as an empty token), and an empty doc splits to
+        # [''] in both — dropping empties makes the two agree on every
+        # edge shape (review r10; the oracle mirrors with list_filter).
         # \x0B needs no fold here: pandas strip/\s+ already treat it as
-        # whitespace, matching the chr(11)-folded oracle
+        # whitespace, matching the chr(11)-folded oracle.
         return (
             texts.str.strip()
             .str.split(r"\s+")
-            .map(lambda x: len(x) if isinstance(x, list) else None)
+            .map(
+                lambda x: sum(1 for t in x if t) if isinstance(x, list) else None
+            )
             .astype("Int64")
         )
 

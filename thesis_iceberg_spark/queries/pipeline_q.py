@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 # oracle SQL as CTE bodies so the pipeline oracle can never drift
 from thesis_iceberg_spark.queries import REGISTRY, dedup, register, text  # noqa: F401
 
+
+def _ws_toks(lower: bool = False):
+    """Case-preserving whitespace tokenizer over `text` (the pipeline
+    queries that count/slice tokens don't need lower()); ONE definition so
+    the \\x0B fold can never drift between the three call sites (review
+    r10 — the r10 unification existed precisely because twin copies
+    drift).  Mirrors text._toks_of's fold-before-trim order."""
+    base = F.translate(F.col("text"), "\x0b", " ")
+    if lower:
+        base = F.lower(base)
+    return F.split(F.trim(base), r"\s+")
+
 QUALITY_MIN = 0.5
 
 _PIPELINE_ORACLE = f"""
@@ -117,11 +129,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "quality_score",
             "detected_lang",
-            F.size(
-                F.split(
-                    F.trim(F.lower(F.translate(F.col("text"), "\x0b", " "))), r"\s+"
-                )
-            ).alias("n_tokens"),
+            F.size(_ws_toks(lower=True)).alias("n_tokens"),
         )
     )
 
@@ -213,7 +221,7 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.translate(F.col("text"), "\x0b", " ")), r"\s+")
+    t = _ws_toks()
     with_starts = docs.select(
         "doc_id",
         t.alias("t"),
@@ -324,9 +332,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     lang = text_lang_id(spark, sf_dir)
-    n_tokens = F.size(
-        F.split(F.trim(F.translate(F.col("text"), "\x0b", " ")), r"\s+")
-    )
+    n_tokens = F.size(_ws_toks())
     toks = docs.join(lang, "doc_id").select(
         "doc_id", "detected_lang", n_tokens.alias("n_tokens")
     )
