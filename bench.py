@@ -65,6 +65,13 @@ HEADLINE_EXTRA = [
     # round 9: BM25 lexical top-k (narrow HOF tf/dl map, one-row stats
     # broadcast, TakeOrdered) — new family, series from birth
     "search_bm25_topk",
+    # round 10: three new operator families, series from birth — int8
+    # quantized ANN (exact-integer shortlist + rerank), histogram-
+    # threshold token-budget selection (never globally sorts), count-min
+    # sketch (map-side combine IS the partial-sketch merge)
+    "ann_int8_topk",
+    "pipeline_token_budget_select",
+    "text_countmin_topk",
 ]
 
 
@@ -251,9 +258,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": med,  # per-query MEDIAN over JVM-fresh cold runs
-        "cold_runs": len(cold_runs),
-        "queries_steady": steady,  # per-query MEDIAN of warm passes
-        "steady_runs": len(steady_runs),
+        # steady medians at 3 decimals on stdout (ms precision — the 4th
+        # digit is noise); the r10 28-query list put the 4-decimal line
+        # at 1901 B, one over budget, which would have silently dropped
+        # the whole steady series from the driver record
+        "queries_steady": {k: round(v, 3) for k, v in steady.items()},
         "value_steady": round(sum(steady.values()), 4),
         "canary_jvm_sec": canary_jvm,  # fixed 1e8-row xxhash64 bit_xor
         "canary_numpy_sec": canary_np,  # fixed 8x 1024^3 GEMM chain
@@ -263,7 +272,17 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
         "w",
     ) as f:
-        json.dump({**record, "queries_cold_samples": cold_runs}, f, indent=1)
+        json.dump(
+            {
+                **record,
+                "queries_steady": steady,  # full precision in the sidecar
+                "cold_runs": len(cold_runs),
+                "steady_runs": len(steady_runs),
+                "queries_cold_samples": cold_runs,
+            },
+            f,
+            indent=1,
+        )
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:
         record.pop("queries_steady")

@@ -1,0 +1,56 @@
+"""ann_int8_topk: the quantized shortlist must equal a numpy reference
+built from the same floor(x*s + 0.5) rule (pins the rounding twin all
+three engines share), and the int8 shortlist must agree closely with the
+exact-cosine ranking on the synthetic corpus (quantization quality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from thesis_iceberg_spark.queries import REGISTRY, queries
+from thesis_iceberg_spark.queries.similarity import Q_SCALE_TOP, TOP_K
+
+queries()
+
+_FN = REGISTRY["ann_int8_topk"].fn
+
+
+def _numpy_reference(vecs, ids):
+    """(vec_id, qdot) top-k under the exact quantization twin."""
+    x = np.asarray(vecs, dtype=np.float64)
+    s = Q_SCALE_TOP / np.abs(x).max()
+    q8 = np.floor(x * s + 0.5).astype(np.int64)
+    qv = q8[int(np.argmin(ids))]
+    dots = q8 @ qv
+    order = sorted(
+        (int(i), int(d))
+        for i, d in zip(ids, dots)
+        if i != ids[int(np.argmin(ids))]
+    )
+    order.sort(key=lambda t: (-t[1], t[0]))
+    return order[:TOP_K]
+
+
+def test_matches_numpy_quantization_twin(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = [r.vec_id for r in rows]
+    expect = _numpy_reference([r.embedding for r in rows], ids)
+    got = [(r.vec_id, r.qdot) for r in _FN(spark, sf_dir).collect()]
+    assert got == expect
+
+
+def test_shortlist_recall_vs_exact_cosine(spark, sf_dir):
+    exact = {r.vec_id for r in REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).collect()}
+    quant = {r.vec_id for r in _FN(spark, sf_dir).collect()}
+    # int8 over a [-1,1]-ish synthetic corpus is a fine-grained grid; the
+    # shortlist should recover nearly all of the exact top-10 (measured
+    # 1.0 at sf0.001 — floor asserted with margin)
+    assert len(exact & quant) >= 8, sorted(exact & quant)
+
+
+def test_rerank_cosine_is_full_precision(spark, sf_dir):
+    rows = _FN(spark, sf_dir).collect()
+    assert len(rows) == TOP_K
+    for r in rows:
+        assert r.cosine is None or -1.0 - 1e-12 <= r.cosine <= 1.0 + 1e-12

@@ -1,0 +1,98 @@
+"""pipeline_token_budget_select: the histogram-threshold selection must
+reproduce the global prefix rule EXACTLY (the oracle comparison proves it
+on the synthetic corpus; these tests pin the boundary geometry on crafted
+corpora where the budget crossing is engineered, including the
+exact-landing edge the histogram logic special-cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.queries import REGISTRY, queries
+from thesis_iceberg_spark.queries.text import quality_frame
+
+queries()
+
+_FN = REGISTRY["pipeline_token_budget_select"].fn
+
+
+def _write_docs(spark, tmp_path_factory, rows, name):
+    d = str(tmp_path_factory.mktemp(name))
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def mixed_dir(spark, tmp_path_factory):
+    # quality_score rises with alpha ratio and token count; build docs of
+    # graded quality so scores spread across histogram bins and the
+    # budget crossing lands INSIDE a bin (docs of equal score share a bin,
+    # so crafting several same-score docs exercises the within-bin sort)
+    rows = []
+    did = 1
+    for grade in range(8):
+        # grade g: g+2 clean words -> monotone score ladder
+        text = " ".join(f"word{w}" for w in range(grade + 2))
+        for _ in range(4):  # 4 identical-score docs per grade
+            rows.append((did, text, "en", "web", len(text)))
+            did += 1
+    # degenerate rows: excluded by the score-IS-NOT-NULL contract
+    rows += [(did, "", "en", "web", 0), (did + 1, None, "fr", "web", None)]
+    return _write_docs(spark, tmp_path_factory, rows, "budgetcorp")
+
+
+def _reference_prefix(spark, sf_dir):
+    """The naive global-sort form computed independently of the operator."""
+    s = (
+        quality_frame(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        .filter(F.col("quality_score").isNotNull())
+        .select("doc_id", "quality_score", "n_tokens")
+        .collect()
+    )
+    s.sort(key=lambda r: (-r.quality_score, r.doc_id))
+    budget = int(sum(r.n_tokens for r in s) * 0.5)
+    kept, cum = [], 0
+    for r in s:
+        cum += r.n_tokens
+        if cum > budget:
+            break
+        kept.append(r.doc_id)
+    return set(kept), budget
+
+
+def test_matches_global_prefix_rule(spark, mixed_dir):
+    expect, budget = _reference_prefix(spark, mixed_dir)
+    got = {r.doc_id for r in _FN(spark, mixed_dir).collect()}
+    assert got == expect
+    # the crossing lands inside a bin here: kept mass is under budget but
+    # adding any dropped doc would exceed it (greedy prefix optimality)
+    rows = {r.doc_id: r.n_tokens for r in _FN(spark, mixed_dir).collect()}
+    assert sum(rows.values()) <= budget
+
+
+def test_exact_landing_no_boundary_bin(spark, tmp_path_factory):
+    # every doc identical -> one bin holds everything; total = 16 docs * 3
+    # tokens = 48, budget = 24 -> the prefix lands EXACTLY on 8 docs and
+    # the histogram sees no budget-crossing bin (cum_through == budget):
+    # the fully-kept branch alone must produce the answer
+    rows = [(i, "alpha beta gamma", "en", "web", 16) for i in range(1, 17)]
+    d = _write_docs(spark, tmp_path_factory, rows, "exactland")
+    expect, budget = _reference_prefix(spark, d)
+    out = _FN(spark, d).collect()
+    assert {r.doc_id for r in out} == expect
+    assert sum(r.n_tokens for r in out) == budget
+
+
+def test_empty_and_degenerate_corpus(spark, tmp_path_factory):
+    d = _write_docs(
+        spark,
+        tmp_path_factory,
+        [(1, "", "en", "web", 0), (2, None, "fr", "web", None)],
+        "degtok",
+    )
+    assert _FN(spark, d).count() == 0

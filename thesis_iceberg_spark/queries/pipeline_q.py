@@ -613,3 +613,138 @@ def pipeline_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _dedup_paragraphs(docs, _chunks(_toks(), _PARA_TOKS))
+
+
+# --- token-budget corpus selection (histogram threshold, no global sort) ----
+
+# Select the highest-quality documents whose cumulative token count fits a
+# global budget (here half the corpus' token mass) — the data-mixing
+# primitive behind "train on the best N tokens".  The naive form is a
+# GLOBAL sort + running sum: one total-order exchange, then one task owns
+# the running sum — the canonical 100 TB anti-pattern.  This
+# implementation never globally sorts the corpus: it buckets the quality
+# score into NB_QBUCKETS histogram bins, aggregates token mass per bin
+# (ONE map-side-combined shuffle of <= NB_QBUCKETS rows per task), finds
+# the budget-crossing bin on that tiny frame, and then only the docs of
+# that ONE boundary bin (expected n/NB_QBUCKETS) are sorted to fill the
+# remainder exactly.  The kept set is IDENTICAL to the global-sort
+# semantics (the oracle is the window-cumsum form) because floor-bucketing
+# is monotone in score: equal scores share a bin, so (bin DESC, score
+# DESC, doc_id) is the global order.  Refine the boundary bin recursively
+# (re-histogram inside it) if n/NB_QBUCKETS is still too large to sort.
+NB_QBUCKETS = 64
+BUDGET_FRAC = 0.5  # keep the best half of the corpus' token mass
+
+@register(
+    "pipeline_token_budget_select",
+    oracle=f"""
+WITH q AS ({REGISTRY["text_quality_scores"].oracle}),
+t AS (SELECT doc_id, len({text._sql_toks()}) AS n_tokens FROM documents),
+s AS (SELECT q.doc_id, q.quality_score, t.n_tokens
+      FROM q JOIN t ON t.doc_id = q.doc_id
+      WHERE q.quality_score IS NOT NULL),
+b AS (SELECT CAST(floor(SUM(n_tokens) * {BUDGET_FRAC}) AS BIGINT) AS budget FROM s),
+sel AS (SELECT doc_id, n_tokens, quality_score,
+               SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s)
+SELECT sel.doc_id, CAST(sel.n_tokens AS BIGINT) AS n_tokens,
+       CAST(least(floor(sel.quality_score * {NB_QBUCKETS}),
+                  {NB_QBUCKETS - 1}) AS BIGINT) AS sel_bucket
+FROM sel, b WHERE sel.cum <= b.budget
+""",
+    doc=f"Token-budget corpus selection: keep the best documents by "
+    f"quality score until {BUDGET_FRAC:.0%} of the corpus' token mass is "
+    "spent (prefix rule: a document is kept iff its running total under "
+    "(score DESC, doc_id) order fits the budget). Spark shape is the "
+    f"scale-safe two-phase threshold: a {NB_QBUCKETS}-bin score histogram "
+    "(map-side-combined, <= 64 rows/task shuffled) locates the "
+    "budget-crossing bin; all higher bins pass with a pure narrow filter "
+    "(zero shuffle) and ONLY the boundary bin's docs — expected "
+    f"n/{NB_QBUCKETS} of the corpus — are sorted to fill the remainder. "
+    "The oracle is the equivalent global window cumsum, so the driver "
+    "verifies the two forms select IDENTICAL documents.",
+)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    return token_budget_select_df(load_table(spark, sf_dir, "documents"))
+
+
+def token_budget_select_df(
+    docs: DataFrame, budget_frac: float = BUDGET_FRAC
+) -> DataFrame:
+    """Histogram-threshold token-budget selection over any documents
+    frame (doc_id, text) — see the registered query's doc for the
+    algorithm and its equivalence to the global-sort prefix rule."""
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.queries.text import quality_frame
+
+    # ONE documents scan: quality_frame carries score AND n_tokens (no
+    # self-join of two scans on doc_id — see text.quality_frame), and the
+    # narrow 4-column scored projection is checkpointed ONCE so the
+    # histogram pass and the two selection branches below all read the
+    # materialized projection instead of re-scanning the text corpus
+    # (eager, like dedup_minhash_lsh_pairs — at production scale this is
+    # persist(DISK) or a staging table of ~32 bytes/doc, not the corpus).
+    scored = (
+        quality_frame(docs)
+        .filter(F.col("quality_score").isNotNull())
+        .select(
+            "doc_id",
+            "quality_score",
+            "n_tokens",
+            F.least(
+                F.floor(F.col("quality_score") * NB_QBUCKETS),
+                F.lit(NB_QBUCKETS - 1).cast("bigint"),
+            ).alias("sel_bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hist = scored.groupBy("sel_bucket").agg(F.sum("n_tokens").alias("btok"))
+    tot = hist.agg(
+        F.floor(F.sum("btok") * budget_frac).cast("bigint").alias("budget")
+    )
+    # cumulative token mass from the best (highest) bin downward; the
+    # window runs over <= NB_QBUCKETS rows, not the corpus
+    w_hist = Window.orderBy(F.col("sel_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist_cum = (
+        hist.withColumn("cum_through", F.sum("btok").over(w_hist))
+        .withColumn("cum_before", F.col("cum_through") - F.col("btok"))
+        .crossJoin(F.broadcast(tot))
+    )
+    boundary = (F.col("cum_before") < F.col("budget")) & (
+        F.col("cum_through") > F.col("budget")
+    )
+    stats = hist_cum.agg(
+        # bins whose whole mass fits: kept with a pure filter
+        F.min(
+            F.when(F.col("cum_through") <= F.col("budget"), F.col("sel_bucket"))
+        ).alias("full_min"),
+        # the (at most one) budget-crossing bin + the mass spent before it
+        F.max(F.when(boundary, F.col("sel_bucket"))).alias("b_star"),
+        F.max(F.when(boundary, F.col("cum_before"))).alias("b_offset"),
+        F.max("budget").alias("budget"),
+    )
+    base = scored.crossJoin(F.broadcast(stats))
+    full_part = base.filter(F.col("sel_bucket") >= F.col("full_min"))
+    # only the boundary bin is ever sorted: expected n/NB_QBUCKETS rows in
+    # one window task (recursively re-histogram inside the bin if that is
+    # still too large at the target scale)
+    w_bin = Window.orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bound_part = (
+        base.filter(F.col("sel_bucket") == F.col("b_star"))
+        .withColumn("cum", F.col("b_offset") + F.sum("n_tokens").over(w_bin))
+        .filter(F.col("cum") <= F.col("budget"))
+    )
+    out_cols = [
+        F.col("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("sel_bucket"),
+    ]
+    return full_part.select(*out_cols).unionByName(bound_part.select(*out_cols))

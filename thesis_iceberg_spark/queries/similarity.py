@@ -310,3 +310,93 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BATCH_TOP_K)
         .select("qid", "vec_id", "label", "cosine")
     )
+
+
+# --- int8 scalar-quantized ANN (quantize -> integer shortlist -> rerank) ----
+
+# Symmetric scalar quantization: one corpus-wide scale s = 127 / max|x|,
+# q[i] = floor(x[i]*s + 0.5) in [-127, 127].  The quantized dot product is
+# EXACT INTEGER arithmetic (|dot| <= 127^2 * D << 2^63), so unlike the
+# cosine rankings this shortlist has no floating-point tie anxiety at all
+# and the oracle compares it value-for-value.  floor(x*s + 0.5) is chosen
+# over round() deliberately: numpy/Java round() is banker's rounding,
+# DuckDB round() is half-away — floor(+0.5) is the one rounding both
+# engines (and numpy, for tests) compute identically from the same IEEE
+# double product.
+Q_SCALE_TOP = 127.0
+
+
+@register(
+    "ann_int8_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (SELECT {Q_SCALE_TOP} / MAX(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+q AS (SELECT vec_id AS qid, v AS qv,
+             list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qq
+      FROM e, sc ORDER BY vec_id LIMIT 1),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, q.qv,
+         CAST(list_dot_product(
+                CAST(list_transform(e.v, x -> CAST(floor(x * s + 0.5) AS BIGINT))
+                     AS DOUBLE[]),
+                CAST(q.qq AS DOUBLE[])) AS BIGINT) AS qdot
+  FROM e, sc, q WHERE e.vec_id != q.qid),
+top AS (SELECT * FROM scored ORDER BY qdot DESC, vec_id LIMIT {TOP_K})
+SELECT vec_id, label, qdot,
+       list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cosine
+FROM top ORDER BY qdot DESC, vec_id
+""",
+    doc=f"Scalar-quantized (int8) ANN: the corpus is quantized with ONE "
+    "symmetric scale (127/max|x|, a single tiny aggregate broadcast back), "
+    f"the top-{TOP_K} shortlist ranks by the EXACT INTEGER quantized dot "
+    "product, and only those k rows are re-scored with the full-precision "
+    "cosine. At 100 TB the quantized column is materialized at write time: "
+    "the shortlist scan then reads 1/4 the bytes of the f32 corpus (int8 "
+    "vs float) and stays a narrow map + TakeOrderedAndProject — the "
+    "rerank touches k full-precision vectors, not the corpus. Both output "
+    "columns are exact cross-engine (integer dot; cosine is the "
+    "sqrt/mul/div-only form every ANN oracle here uses), so this is a "
+    "FULL value oracle — stronger than the recall self-checks the "
+    "model-driven ANN variants carry.",
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    # one-row corpus scale; try_divide -> NULL (not Infinity) on an
+    # all-zero corpus, matching DuckDB where x/0 is NULL for doubles too
+    sc = e.agg(
+        F.try_divide(
+            F.lit(Q_SCALE_TOP),
+            F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))),
+        ).alias("s")
+    )
+
+    def _q8(col):
+        return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
+
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            _q8(F.col("v")).alias("qq"),
+        )
+    )
+    qdot = F.aggregate(
+        F.zip_with(_q8(F.col("v")), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p,
+    )
+    top = (
+        e.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", "v", "qv", qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+    return top.select(
+        "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )

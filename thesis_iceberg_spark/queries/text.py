@@ -173,7 +173,22 @@ FROM m
     "ratios are integer-count divisions so doubles are exactly reproducible.",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _docs(spark, sf_dir).select(
+    return quality_frame(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "punct_ratio",
+        "alpha_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """ONE-PASS quality frame: the registered ratio/score columns PLUS the
+    raw ``n_tokens`` count they were derived from — so composers that need
+    score AND token mass together (pipeline_token_budget_select) get both
+    from a single documents scan instead of self-joining two scans on
+    doc_id (a pure-overhead shuffle at corpus scale)."""
+    m = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
         F.size(_toks()).alias("n_tokens"),
@@ -194,6 +209,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "doc_id",
+        "n_tokens",
         punct.alias("punct_ratio"),
         alpha.alias("alpha_ratio"),
         stop.alias("stopword_ratio"),
@@ -1450,4 +1466,119 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 def text_lm_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_rarity_df(
         spark, _docs(spark, sf_dir), v=LM_VOCAB_SIZE_REGISTERED, perplexity=False
+    )
+
+
+# --- count-min sketch heavy hitters (sketch family) -------------------------
+
+# Sketch geometry: CM_ROWS independent md5-derived hash rows over CM_COLS
+# columns.  The whole sketch is CM_ROWS*CM_COLS = 1024 integer cells —
+# FIXED SIZE regardless of corpus size, which is the entire point: at
+# 100 TB the per-task partial sketches are what Catalyst's map-side
+# combine over the 1024 (j, c) keys already computes, so the shuffle is
+# <= 1024 rows per task no matter how many tokens flow through it.
+CM_ROWS = 4
+CM_COLS = 256
+CM_TOPK = 10
+
+_SQL_CM_HASH = (
+    "CAST('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || ':' || {t}), 1, 8)"
+    f" AS BIGINT) % {CM_COLS}"
+)
+
+
+def _cm_hash(j, t):
+    """Column twin of _SQL_CM_HASH: row-j count-min column for token t."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"), j.cast("string"), F.lit(":"), t
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_COLS
+    )
+
+
+@register(
+    "text_countmin_topk",
+    oracle=f"""
+WITH toks AS (SELECT unnest({_SQL_LM_FTOKS}) AS t FROM documents),
+counts AS (SELECT t, COUNT(*) AS exact_n FROM toks GROUP BY t),
+top AS (SELECT t, exact_n FROM counts ORDER BY exact_n DESC, t LIMIT {CM_TOPK}),
+rows_j AS (SELECT unnest([{", ".join(str(j) for j in range(CM_ROWS))}]) AS j),
+cells AS (
+  SELECT j, {_SQL_CM_HASH.format(t="t")} AS c, COUNT(*) AS cell_n
+  FROM toks, rows_j GROUP BY j, c),
+probes AS (
+  SELECT top.t, top.exact_n, j, {_SQL_CM_HASH.format(t="top.t")} AS c
+  FROM top, rows_j)
+SELECT p.t AS token, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c2.cell_n) AS BIGINT) AS est_n
+FROM probes p JOIN cells c2 ON c2.j = p.j AND c2.c = p.c
+GROUP BY p.t, p.exact_n
+""",
+    doc=f"Count-min sketch frequency estimation: a {CM_ROWS}x{CM_COLS} "
+    "sketch built in ONE aggregation whose map-side combine over the 1024 "
+    "(row, col) keys IS the classic per-partition-partial-sketch merge — "
+    "each task ships <= 1024 cells regardless of corpus size, vs the "
+    "per-token state an exact count needs. The query returns the true "
+    f"top-{CM_TOPK} tokens with exact and sketch-estimated counts side by "
+    "side (est_n >= exact_n always; the gap is the hash-collision mass), "
+    "so the oracle value-checks the SKETCH CELLS themselves, not just "
+    "row counts. The exact side is the verification harness — at 100 TB "
+    "the sketch is the product and heavy-hitter candidates come from a "
+    "per-partition top-k pre-pass, not a corpus-wide token groupBy.",
+)
+def text_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return countmin_topk_df(_docs(spark, sf_dir))
+
+
+def countmin_sketch_df(docs: DataFrame) -> DataFrame:
+    """The CM_ROWS x CM_COLS sketch as (j, c, cell_n) rows — <= 1024 of
+    them at ANY corpus size.  Catalyst's map-side combine over the 1024
+    keys is exactly the per-partition-partial-sketch merge a hand-rolled
+    implementation would do."""
+    toks = docs.select(F.explode(_lm_ftoks()).alias("t"))
+    js = F.array([F.lit(j) for j in range(CM_ROWS)])
+    return (
+        toks.select("t", F.explode(js).alias("j"))
+        .select("j", _cm_hash(F.col("j"), F.col("t")).alias("c"))
+        .groupBy("j", "c")
+        .agg(F.count("*").alias("cell_n"))
+    )
+
+
+def countmin_topk_df(docs: DataFrame) -> DataFrame:
+    """True top-CM_TOPK tokens with exact and sketch-estimated counts
+    side by side (the exact arm is the verification harness; the sketch
+    is the product at scale)."""
+    toks = docs.select(F.explode(_lm_ftoks()).alias("t"))
+    js = F.array([F.lit(j) for j in range(CM_ROWS)])
+    cells = countmin_sketch_df(docs)
+    top = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("t"))
+        .limit(CM_TOPK)
+    )
+    probes = top.select(
+        "t", "exact_n", F.explode(js).alias("j")
+    ).withColumn("c", _cm_hash(F.col("j"), F.col("t")))
+    return (
+        cells.join(F.broadcast(probes), ["j", "c"])
+        .groupBy("t", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+        )
     )
