@@ -268,6 +268,13 @@ def main() -> None:
         "canary_numpy_sec": canary_np,  # fixed 8x 1024^3 GEMM chain
         "sf": sf,
     }
+    if fallback_ran:
+        # every JVM-fresh cold child failed and the "cold" numbers came
+        # from the in-process fallback pass — flag it in the driver
+        # record so a round comparison never mistakes the degraded
+        # measurement for a real plan delta (review r10; the run-count
+        # fields that used to reveal this now live only in the sidecar)
+        record["fallback"] = 1
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
         "w",

@@ -67,25 +67,51 @@ def _reference_prefix(spark, sf_dir):
 
 def test_matches_global_prefix_rule(spark, mixed_dir):
     expect, budget = _reference_prefix(spark, mixed_dir)
-    got = {r.doc_id for r in _FN(spark, mixed_dir).collect()}
-    assert got == expect
+    out = _FN(spark, mixed_dir).collect()
+    assert {r.doc_id for r in out} == expect
     # the crossing lands inside a bin here: kept mass is under budget but
     # adding any dropped doc would exceed it (greedy prefix optimality)
-    rows = {r.doc_id: r.n_tokens for r in _FN(spark, mixed_dir).collect()}
-    assert sum(rows.values()) <= budget
+    assert sum(r.n_tokens for r in out) <= budget
 
 
-def test_exact_landing_no_boundary_bin(spark, tmp_path_factory):
-    # every doc identical -> one bin holds everything; total = 16 docs * 3
-    # tokens = 48, budget = 24 -> the prefix lands EXACTLY on 8 docs and
-    # the histogram sees no budget-crossing bin (cum_through == budget):
-    # the fully-kept branch alone must produce the answer
+def test_single_bin_boundary(spark, tmp_path_factory):
+    # every doc identical -> ONE bin holds everything and that bin IS the
+    # budget-crossing bin (cum_before=0 < budget=24 < cum_through=48):
+    # the whole answer comes from the boundary-sort branch
     rows = [(i, "alpha beta gamma", "en", "web", 16) for i in range(1, 17)]
-    d = _write_docs(spark, tmp_path_factory, rows, "exactland")
+    d = _write_docs(spark, tmp_path_factory, rows, "singlebin")
     expect, budget = _reference_prefix(spark, d)
     out = _FN(spark, d).collect()
     assert {r.doc_id for r in out} == expect
+    assert len({r.sel_bucket for r in out}) == 1
     assert sum(r.n_tokens for r in out) == budget
+
+
+def test_exact_landing_no_boundary_bin(spark, tmp_path_factory):
+    # TWO score grades where the higher grade's token mass EXACTLY equals
+    # the budget: grade A = 4 clean 6-token docs (24 tokens), grade B = 8
+    # punctuation-heavy 3-token docs (24 tokens, much lower score, so a
+    # different bin) -> budget = floor(48*0.5) = 24 = mass(A).  Bin A has
+    # cum_through == budget (fully kept, NOT a crossing bin) and bin B
+    # has cum_before == budget with cum_through > budget (boundary under
+    # the <=-rule, but every B doc overflows) — the kept set must be
+    # exactly grade A, produced by the full_min filter (review r10: the
+    # single-bin corpus this test previously used could never produce
+    # the cum_through == budget geometry its name claims)
+    rows = [
+        (i, "alpha beta gamma delta epsil zeta", "en", "web", 34)
+        for i in range(1, 5)
+    ] + [
+        (i, "x1. y2. z3.", "en", "web", 11)
+        for i in range(10, 18)
+    ]
+    d = _write_docs(spark, tmp_path_factory, rows, "exactland")
+    expect, budget = _reference_prefix(spark, d)
+    assert expect == {1, 2, 3, 4}  # the geometry actually holds
+    out = _FN(spark, d).collect()
+    assert {r.doc_id for r in out} == expect
+    assert sum(r.n_tokens for r in out) == budget == 24
+    assert len({r.sel_bucket for r in out}) == 1  # all from grade A's bin
 
 
 def test_empty_and_degenerate_corpus(spark, tmp_path_factory):

@@ -716,7 +716,17 @@ def token_budget_select_df(
         .withColumn("cum_before", F.col("cum_through") - F.col("btok"))
         .crossJoin(F.broadcast(tot))
     )
-    boundary = (F.col("cum_before") < F.col("budget")) & (
+    # <=, not <: a bin whose cum_before lands EXACTLY on the budget must
+    # still be the boundary bin so that zero-token docs at its head (cum
+    # == budget) survive like the oracle's cum <= budget rule keeps them.
+    # Unreachable today (the split tokenizer never yields n_tokens=0 for
+    # a non-NULL-score doc) but the robust form costs nothing and keeps
+    # token_budget_select_df oracle-equivalent if a composer ever feeds
+    # it an empty-token-filtering tokenizer (review r10).  Still at most
+    # ONE boundary bin: budget sits strictly inside exactly one bin's
+    # [cum_before, cum_through) interval, and zero-mass bins can never
+    # satisfy cum_through > budget >= cum_before.
+    boundary = (F.col("cum_before") <= F.col("budget")) & (
         F.col("cum_through") > F.col("budget")
     )
     stats = hist_cum.agg(

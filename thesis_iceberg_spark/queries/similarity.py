@@ -345,13 +345,13 @@ top AS (SELECT * FROM scored ORDER BY qdot DESC, vec_id LIMIT {TOP_K})
 SELECT vec_id, label, qdot,
        list_dot_product(v, qv)
          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cosine
-FROM top ORDER BY qdot DESC, vec_id
+FROM top ORDER BY cosine DESC, vec_id
 """,
     doc=f"Scalar-quantized (int8) ANN: the corpus is quantized with ONE "
     "symmetric scale (127/max|x|, a single tiny aggregate broadcast back), "
-    f"the top-{TOP_K} shortlist ranks by the EXACT INTEGER quantized dot "
-    "product, and only those k rows are re-scored with the full-precision "
-    "cosine. At 100 TB the quantized column is materialized at write time: "
+    f"the top-{TOP_K} shortlist is selected by the EXACT INTEGER quantized "
+    "dot product, and only those k rows are re-scored AND re-ranked by the "
+    "full-precision cosine. At 100 TB the quantized column is materialized at write time: "
     "the shortlist scan then reads 1/4 the bytes of the f32 corpus (int8 "
     "vs float) and stays a narrow map + TakeOrderedAndProject — the "
     "rerank touches k full-precision vectors, not the corpus. Both output "
@@ -397,6 +397,10 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qdot").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+    # the RERANK: selection was by quantized dot, the final ranking is by
+    # the full-precision cosine of the k survivors (review r10 — emitting
+    # the cosine without re-ordering would leave head(n<k) consumers with
+    # the quantized order, exactly the error a rerank exists to fix)
     return top.select(
         "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
-    )
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id"))
