@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from thesis_iceberg_spark.queries import REGISTRY, queries
-from thesis_iceberg_spark.queries.similarity import Q_SCALE_TOP, TOP_K
+from thesis_iceberg_spark.queries.similarity import Q_SCALE_TOP, SHORTLIST_K, TOP_K
 
 queries()
 
@@ -17,15 +17,26 @@ _FN = REGISTRY["ann_int8_topk"].fn
 
 
 def _numpy_reference(vecs, ids):
-    """(vec_id, qdot) top-k under the exact quantization twin."""
+    """(vec_id, qdot, cosine-rank) top-k under the exact two-stage twin:
+    SHORTLIST_K by quantized dot, then top-k of those by f64 cosine."""
     x = np.asarray(vecs, dtype=np.float64)
     s = Q_SCALE_TOP / np.abs(x).max()
     q8 = np.floor(x * s + 0.5).astype(np.int64)
-    qid = ids[int(np.argmin(ids))]
-    dots = q8 @ q8[int(np.argmin(ids))]
-    order = [(int(i), int(d)) for i, d in zip(ids, dots) if i != qid]
-    order.sort(key=lambda t: (-t[1], t[0]))  # ids unique -> total order
-    return order[:TOP_K]
+    qpos = int(np.argmin(ids))
+    qid = ids[qpos]
+    dots = q8 @ q8[qpos]
+    short = [(int(i), int(d), k) for k, (i, d) in enumerate(zip(ids, dots)) if i != qid]
+    short.sort(key=lambda t: (-t[1], t[0]))  # ids unique -> total order
+    short = short[:SHORTLIST_K]
+    qv = x[qpos]
+    qn = np.sqrt(qv @ qv)
+
+    def cos(row):
+        v = x[row]
+        return (v @ qv) / (np.sqrt(v @ v) * qn)
+
+    short.sort(key=lambda t: (-cos(t[2]), t[0]))
+    return [(i, d) for i, d, _ in short[:TOP_K]]
 
 
 def test_matches_numpy_quantization_twin(spark, sf_dir):
@@ -33,8 +44,6 @@ def test_matches_numpy_quantization_twin(spark, sf_dir):
     ids = [r.vec_id for r in rows]
     expect = _numpy_reference([r.embedding for r in rows], ids)
     got = [(r.vec_id, r.qdot) for r in _FN(spark, sf_dir).collect()]
-    # the SHORTLIST set is defined by the quantized dot; the output
-    # order is the rerank's (cosine), so compare as sets
     assert sorted(got) == sorted(expect)
 
 

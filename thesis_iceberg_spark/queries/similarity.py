@@ -323,7 +323,16 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB round() is half-away — floor(+0.5) is the one rounding both
 # engines (and numpy, for tests) compute identically from the same IEEE
 # double product.
+#
+# The shortlist OVERSAMPLES (SHORTLIST_K = 4k) before the rerank: on an
+# iid-normal 1e6x64 corpus the true top-10 are near-ties separated by
+# margins below the quantization noise, and a same-size int8 shortlist
+# measured only 4/10 of the exact top-10 where the x10-oversampled
+# rerank recovered it (tests/exp_int8_scan_bench.py) — oversample-then-
+# rerank is the standard scalar-quantization recipe and it is free at
+# query time (the shortlist heap grows from k to 4k entries per task).
 Q_SCALE_TOP = 127.0
+SHORTLIST_K = 4 * TOP_K
 
 
 @register(
@@ -341,17 +350,23 @@ scored AS (
                      AS DOUBLE[]),
                 CAST(q.qq AS DOUBLE[])) AS BIGINT) AS qdot
   FROM e, sc, q WHERE e.vec_id != q.qid),
-top AS (SELECT * FROM scored ORDER BY qdot DESC, vec_id LIMIT {TOP_K})
-SELECT vec_id, label, qdot,
-       list_dot_product(v, qv)
-         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cosine
-FROM top ORDER BY cosine DESC, vec_id
+top AS (SELECT * FROM scored ORDER BY qdot DESC, vec_id LIMIT {SHORTLIST_K}),
+reranked AS (
+  SELECT vec_id, label, qdot,
+         list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+             AS cosine
+  FROM top)
+SELECT vec_id, label, qdot, cosine
+FROM reranked ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
 """,
     doc=f"Scalar-quantized (int8) ANN: the corpus is quantized with ONE "
     "symmetric scale (127/max|x|, a single tiny aggregate broadcast back), "
-    f"the top-{TOP_K} shortlist is selected by the EXACT INTEGER quantized "
-    "dot product, and only those k rows are re-scored AND re-ranked by the "
-    "full-precision cosine. At 100 TB the quantized column is materialized at write time: "
+    f"a {SHORTLIST_K}-row shortlist (4x oversampled — see the module "
+    "comment: same-size shortlists lose near-tie neighbors to "
+    "quantization noise) is selected by the EXACT INTEGER quantized dot "
+    f"product, and only those rows are reranked by the full-precision "
+    f"cosine into the final top-{TOP_K}. At 100 TB the quantized column is materialized at write time: "
     "the shortlist scan then reads 1/4 the bytes of the f32 corpus (int8 "
     "vs float) and stays a narrow map + TakeOrderedAndProject — the "
     "rerank touches k full-precision vectors, not the corpus. Both output "
@@ -395,12 +410,18 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("vec_id", "label", "v", "qv", qdot.alias("qdot"))
         .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(SHORTLIST_K)
+    )
+    # the RERANK: selection was by quantized dot over the 4x-oversampled
+    # shortlist, the final top-k ranking is by the full-precision cosine
+    # of those survivors (review r10 — emitting the cosine without
+    # re-ordering would leave head(n<k) consumers with the quantized
+    # order, exactly the error a rerank exists to fix; the oversample
+    # covers near-tie neighbors the int8 grid cannot separate)
+    return (
+        top.select(
+            "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
-    # the RERANK: selection was by quantized dot, the final ranking is by
-    # the full-precision cosine of the k survivors (review r10 — emitting
-    # the cosine without re-ordering would leave head(n<k) consumers with
-    # the quantized order, exactly the error a rerank exists to fix)
-    return top.select(
-        "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
-    ).orderBy(F.col("cosine").desc(), F.col("vec_id"))
