@@ -758,3 +758,130 @@ def token_budget_select_df(
         F.col("sel_bucket"),
     ]
     return full_part.select(*out_cols).unionByName(bound_part.select(*out_cols))
+
+
+# --- target-mixture resampling (DoReMi-style domain reweighting) -----------
+
+# Rebalance the corpus toward a TARGET domain mixture over token mass:
+# source srcN gets target share w_N = (N+1)/210 (the deterministic stand-in
+# for a tuned DoReMi/"data mixing" weight vector; sources that don't parse
+# as srcN — or aren't in the target — get share 0 and drop out).  The
+# largest achievable budget under the target is T = min_g tokens_g / w_g
+# (the binding source is kept whole); every other source down-samples to
+# keep_frac_g = w_g * T / tokens_g with KEYED-md5 membership, so the kept
+# set is a pure function of doc_id — stable across runs and engines, the
+# same contract as pipeline_stratified_sample but with DATA-DEPENDENT
+# fractions computed from the corpus and the target instead of hardcoded
+# rates.  Scale shape: one narrow (doc_id, source, n_tokens) projection
+# (checkpointed), one tiny per-source aggregate, a one-row min broadcast
+# back, then one more map-side-combined aggregate — no corpus-keyed
+# shuffle anywhere.
+MIX_WEIGHT_DENOM = 210.0  # sum of (N+1) over src0..src19
+
+
+@register(
+    "pipeline_mixture_resample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len({text._sql_toks()}) AS n_tokens,
+         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents),
+g AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         (TRY_CAST(substr(source, 4) AS INT) + 1) / {MIX_WEIGHT_DENOM} AS w
+  FROM t GROUP BY source),
+tm AS (SELECT MIN(tokens_total / w) AS t_max FROM g WHERE w IS NOT NULL),
+gf AS (SELECT g.source, g.n_docs, g.tokens_total,
+              coalesce((g.w * tm.t_max) / g.tokens_total, 0.0) AS keep_frac
+       FROM g, tm),
+k AS (
+  SELECT t.source,
+         COUNT(*) FILTER (t.u < gf.keep_frac) AS n_kept,
+         CAST(coalesce(SUM(t.n_tokens) FILTER (t.u < gf.keep_frac), 0)
+              AS BIGINT) AS tokens_kept
+  FROM t JOIN gf ON gf.source = t.source GROUP BY t.source)
+SELECT gf.source, gf.n_docs, gf.tokens_total, gf.keep_frac,
+       k.n_kept, k.tokens_kept
+FROM gf JOIN k ON k.source = gf.source
+""",
+    doc="Target-mixture resampling (DoReMi-style domain reweighting): "
+    "source srcN gets target share (N+1)/210 of the output token mass; "
+    "T = min_g(tokens_g / share_g) is the largest budget every target "
+    "source can supply (the binding source keeps everything), and each "
+    "source down-samples to share_g*T/tokens_g with keyed-md5 membership "
+    "— data-dependent fractions from corpus + target, not hardcoded "
+    "rates. One narrow projection, one per-source aggregate, a one-row "
+    "min broadcast back, one more map-side-combined aggregate: no "
+    "corpus-keyed shuffle. All fractions are exact IEEE arithmetic from "
+    "integer token masses, so the per-source keep counts value-match "
+    "the oracle exactly.",
+)
+def pipeline_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    return mixture_resample_df(load_table(spark, sf_dir, "documents"))
+
+
+def mixture_resample_df(docs: DataFrame) -> DataFrame:
+    """Per-source mixture summary over any documents frame (doc_id,
+    source, text) — see the registered query's doc for semantics."""
+    from thesis_iceberg_spark.queries.text import _toks_of
+
+    n_tokens = F.size(_toks_of(F.col("text")))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    # narrow 4-column projection, materialized once: the per-source
+    # aggregate and the kept-mass aggregate below both read ~40 B/doc
+    # instead of re-scanning the text corpus (same pattern as
+    # pipeline_token_budget_select)
+    t = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), u.alias("u")
+    ).localCheckpoint(eager=True)
+    w = (
+        F.substring("source", 4, 16).try_cast("int") + F.lit(1)
+    ) / F.lit(MIX_WEIGHT_DENOM)
+    g = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    ).withColumn("w", w)
+    tm = g.filter(F.col("w").isNotNull()).agg(
+        F.min(F.col("tokens_total") / F.col("w")).alias("t_max")
+    )
+    gf = g.crossJoin(F.broadcast(tm)).select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.coalesce(
+            (F.col("w") * F.col("t_max")) / F.col("tokens_total"), F.lit(0.0)
+        ).alias("keep_frac"),
+    )
+    kept = F.col("u") < F.col("keep_frac")
+    k = (
+        t.join(F.broadcast(gf.select("source", "keep_frac")), "source")
+        .groupBy("source")
+        .agg(
+            F.count_if(kept).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+    return gf.join(k, "source").select(
+        "source", "n_docs", "tokens_total", "keep_frac", "n_kept", "tokens_kept"
+    )
