@@ -122,3 +122,43 @@ def test_empty_and_degenerate_corpus(spark, tmp_path_factory):
         "degtok",
     )
     assert _FN(spark, d).count() == 0
+
+
+# --- iterative boundary refinement (the 100 TB completion) -----------------
+
+
+def test_refinement_score_bins_match_reference(spark, mixed_dir):
+    from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
+
+    docs = spark.read.parquet(f"{mixed_dir}/documents.parquet")
+    expect, _ = _reference_prefix(spark, mixed_dir)
+    out = token_budget_select_df(docs, boundary_sort_cap=2).collect()
+    assert {r.doc_id for r in out} == expect
+    # the crossing bin holds 4 equal-score docs > cap, so at least one
+    # refinement level ran (score bins first, then the equal-score run
+    # falls to id bins)
+    assert token_budget_select_df.last_refine_depth >= 1
+
+
+def test_refinement_id_bins_on_equal_score_run(spark, tmp_path_factory):
+    from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
+
+    # 64 identical docs: ONE bin, all scores equal -> refinement must
+    # split by doc_id ranges; prefix = lowest doc_ids first
+    rows = [(i, "alpha beta gamma", "en", "web", 16) for i in range(1, 65)]
+    d = _write_docs(spark, tmp_path_factory, rows, "eqscore")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    expect, budget = _reference_prefix(spark, d)
+    assert expect == set(range(1, 33))  # deterministic: id-ASC prefix
+    out = token_budget_select_df(docs, boundary_sort_cap=4).collect()
+    assert {r.doc_id for r in out} == expect
+    assert sum(r.n_tokens for r in out) == budget
+    assert token_budget_select_df.last_refine_depth >= 1
+
+
+def test_default_cap_never_refines_at_test_scale(spark, mixed_dir):
+    from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
+
+    docs = spark.read.parquet(f"{mixed_dir}/documents.parquet")
+    token_budget_select_df(docs).count()
+    assert token_budget_select_df.last_refine_depth == 0

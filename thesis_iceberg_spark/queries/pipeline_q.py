@@ -634,6 +634,8 @@ def pipeline_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (re-histogram inside it) if n/NB_QBUCKETS is still too large to sort.
 NB_QBUCKETS = 64
 BUDGET_FRAC = 0.5  # keep the best half of the corpus' token mass
+BOUNDARY_SORT_CAP = 4_000_000  # rows one task may sort; above it, refine
+MAX_REFINE_DEPTH = 16  # backstop for pathological distributions
 
 @register(
     "pipeline_token_budget_select",
@@ -660,10 +662,13 @@ FROM sel, b WHERE sel.cum <= b.budget
     f"scale-safe two-phase threshold: a {NB_QBUCKETS}-bin score histogram "
     "(map-side-combined, <= 64 rows/task shuffled) locates the "
     "budget-crossing bin; all higher bins pass with a pure narrow filter "
-    "(zero shuffle) and ONLY the boundary bin's docs — expected "
-    f"n/{NB_QBUCKETS} of the corpus — are sorted to fill the remainder. "
-    "The oracle is the equivalent global window cumsum, so the driver "
-    "verifies the two forms select IDENTICAL documents.",
+    "(zero shuffle) and the boundary bin is refined ITERATIVELY "
+    "(range-scaled sub-histograms, 64x smaller per level, driver-side "
+    "metadata loop) until it fits BOUNDARY_SORT_CAP — only that bounded "
+    "remainder is ever window-sorted, so no single task inherits n/64 "
+    "of a 1e11-doc corpus. The oracle is the equivalent global window "
+    "cumsum, so the driver verifies the two forms select IDENTICAL "
+    "documents.",
 )
 def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
@@ -672,11 +677,32 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_budget_select_df(
-    docs: DataFrame, budget_frac: float = BUDGET_FRAC
+    docs: DataFrame,
+    budget_frac: float = BUDGET_FRAC,
+    boundary_sort_cap: int = BOUNDARY_SORT_CAP,
 ) -> DataFrame:
     """Histogram-threshold token-budget selection over any documents
     frame (doc_id, text) — see the registered query's doc for the
-    algorithm and its equivalence to the global-sort prefix rule."""
+    algorithm and its equivalence to the global-sort prefix rule.
+
+    The budget-crossing bin is refined ITERATIVELY before anything is
+    sorted: while the boundary subset exceeds ``boundary_sort_cap``
+    rows, it is re-histogrammed into NB_QBUCKETS range-scaled sub-bins
+    (by score while scores differ; by doc_id once the subset is one
+    equal-score run — doc_id ASC is the tie-break order, so id-range
+    bins inverted to the high-bin-first convention stay monotone), its
+    fully-kept sub-bins join the output via a pure filter, and only the
+    new (64x smaller) crossing sub-bin survives to the next level.  The
+    final window sort therefore touches <= max(cap, n/64^depth) rows —
+    never the n/64 single-task straggler the one-level form would hand
+    a 1e11-doc corpus.  The loop is driver-side METADATA work (two
+    tiny aggregates per level over the shrinking checkpointed
+    projection), the same shape as the table layer's file planning; a
+    MAX_REFINE_DEPTH cap bounds pathological distributions, falling
+    back to sorting whatever remains (correct, just slower).
+
+    Diagnostics: ``token_budget_select_df.last_refine_depth`` records
+    how many refinement levels the most recent call used."""
     from pyspark.sql.window import Window
 
     from thesis_iceberg_spark.queries.text import quality_frame
@@ -684,7 +710,7 @@ def token_budget_select_df(
     # ONE documents scan: quality_frame carries score AND n_tokens (no
     # self-join of two scans on doc_id — see text.quality_frame), and the
     # narrow 4-column scored projection is checkpointed ONCE so the
-    # histogram pass and the two selection branches below all read the
+    # histogram pass and the selection branches below all read the
     # materialized projection instead of re-scanning the text corpus
     # (eager, like dedup_minhash_lsh_pairs — at production scale this is
     # persist(DISK) or a staging table of ~32 bytes/doc, not the corpus).
@@ -702,62 +728,128 @@ def token_budget_select_df(
         )
         .localCheckpoint(eager=True)
     )
-    hist = scored.groupBy("sel_bucket").agg(F.sum("n_tokens").alias("btok"))
-    tot = hist.agg(
-        F.floor(F.sum("btok") * budget_frac).cast("bigint").alias("budget")
-    )
-    # cumulative token mass from the best (highest) bin downward; the
-    # window runs over <= NB_QBUCKETS rows, not the corpus
-    w_hist = Window.orderBy(F.col("sel_bucket").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    hist_cum = (
-        hist.withColumn("cum_through", F.sum("btok").over(w_hist))
-        .withColumn("cum_before", F.col("cum_through") - F.col("btok"))
-        .crossJoin(F.broadcast(tot))
-    )
-    # <=, not <: a bin whose cum_before lands EXACTLY on the budget must
-    # still be the boundary bin so that zero-token docs at its head (cum
-    # == budget) survive like the oracle's cum <= budget rule keeps them.
-    # Unreachable today (the split tokenizer never yields n_tokens=0 for
-    # a non-NULL-score doc) but the robust form costs nothing and keeps
-    # token_budget_select_df oracle-equivalent if a composer ever feeds
-    # it an empty-token-filtering tokenizer (review r10).  Still at most
-    # ONE boundary bin: budget sits strictly inside exactly one bin's
-    # [cum_before, cum_through) interval, and zero-mass bins can never
-    # satisfy cum_through > budget >= cum_before.
-    boundary = (F.col("cum_before") <= F.col("budget")) & (
-        F.col("cum_through") > F.col("budget")
-    )
-    stats = hist_cum.agg(
-        # bins whose whole mass fits: kept with a pure filter
-        F.min(
-            F.when(F.col("cum_through") <= F.col("budget"), F.col("sel_bucket"))
-        ).alias("full_min"),
-        # the (at most one) budget-crossing bin + the mass spent before it
-        F.max(F.when(boundary, F.col("sel_bucket"))).alias("b_star"),
-        F.max(F.when(boundary, F.col("cum_before"))).alias("b_offset"),
-        F.max("budget").alias("budget"),
-    )
-    base = scored.crossJoin(F.broadcast(stats))
-    full_part = base.filter(F.col("sel_bucket") >= F.col("full_min"))
-    # only the boundary bin is ever sorted: expected n/NB_QBUCKETS rows in
-    # one window task (recursively re-histogram inside the bin if that is
-    # still too large at the target scale)
-    w_bin = Window.orderBy(
-        F.col("quality_score").desc(), F.col("doc_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bound_part = (
-        base.filter(F.col("sel_bucket") == F.col("b_star"))
-        .withColumn("cum", F.col("b_offset") + F.sum("n_tokens").over(w_bin))
-        .filter(F.col("cum") <= F.col("budget"))
-    )
     out_cols = [
         F.col("doc_id"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("sel_bucket"),
     ]
-    return full_part.select(*out_cols).unionByName(bound_part.select(*out_cols))
+    empty = scored.filter(F.lit(False)).select(*out_cols)
+
+    budget_row = scored.agg(
+        F.floor(F.sum("n_tokens") * budget_frac).cast("bigint").alias("budget")
+    ).first()
+    token_budget_select_df.last_refine_depth = 0
+    if budget_row["budget"] is None:  # empty corpus
+        return empty
+    budget = int(budget_row["budget"])
+
+    def threshold_stats(df, bucket_col, offset: int):
+        """(full_min, b_star, b_offset) for the high-bin-first cumulative
+        token mass of ``df`` grouped by ``bucket_col``, against the
+        ABSOLUTE budget given mass ``offset`` already spent above.  The
+        window runs over <= NB_QBUCKETS rows, not the corpus.  <=, not
+        <, in the boundary rule: a bin whose cum_before lands EXACTLY on
+        the budget must still be the boundary bin so zero-token docs at
+        its head (cum == budget) survive like the oracle's cum <= budget
+        rule keeps them (review r10; unreachable with the current
+        tokenizer, robust for composers).  At most ONE boundary bin:
+        the budget sits in exactly one bin's [cum_before, cum_through)
+        interval, and zero-mass bins can never satisfy
+        cum_through > budget >= cum_before."""
+        w_hist = Window.orderBy(F.col("b").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        hist = (
+            df.groupBy(bucket_col.alias("b"))
+            .agg(F.sum("n_tokens").alias("btok"))
+            .withColumn("cum_through", F.lit(offset) + F.sum("btok").over(w_hist))
+            .withColumn("cum_before", F.col("cum_through") - F.col("btok"))
+        )
+        boundary = (F.col("cum_before") <= budget) & (F.col("cum_through") > budget)
+        return hist.agg(
+            F.min(F.when(F.col("cum_through") <= budget, F.col("b"))).alias(
+                "full_min"
+            ),
+            F.max(F.when(boundary, F.col("b"))).alias("b_star"),
+            F.max(F.when(boundary, F.col("cum_before"))).alias("b_offset"),
+        ).first()
+
+    parts = []
+    st = threshold_stats(scored, F.col("sel_bucket"), 0)
+    if st["full_min"] is not None:
+        parts.append(scored.filter(F.col("sel_bucket") >= int(st["full_min"])))
+    if st["b_star"] is None:
+        return parts[0].select(*out_cols) if parts else empty
+
+    boundary_df = scored.filter(F.col("sel_bucket") == int(st["b_star"]))
+    offset = int(st["b_offset"])
+    depth = 0
+    while depth < MAX_REFINE_DEPTH:
+        m = boundary_df.agg(
+            F.count("*").alias("cnt"),
+            F.min("quality_score").alias("smin"),
+            F.max("quality_score").alias("smax"),
+            F.min("doc_id").alias("imin"),
+            F.max("doc_id").alias("imax"),
+        ).first()
+        if m["cnt"] <= boundary_sort_cap:
+            break
+        if m["smin"] < m["smax"]:
+            # range-scaled score bins: monotone nondecreasing in score,
+            # equal scores share a bin — (bin DESC, score DESC, doc_id)
+            # remains the global order within the subset
+            span = m["smax"] - m["smin"]
+            sub = F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("quality_score") - m["smin"]) * NB_QBUCKETS / span
+                    ),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(NB_QBUCKETS - 1).cast("bigint"),
+            )
+        elif m["imin"] < m["imax"]:
+            # one equal-score run: the residual order is doc_id ASC, so
+            # id-range bins INVERTED (lower id -> higher bin) keep the
+            # high-bin-first accumulation convention
+            span = m["imax"] - m["imin"]
+            sub = F.lit(NB_QBUCKETS - 1).cast("bigint") - F.least(
+                F.greatest(
+                    F.floor((F.col("doc_id") - m["imin"]) * NB_QBUCKETS / span),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(NB_QBUCKETS - 1).cast("bigint"),
+            )
+        else:  # cnt == 1 can't exceed any cap >= 1; defensive
+            break
+        sst = threshold_stats(boundary_df, sub, offset)
+        if sst["full_min"] is not None:
+            parts.append(boundary_df.filter(sub >= int(sst["full_min"])))
+        if sst["b_star"] is None:
+            boundary_df = None
+            break
+        boundary_df = boundary_df.filter(sub == int(sst["b_star"]))
+        offset = int(sst["b_offset"])
+        depth += 1
+    token_budget_select_df.last_refine_depth = depth
+
+    if boundary_df is not None:
+        # the final sort: <= max(cap, n/64^depth) rows in one window task
+        w_bin = Window.orderBy(
+            F.col("quality_score").desc(), F.col("doc_id")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        parts.append(
+            boundary_df.withColumn(
+                "cum", F.lit(offset) + F.sum("n_tokens").over(w_bin)
+            ).filter(F.col("cum") <= budget)
+        )
+
+    if not parts:  # defensive: every level must produce a crossing bin,
+        return empty  # but an empty union must not crash if one doesn't
+    out = parts[0].select(*out_cols)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*out_cols))
+    return out
 
 
 # --- target-mixture resampling (DoReMi-style domain reweighting) -----------
