@@ -146,20 +146,23 @@ def main() -> None:
         .select(F.expr("bit_xor(xxhash64(id))"))
         .collect()
     )
-    # Shortlist recall.  An iid-normal corpus is the ADVERSARIAL case for
-    # a same-size shortlist: the true top-10 are near-ties separated by
-    # margins below the quantization noise, so int8-top-10 alone loses
-    # some of them.  The production recipe is oversample-then-rerank:
-    # shortlist 10*k by quantized dot, rerank those k' rows in full
-    # precision, keep top-k — measured below as overlap@10(x10).
+    # Shortlist recall LADDER.  An iid-normal corpus is the ADVERSARIAL
+    # case for a same-size shortlist: the true top-10 are near-ties
+    # separated by margins below the quantization noise, so int8-top-10
+    # alone loses some of them.  The production recipe is
+    # oversample-then-rerank: shortlist k' >= k by quantized dot, rerank
+    # those k' rows in full precision, keep top-k — measured below at
+    # k' = 10 (same-size), 40 (ann_int8_topk's SHORTLIST_K default) and
+    # 100 (x10), all derived from ONE 100-row shortlist collect carrying
+    # both the quantized dot and the f64 cosine.
     top_f = {r.vec_id for r in run_f64()}
-    top_q10 = {r.vec_id for r in run_int8(10)}
-    short100 = [r.vec_id for r in run_int8(100)]
     ef = spark.read.parquet(f32_path).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     qrow = ef.orderBy("vec_id").limit(1).select(F.col("v").alias("qv"))
-    rerank = (
+    short100 = [r.vec_id for r in run_int8(100)]
+    qd_rank = {vid: i for i, vid in enumerate(short100)}
+    scored100 = (
         ef.filter(F.col("vec_id").isin(short100))
         .crossJoin(F.broadcast(qrow))
         .select(
@@ -170,19 +173,23 @@ def main() -> None:
                 * F.sqrt(dot(F.col("qv"), F.col("qv"))),
             ).alias("cos"),
         )
-        .orderBy(F.col("cos").desc(), "vec_id")
-        .limit(10)
         .collect()
     )
-    top_rerank = {r.vec_id for r in rerank}
+    overlaps = {}
+    for kp in (10, 40, 100):
+        pool = [r for r in scored100 if qd_rank[r.vec_id] < kp]
+        pool.sort(key=lambda r: (-(r.cos if r.cos is not None else -2), r.vec_id))
+        overlaps[kp] = len(top_f & {r.vec_id for r in pool[:10]})
     shutil.rmtree(d, ignore_errors=True)
     print(
         f"n={n} scale={s_val:.4f} "
         f"f32_parquet={f32_bytes / 1e6:.1f}MB int8_parquet={q8_bytes / 1e6:.1f}MB "
         f"({f32_bytes / q8_bytes:.2f}x smaller) "
         f"scan_f64_cosine={t_f64:.3f}s scan_int8_dot={t_i8:.3f}s "
-        f"({t_f64 / t_i8:.2f}x faster) overlap@10={len(top_f & top_q10)} "
-        f"overlap@10(x10 oversample+rerank)={len(top_f & top_rerank)} "
+        f"({t_f64 / t_i8:.2f}x faster) "
+        f"overlap@10(k'=10)={overlaps[10]} "
+        f"overlap@10(k'=40 default)={overlaps[40]} "
+        f"overlap@10(k'=100)={overlaps[100]} "
         f"canary={canary:.3f}s",
         flush=True,
     )

@@ -12,10 +12,11 @@ Claims under test (same protocol as exp_text_scale_rehearsal):
     token groupBy) for contrast: the gap between the two walls at 100x
     is the cost the sketch avoids.
   * token_budget_select_df — histogram threshold, no global sort: one
-    narrow scoring pass + a 64-key histogram + a window over ONLY the
-    boundary bin (expected n/64).  Wall must scale ~linearly; the
-    boundary-bin share is printed to show the sorted fraction stays
-    ~1/64 as n grows.
+    narrow scoring pass + a 64-key histogram + a window over only the
+    budget-crossing bin (iteratively refined past BOUNDARY_SORT_CAP).
+    Wall must scale ~linearly; the crossing bin's TOTAL membership and
+    the refinement depth are printed to show the sorted fraction stays
+    ~1/64 as n grows (and that the default cap never refines here).
 
 Timing: corpus pinned (repartition(32) + eager localCheckpoint) BEFORE
 timing, MIN of 5 with a fixed-work canary per scale (shared-host CPU
@@ -113,12 +114,45 @@ def main() -> None:
         t_sketch = timeit(lambda: countmin_sketch_df(docs).collect())
         t_topk = timeit(lambda: countmin_topk_df(docs).collect())
         t_budget = timeit(lambda: token_budget_select_df(docs).count())
-        # the sorted fraction: docs in the boundary bin / corpus
         sel = token_budget_select_df(docs)
         n_kept = sel.count()
-        bin_share = (
-            sel.groupBy("sel_bucket").count().orderBy(F.col("sel_bucket")).limit(1)
+        # the sorted fraction, measured CORRECTLY (review r10: the kept
+        # docs of the lowest selected bucket are NOT the boundary bin's
+        # membership — some of its docs are dropped by the budget, and
+        # on an exact landing the lowest kept bucket is a FULL bin):
+        # recompute the level-0 crossing bin from the scored projection
+        # and count its TOTAL membership — that is what one window task
+        # sorts before any refinement engages
+        from pyspark.sql.window import Window
+
+        from thesis_iceberg_spark.queries.text import quality_frame
+
+        scored = (
+            quality_frame(docs)
+            .filter(F.col("quality_score").isNotNull())
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.least(
+                    F.floor(F.col("quality_score") * NB_QBUCKETS),
+                    F.lit(NB_QBUCKETS - 1).cast("bigint"),
+                ).alias("b"),
+            )
+        )
+        budget = scored.agg(
+            F.floor(F.sum("n_tokens") * 0.5).cast("bigint").alias("x")
+        ).first()["x"]
+        w_h = Window.orderBy(F.col("b").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        brow = (
+            scored.groupBy("b")
+            .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("m"))
+            .withColumn("ct", F.sum("m").over(w_h))
+            .withColumn("cb", F.col("ct") - F.col("m"))
+            .filter((F.col("cb") <= budget) & (F.col("ct") > budget))
         ).first()
+        bbin = f"{brow['b']}:{brow['n']}docs" if brow is not None else "none"
         shutil.rmtree(d, ignore_errors=True)
         base.setdefault("sk", t_sketch)
         base.setdefault("tk", t_topk)
@@ -128,8 +162,8 @@ def main() -> None:
             f"cm_sketch={t_sketch:.3f}s ({t_sketch / base['sk']:.1f}x) "
             f"cm_topk={t_topk:.3f}s ({t_topk / base['tk']:.1f}x) "
             f"budget_sel={t_budget:.3f}s ({t_budget / base['bu']:.1f}x) "
-            f"kept={n_kept} lowest_bin={bin_share['sel_bucket']}:"
-            f"{bin_share['count']} "
+            f"kept={n_kept} boundary_bin={bbin} "
+            f"refine_depth={token_budget_select_df.last_refine_depth} "
             f"canary={canary():.3f}s",
             flush=True,
         )

@@ -63,6 +63,23 @@ def test_non_target_sources_drop_out(spark, tmp_path_factory):
     assert out["src2"].n_docs == 2
 
 
+def test_out_of_range_srcn_drops_out(spark, tmp_path_factory):
+    # 'src-1' parses to N=-1 (w would be 0 -> division by zero) and
+    # 'src25' to N=25 (beyond the src0..19 target the 210 denominator
+    # assumes) — both must drop out with share 0, not poison T
+    # (review r10)
+    rows = [
+        (1, "a b c d", "en", "src3", 7),
+        (2, "e f g h", "en", "src-1", 7),
+        (3, "i j k l", "en", "src25", 7),
+    ]
+    d = _write_docs(spark, tmp_path_factory, rows, "mixrange")
+    out = {r.source: r for r in _FN(spark, d).collect()}
+    assert out["src-1"].keep_frac == 0.0 and out["src-1"].n_kept == 0
+    assert out["src25"].keep_frac == 0.0 and out["src25"].n_kept == 0
+    assert out["src3"].keep_frac == 1.0  # only target source -> binds T
+
+
 def test_no_target_sources_at_all(spark, tmp_path_factory):
     rows = [(1, "a b c", "en", "web", 5), (2, "d e", "en", "books", 4)]
     d = _write_docs(spark, tmp_path_factory, rows, "mixnone")

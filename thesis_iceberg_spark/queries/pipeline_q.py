@@ -34,6 +34,26 @@ def _ws_toks(lower: bool = False):
         base = F.lower(base)
     return F.split(F.trim(base), r"\s+")
 
+def _keyed_u32(prefix: str):
+    """First 32 bits of md5(prefix || doc_id) as a BIGINT in [0, 2^32) —
+    the ONE keyed-hash kernel behind every deterministic sampling /
+    split decision in this module (callers reduce it with % 100 for
+    percent buckets or / 2^32 for a uniform [0,1) double).  Twin of the
+    oracles' CAST('0x' || substr(md5(prefix || doc_id), 1, 8) AS BIGINT)
+    (review r10: this expression existed in four drifting copies)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(prefix), F.col("doc_id").cast("string")).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 QUALITY_MIN = 0.5
 
 _PIPELINE_ORACLE = f"""
@@ -75,18 +95,7 @@ def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = _keyed_u32("split:") % 100
     split = F.when(bucket < 90, "train").otherwise("eval")
     return (
         docs.select("doc_id", "n_chars", split.alias("split"))
@@ -266,18 +275,7 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.queries.text import text_lang_id
 
     lang = text_lang_id(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = _keyed_u32("sample:") % 100
     keep_pct = F.when(F.col("detected_lang") == "en", 40).otherwise(100)
     return (
         lang.select("detected_lang", (bucket < keep_pct).alias("keep"))
@@ -443,18 +441,7 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = _keyed_u32("split:") % 100
     split = F.when(bucket < 90, "train").otherwise("eval")
     # the split is a pure function of doc_id, so it can be (re)computed on
     # the exploded rows — no join back to documents needed
@@ -828,7 +815,14 @@ def token_budget_select_df(
         if sst["b_star"] is None:
             boundary_df = None
             break
-        boundary_df = boundary_df.filter(sub == int(sst["b_star"]))
+        # re-checkpoint the surviving crossing sub-bin (64x smaller per
+        # level) so the NEXT level's aggregates scan the shrunken subset,
+        # not the full projection through a deepening filter chain
+        # (review r10 — without this, depth-d refinement re-reads all n
+        # rows d times and the "shrinking" claim is false)
+        boundary_df = boundary_df.filter(
+            sub == int(sst["b_star"])
+        ).localCheckpoint(eager=True)
         offset = int(sst["b_offset"])
         depth += 1
     token_budget_select_df.last_refine_depth = depth
@@ -882,7 +876,9 @@ WITH t AS (
 g AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
-         (TRY_CAST(substr(source, 4) AS INT) + 1) / {MIX_WEIGHT_DENOM} AS w
+         CASE WHEN TRY_CAST(substr(source, 4) AS INT) BETWEEN 0 AND 19
+              THEN (TRY_CAST(substr(source, 4) AS INT) + 1) / {MIX_WEIGHT_DENOM}
+              ELSE NULL END AS w
   FROM t GROUP BY source),
 tm AS (SELECT MIN(tokens_total / w) AS t_max FROM g WHERE w IS NOT NULL),
 gf AS (SELECT g.source, g.n_docs, g.tokens_total,
@@ -922,22 +918,7 @@ def mixture_resample_df(docs: DataFrame) -> DataFrame:
     from thesis_iceberg_spark.queries.text import _toks_of
 
     n_tokens = F.size(_toks_of(F.col("text")))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = _keyed_u32("mix:") / F.lit(4294967296.0)
     # narrow 4-column projection, materialized once: the per-source
     # aggregate and the kept-mass aggregate below both read ~40 B/doc
     # instead of re-scanning the text corpus (same pattern as
@@ -945,9 +926,15 @@ def mixture_resample_df(docs: DataFrame) -> DataFrame:
     t = docs.select(
         "doc_id", "source", n_tokens.alias("n_tokens"), u.alias("u")
     ).localCheckpoint(eager=True)
-    w = (
-        F.substring("source", 4, 16).try_cast("int") + F.lit(1)
-    ) / F.lit(MIX_WEIGHT_DENOM)
+    # share only for the target sources src0..src19: an out-of-range or
+    # negative N (e.g. a composer's 'src-1' or 'src25') must drop out with
+    # share NULL->0, not poison T with a zero or negative weight (review
+    # r10 — w=0 would divide-by-zero the ratio, w<0 would drive
+    # t_max negative and silently zero every source's keep_frac)
+    srcn = F.substring("source", 4, 16).try_cast("int")
+    w = F.when(
+        srcn.between(0, 19), (srcn + F.lit(1)) / F.lit(MIX_WEIGHT_DENOM)
+    )
     g = t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("tokens_total"),
