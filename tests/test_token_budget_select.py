@@ -162,3 +162,21 @@ def test_default_cap_never_refines_at_test_scale(spark, mixed_dir):
     docs = spark.read.parquet(f"{mixed_dir}/documents.parquet")
     token_budget_select_df(docs).count()
     assert token_budget_select_df.last_refine_depth == 0
+
+
+def test_multilevel_refinement_offset_accounting(spark, tmp_path_factory):
+    from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
+
+    # 512 identical docs, cap=4: level 1's id-range bins leave ~8 docs in
+    # the crossing sub-bin (> cap), so a SECOND id-refinement level must
+    # run — pinning the absolute-offset accounting ACROSS levels, where a
+    # relative/absolute confusion would silently shift the cut
+    rows = [(i, "alpha beta gamma", "en", "web", 16) for i in range(1, 513)]
+    d = _write_docs(spark, tmp_path_factory, rows, "deepref")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    expect, budget = _reference_prefix(spark, d)
+    assert expect == set(range(1, 257))  # id-ASC prefix of half the mass
+    out = token_budget_select_df(docs, boundary_sort_cap=4).collect()
+    assert {r.doc_id for r in out} == expect
+    assert sum(r.n_tokens for r in out) == budget
+    assert token_budget_select_df.last_refine_depth >= 2
