@@ -180,3 +180,15 @@ def test_multilevel_refinement_offset_accounting(spark, tmp_path_factory):
     assert {r.doc_id for r in out} == expect
     assert sum(r.n_tokens for r in out) == budget
     assert token_budget_select_df.last_refine_depth >= 2
+
+
+def test_budget_frac_extremes(spark, mixed_dir):
+    from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
+
+    docs = spark.read.parquet(f"{mixed_dir}/documents.parquet")
+    # frac=0: budget=0 and every doc has n_tokens >= 1 -> nothing kept
+    # (the crossing bin walks to the very top docs and drops them all)
+    assert token_budget_select_df(docs, budget_frac=0.0).count() == 0
+    # frac=1: budget = total mass -> every scored doc kept, no boundary
+    n_scored = 32  # 8 grades x 4 docs; the 2 degenerate rows are excluded
+    assert token_budget_select_df(docs, budget_frac=1.0).count() == n_scored
