@@ -163,3 +163,79 @@ def test_kmeans_candidate_join_not_cartesian(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+# --- hint-gate subtree scoping on crafted plan text (review r10 ADVICE) -----
+
+
+def _gate_on(monkeypatch, plan_text, *markers):
+    import thesis_iceberg_spark.plans.explain as ex
+
+    monkeypatch.setattr(ex, "analyzed_plan", lambda _df: plan_text)
+    ex.assert_broadcast_hints_only(object(), *markers)
+
+
+def test_hint_gate_sibling_marker_does_not_satisfy(monkeypatch):
+    # the r10 vacuity fix, now on crafted text: the allowed marker sits on
+    # a SIBLING of the hinted subtree -> the gate must still raise
+    import pytest
+
+    plan = "\n".join(
+        [
+            "Join Inner, (c_nationkey#1 = n_nationkey#2)",
+            ":- ResolvedHint (strategy=broadcast)",
+            ":  +- Relation spark_catalog.db.customer[c_custkey#0] parquet",
+            "+- Relation spark_catalog.db.nation[n_nationkey#2] parquet",
+        ]
+    )
+    with pytest.raises(AssertionError, match="non-allowed subtree"):
+        _gate_on(monkeypatch, plan, "n_nationkey")
+
+
+def test_hint_gate_continuation_lines_are_not_terminators(monkeypatch):
+    # a wrapped (marker-less) continuation line inside the hinted subtree
+    # used to TERMINATE the scan before the marker was seen (false raise);
+    # anchored parsing treats it as part of the current node
+    plan = "\n".join(
+        [
+            "Join Inner, (c_nationkey#1 = n_nationkey#2)",
+            ":- ResolvedHint (strategy=broadcast)",
+            ":  +- Relation spark_catalog.db.nation[n_name#3,",
+            "n_nationkey#2, n_regionkey#4] parquet",
+            "+- Relation spark_catalog.db.customer[c_custkey#0] parquet",
+        ]
+    )
+    _gate_on(monkeypatch, plan, "n_nationkey")
+
+
+def test_hint_gate_literal_marker_in_expression_text_is_not_a_node(monkeypatch):
+    # a literal "+- " deep inside a marker-less continuation line must not
+    # be read as a (deeper) node that extends the hinted subtree into the
+    # sibling below it
+    import pytest
+
+    plan = "\n".join(
+        [
+            "Join Inner",
+            ":- ResolvedHint (strategy=broadcast)",
+            ":  +- Relation spark_catalog.db.customer[c_comment#9] parquet",
+            "    note concat(a, '+- ', b) wrapped expression text",
+            "+- Relation spark_catalog.db.nation[n_nationkey#2] parquet",
+        ]
+    )
+    # the continuation belongs to the hinted customer subtree; nation is a
+    # sibling -> its marker must NOT satisfy the gate
+    with pytest.raises(AssertionError, match="non-allowed subtree"):
+        _gate_on(monkeypatch, plan, "n_nationkey")
+
+
+def test_hint_gate_root_hint_covers_whole_plan(monkeypatch):
+    # a hint at the plan root (no structural marker on its own line) scopes
+    # over everything below it
+    plan = "\n".join(
+        [
+            "ResolvedHint (strategy=broadcast)",
+            "+- Relation spark_catalog.db.nation[n_nationkey#2] parquet",
+        ]
+    )
+    _gate_on(monkeypatch, plan, "n_nationkey")

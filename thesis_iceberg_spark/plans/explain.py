@@ -11,6 +11,8 @@ like a regression in results.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -76,14 +78,19 @@ def assert_broadcast_hints_only(df: DataFrame, *allowed_markers: str) -> None:
     plan = analyzed_plan(df)
     lines = plan.splitlines()
 
-    def depth(ln: str) -> int:
-        # tree position = column of the "+-" / ":-" node marker; the root
-        # line has none (depth -1, shallower than every child)
-        for marker in ("+- ", ":- "):
-            c = ln.find(marker)
-            if c >= 0:
-                return c
-        return -1
+    # tree position = column of the "+-" / ":-" node marker, ANCHORED to
+    # the indentation structure: a node line is sibling-bars/spaces
+    # ("[ :]*") followed by the marker.  A literal "+- " deeper inside a
+    # node's expression text no longer counts as a node, and a line with
+    # no structural marker (wrapped continuation text) is a CONTINUATION
+    # of the current node, not a subtree terminator (review r10 ADVICE —
+    # the old first-substring scan could over- or under-extend the
+    # hinted subtree and let a sibling's marker vacuously pass).
+    node_re = re.compile(r"^([ :]*)(?:\+-|:-) ")
+
+    def depth(ln: str) -> int | None:
+        m = node_re.match(ln)
+        return len(m.group(1)) if m else None
 
     hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
     for i in hints:
@@ -91,9 +98,12 @@ def assert_broadcast_hints_only(df: DataFrame, *allowed_markers: str) -> None:
         # hint; searching past it could attribute the hint to a sibling's
         # scan and vacuously pass (review r10)
         d0 = depth(lines[i])
+        if d0 is None:  # hint at the plan root (no marker): depth -1
+            d0 = -1
         subtree = []
         for ln in lines[i + 1 :]:
-            if depth(ln) <= d0:
+            d = depth(ln)
+            if d is not None and d <= d0:
                 break
             subtree.append(ln)
         assert any(any(m in ln for m in allowed_markers) for ln in subtree), (
