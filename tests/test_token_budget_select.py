@@ -164,6 +164,25 @@ def test_default_cap_never_refines_at_test_scale(spark, mixed_dir):
     assert token_budget_select_df.last_refine_depth == 0
 
 
+def test_refine_depth_out_param(spark, mixed_dir):
+    # concurrency-safe diagnostics channel (review r10 ADVICE): the call
+    # appends its depth exactly once to the caller-owned list, matching
+    # the legacy function attribute on every path (refined / unrefined /
+    # degenerate empty budget)
+    from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
+
+    docs = spark.read.parquet(f"{mixed_dir}/documents.parquet")
+    out: list = []
+    token_budget_select_df(docs, refine_depth_out=out).count()
+    assert out == [0]
+    token_budget_select_df(docs, boundary_sort_cap=2, refine_depth_out=out).count()
+    assert len(out) == 2 and out[1] >= 1
+    assert out[1] == token_budget_select_df.last_refine_depth
+    empty = docs.filter("doc_id IS NULL")
+    token_budget_select_df(empty, refine_depth_out=out).count()
+    assert out[2:] == [0]
+
+
 def test_multilevel_refinement_offset_accounting(spark, tmp_path_factory):
     from thesis_iceberg_spark.queries.pipeline_q import token_budget_select_df
 

@@ -12,9 +12,15 @@ Why the contract is what it is (pinned by the directed tests below):
     side, translate/str.replace before strip on the Spark/Python sides —
     the recipe the r9 LM/BM25 twins introduced), so \\x0B text is IN
     contract; the raw RE2 divergence is kept as a tripwire test.
-  * unicode lower() tailoring differs between engines on edge codepoints
-    (e.g. U+0130 expands to two codepoints under Python), so non-ASCII
-    text is out of contract rather than half-certified.
+  * unicode lower() tailoring differs between engines on exactly İ
+    (U+0130: Python/Java full-case to i+U+0307, utf8proc simple-cases to
+    bare i) and Σ (final-sigma context rule) — since r11 the textnorm
+    fold fixes BOTH up before lower() ever runs, and folds every unicode
+    whitespace char to a plain space, so accents/CJK/emoji/NBSP/İ/Σ text
+    is IN contract; only cased characters outside the stable
+    Latin/Greek/Cyrillic/Armenian/fullwidth blocks (plus unassigned
+    codepoints) still raise (see textnorm.certify_py and
+    tests/test_unicode_fold_contract.py).
 """
 
 from __future__ import annotations
@@ -119,12 +125,29 @@ def test_vertical_tab_edge_fold_matches_trim():
 
 
 @pytest.mark.parametrize(
+    "text",
+    [
+        "café au lait latte",  # non-ASCII letter (lower-identity)
+        "a\xa0b c d",  # non-breaking space -> token break in all engines
+        "İstanbul is very large",  # dotted capital I: pre-folded to i+0307
+        "em—dash spaced here",  # caseless punctuation
+        "ΟΔΥΣΣΕΥΣ θαλασσης τέλος ΤΕΛΟΣ",  # final-sigma rule pre-folded
+        "漢字 かな カナ mixed",  # caseless CJK + ideographic space
+        "zero​width soft\xadhyphen gone",  # invisible chars deleted
+    ],
+)
+def test_py_shingles_unicode_in_contract_since_r11(text):
+    # the r10 raise on any non-ASCII narrowed to genuinely uncertifiable
+    # input; these all run and agree with the DuckDB oracle twin
+    assert _py_shingles(text) == _duck_shingles(text)
+
+
+@pytest.mark.parametrize(
     "bad",
     [
-        "café au lait",  # non-ASCII letter
-        "a\xa0b c d",    # non-breaking space
-        "İstanbul is large",  # dotted capital I: lower() expands
-        "em—dash spaced here",
+        "deseret \U00010400 capital",  # cased, outside stable blocks
+        "cherokee Ꭰ capital",  # cased (lowercase pair added Unicode 8)
+        "unassigned ͸ codepoint",
     ],
 )
 def test_py_shingles_raises_loudly_outside_contract(bad):

