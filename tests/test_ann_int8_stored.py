@@ -1,0 +1,87 @@
+"""Write-time int8 materialization through the table layer (VERDICT r10
+#5): the ann_int8_topk docstring claims "at 100 TB the quantized column
+is materialized at write time — the shortlist scan then reads 1/4 the
+bytes".  This file makes the claim executable: quantize_embeddings_table
+CTASes a VersionedTable with the int8 column + the corpus scale as a
+table property, ann_int8_topk_stored answers from the STORED column, and
+the tests prove (a) the stored path returns the IDENTICAL top-k to the
+inline registered query, (b) the shortlist scan's ReadSchema never
+touches the float column, and (c) the int8 column really is ~1/4 the
+float column's bytes on disk.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from thesis_iceberg_spark.queries.similarity import (
+    INT8_SCALE_PROP,
+    ann_int8_topk,
+    ann_int8_topk_stored,
+    quantize_embeddings_table,
+)
+from thesis_iceberg_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def stored(spark, sf_dir, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("int8tbl") / "emb")
+    raw = load_table(spark, sf_dir, "embeddings")
+    table, scale = quantize_embeddings_table(spark, raw, loc)
+    return table, scale, loc
+
+
+def test_stored_path_identical_topk(spark, sf_dir, stored):
+    table, _scale, _loc = stored
+    inline = [tuple(r) for r in ann_int8_topk(spark, sf_dir).collect()]
+    from_table = [tuple(r) for r in ann_int8_topk_stored(spark, table).collect()]
+    assert from_table == inline
+    assert len(inline) == 10
+
+
+def test_scale_rides_with_the_table(spark, stored):
+    table, scale, _loc = stored
+    # repr round-trips the IEEE double exactly — a reader recomputes
+    # bit-identical query quantization from the property alone
+    assert float(table.properties[INT8_SCALE_PROP]) == scale
+
+
+def test_shortlist_scan_prunes_float_column(spark, stored):
+    table, _scale, _loc = stored
+    from pyspark.sql import functions as F
+
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    narrow = table.read().select("vec_id", "label", "q")
+    plan = formatted_plan(narrow)
+    # every parquet ReadSchema in the shortlist lineage excludes the
+    # float vectors — the 1/4-bytes claim depends on column pruning
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "embedding" not in line, line
+    assert "q:" in plan or "q" in plan
+
+
+def test_int8_column_is_quarter_the_bytes(stored):
+    table, _scale, loc = stored
+    pq = pytest.importorskip("pyarrow.parquet")
+    emb_bytes = q_bytes = 0
+    for f in glob.glob(f"{loc}/data/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                path = col.path_in_schema
+                if path.startswith("embedding"):
+                    emb_bytes += col.total_compressed_size
+                elif path.startswith("q"):
+                    q_bytes += col.total_compressed_size
+    assert emb_bytes > 0 and q_bytes > 0
+    # f32 -> int8 is 4x raw; parquet framing/encoding overhead keeps the
+    # measured ratio near but not exactly 4 — gate at 2x so the test pins
+    # "materially smaller" without flaking on encoder details
+    ratio = emb_bytes / q_bytes
+    assert ratio > 2.0, f"int8 column not materially smaller: {ratio:.2f}x"

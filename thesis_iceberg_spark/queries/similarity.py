@@ -326,11 +326,15 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The shortlist OVERSAMPLES (SHORTLIST_K = 4k) before the rerank: on an
 # iid-normal 1e6x64 corpus the true top-10 are near-ties separated by
-# margins below the quantization noise, and a same-size int8 shortlist
-# measured only 4/10 of the exact top-10 where the x10-oversampled
-# rerank recovered it (tests/exp_int8_scan_bench.py) — oversample-then-
-# rerank is the standard scalar-quantization recipe and it is free at
-# query time (the shortlist heap grows from k to 4k entries per task).
+# margins below the quantization noise.  The measured recall ladder
+# (tests/exp_int8_scan_bench.py, 1e6x64): same-size shortlist 4/10 of
+# the exact top-10, the shipped 4x rung 6/10, x10 8/10 — oversampling
+# buys recall monotonically but even x10 does NOT fully recover the
+# exact top-10 on a near-tie corpus; the 4x default is the measured
+# knee, not an exactness guarantee (raise SHORTLIST_K for tighter
+# corpora).  Oversample-then-rerank is the standard scalar-quantization
+# recipe and is cheap at query time (the shortlist heap grows from k to
+# 4k entries per task).
 Q_SCALE_TOP = 127.0
 SHORTLIST_K = 4 * TOP_K
 
@@ -420,6 +424,114 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # covers near-tie neighbors the int8 grid cannot separate)
     return (
         top.select(
+            "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+# --- int8 write-time materialization through the table layer (r11) ----------
+#
+# The registered ann_int8_topk quantizes INLINE (one aggregate + a narrow
+# map) because the driver hands it a plain parquet dir; at 100 TB the
+# quantized column is a WRITE-TIME artifact instead.  These two functions
+# demonstrate that claim end-to-end through the versioned table layer:
+# quantize_embeddings_table CTASes a VersionedTable whose int8 column (a
+# real array<tinyint>, 1/4 the bytes of the float vectors on disk) and
+# corpus scale (a table property — it must ride WITH the data, since a
+# reader quantizing its query vector under a different scale gets garbage
+# integer dots) are computed once at write; ann_int8_topk_stored answers
+# the SAME query by scanning ONLY (vec_id, label, q) for the integer
+# shortlist — parquet column pruning never touches the float column until
+# the rerank, which reads the SHORTLIST_K survivors through a broadcast
+# semi-join, not the corpus.  tests/test_ann_int8_stored.py proves the
+# stored path returns the identical top-k and measures the on-disk column
+# bytes.
+
+INT8_SCALE_PROP = "int8.scale"
+
+
+def quantize_embeddings_table(
+    spark: SparkSession, raw: DataFrame, location: str
+):
+    """Write-time quantization: CTAS a VersionedTable with the original
+    float vectors PLUS the int8 column, and the corpus scale pinned in
+    TBLPROPERTIES.  Returns (table, scale).  repr(float) round-trips the
+    IEEE double exactly, so readers recompute bit-identical query
+    quantization."""
+    from thesis_iceberg_spark.tablefmt.table import VersionedTable
+
+    (s,) = raw.agg(
+        F.try_divide(
+            F.lit(Q_SCALE_TOP),
+            F.max(
+                F.array_max(
+                    F.transform("embedding", lambda x: F.abs(x.cast("double")))
+                )
+            ),
+        ).alias("s")
+    ).first()
+    if s is None:
+        raise ValueError("cannot quantize an empty/all-zero corpus")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(s)) + F.lit(0.5)).cast(
+            "tinyint"
+        ),
+    )
+    # the float column is stored AS-IS (f32): the honest on-disk claim is
+    # int8 = 1/4 the bytes of the f32 corpus; the rerank casts to double
+    # at read time exactly like the inline query's _vecs does
+    df = raw.select("vec_id", "label", "embedding", q.alias("q"))
+    table = VersionedTable.create(
+        spark, location, df=df, properties={INT8_SCALE_PROP: repr(float(s))}
+    )
+    return table, float(s)
+
+
+def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
+    """ann_int8_topk over a quantize_embeddings_table output: the integer
+    shortlist reads the STORED int8 column (narrow scan of vec_id/label/q
+    — 1/4 the vector bytes), the full-precision rerank joins the float
+    column back for the SHORTLIST_K survivors only."""
+    s = float(table.properties[INT8_SCALE_PROP])
+    base = table.read()
+    narrow = base.select("vec_id", "label", F.col("q"))
+    # query = lowest vec_id, quantized ONCE from its stored int8 row
+    qrow = (
+        narrow.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.col("qq"),
+            lambda a, b: a.cast("bigint") * b.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p,
+    )
+    top = (
+        narrow.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "label", qdot.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(SHORTLIST_K)
+    )
+    # rerank: only now touch the float column, for shortlist + query rows
+    as_f64 = F.transform("embedding", lambda x: x.cast("double"))
+    vecs = base.select("vec_id", as_f64.alias("v"))
+    qvec = (
+        base.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), as_f64.alias("qv"))
+    )
+    return (
+        top.join(vecs, "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select(
             "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
