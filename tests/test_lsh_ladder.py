@@ -396,27 +396,31 @@ def test_kmeans_k_rule_two_regimes():
 
 
 def test_kmeans_nprobe_tiers():
-    """The r10 k-aware probe rule: 3 / 5 / 8 at the measured boundaries,
-    ratio p^2/(2k) bounded at every tier edge, and the budget-regime k
-    sizing uses the SAME p the assign kernel defaults to (the two
-    formulas drifting apart would overshoot the per-doc budget)."""
+    """The r11 k-aware probe rule: 5 / 8 at the measured boundary (the
+    old p=3 tier below k=512 died in the r11 margin sweep — 0.62-0.71
+    recall at sf0.1, under the 0.7 gate on 4 of 5 seeds), ratio p^2/(2k)
+    bounded at every RULE-SIZED tier edge (k >= KMEANS_MIN_K), and the
+    budget-regime k sizing uses the SAME p the assign kernel defaults to
+    (the two formulas drifting apart would overshoot the per-doc
+    budget)."""
     from thesis_iceberg_spark.queries.dedup import (
         _CAND_PER_DOC_BUDGET,
         _kmeans_k,
         _kmeans_nprobe,
         KMEANS_K_FINE_CAP,
+        KMEANS_MIN_K,
         KMEANS_NPROBE_WIDE_K,
     )
 
-    assert _kmeans_nprobe(128) == 3
-    assert _kmeans_nprobe(511) == 3
-    assert _kmeans_nprobe(512) == 5
+    assert KMEANS_MIN_K == 256  # the measured r11 floor
+    assert _kmeans_nprobe(KMEANS_MIN_K) == 5
     assert _kmeans_nprobe(804) == 5  # the measured 51.5k-corpus point
     assert _kmeans_nprobe(KMEANS_NPROBE_WIDE_K - 1) == 5
     assert _kmeans_nprobe(KMEANS_NPROBE_WIDE_K) == 8
     assert _kmeans_nprobe(15_781) == 8  # the measured 1e6-corpus point
-    # ratio bounded at each tier's MINIMUM k (worst case within the tier)
-    for k_edge in (128, 512, KMEANS_NPROBE_WIDE_K):
+    # ratio bounded at each tier's MINIMUM rule-sized k (worst case
+    # within the tier; explicit k < MIN_K is the caller's problem)
+    for k_edge in (KMEANS_MIN_K, KMEANS_NPROBE_WIDE_K):
         p = _kmeans_nprobe(k_edge)
         assert p * p / (2 * k_edge) <= 0.05, (k_edge, p)
     # budget regime: k >= fine cap >= wide tier, so assign p == sizing p
