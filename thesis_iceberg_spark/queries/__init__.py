@@ -76,12 +76,21 @@ def _load_all() -> None:
 #     never-driver-checked queries first, then oldest green, from the
 #     driver's own CORRECTNESS_r*.json records.
 #   * Names not (yet) registered are skipped harmlessly.
-# Round 10 block: queries whose code changed this round — the broadcast-
-# hint-discipline sweep (forced F.broadcast removed from every SF-scaling
-# join side, VERDICT r9 'What's wrong' #1/#2 plus the same disease found
-# in q3/q14/stream-static) and the \x0B tokenizer unification (the older
-# _toks/_sql_toks twins now fold vertical tab to a space like the r9
-# LM/BM25 twins — touches the shingle-based text/pipeline queries).
+# Round 11 block: queries whose code changed this round — the unicode
+# tokenizer fold (textnorm.py replaces the r10 \x0B-only fold in every
+# twin; identical results on the ASCII driver corpus EXCEPT
+# text_token_stats, whose avg_token_len numerator now counts non-space
+# chars over the FOLDED text — a real cross-engine fix), the kmeans
+# floor/probe re-choice (KMEANS_MIN_K 128->256, p=3 tier removed — the
+# registered self-check's recall/ratio both move), and the extended.py
+# Python twins that now fold invisible chars.  The fold touches ~30
+# queries' oracle text; the cap holds the 16 most material — the
+# md5-portable shingle/fingerprint family (certify contract changed),
+# the two semantics changes, and the Python-twin extended queries —
+# while the symmetric-fold-only rest rides the stalest-first fallback;
+# ALL are value-oracle-verified locally at sf0.001
+# (tests/test_correctness.py) and sf0.01 (gate sim), plus the crafted
+# unicode corpus (tests/test_unicode_corpus_parity.py).
 _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # comfortably above the worst-case stale backlog (the registry grows ~2-4
 # queries/round, so <=20 queries can age past the 2-round line between
@@ -89,20 +98,11 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # hint-discipline sweep (forced broadcast removed from SF-scaling sides)
-    "star_join_revenue_by_nation",
-    "join_inner_cust_orders",
-    "q3_unshipped_topk",
-    "q14_promo_revenue",
-    "streaming_static_dim_join",
-    # \x0B unification: 27 queries' twins changed (the fold touches the
-    # shared _toks/_sql_toks/_norm/_norm_sql helpers); the cap holds the
-    # 10 with MATERIAL Spark-side changes — the certify-and-raise removal
-    # (_py_shingles kernels), the exact-substr kernel + span CTEs, and the
-    # md5-of-normalized-text fingerprints — while the 17 whose edit is the
-    # symmetric fold only (identical results on \x0B-free corpora) ride
-    # the stalest-first fallback; ALL 27 are value-oracle-verified locally
-    # at sf0.001 (tests/test_correctness.py) and sf0.01 (gate sim).
+    # the two MATERIAL semantics changes this round
+    "text_token_stats",
+    "dedup_embedding_kmeans_pairs",
+    # md5-portable shingle/fingerprint family: certify-and-raise narrowed
+    # from any-non-ASCII to uncertifiable-only, fold widened to unicode
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_cluster_canonical",
@@ -112,11 +112,18 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact_hash",
     "dedup_simhash",
     "text_fingerprint",
-    "text_token_stats",
-    # ADVICE r9: assign kernel gained an f64 re-score of f32 near-tie
-    # boundary rows (host-independent bucket choice)
-    "dedup_embedding_kmeans_pairs",
+    # Python twins that now delete invisible chars like the folded oracle
+    "pandas_udf_scalar_text",
+    "udtf_tokenize_positions",
+    # refactored internals (pre_scored path / shared mixture arithmetic /
+    # shared shingler) — outputs unchanged, re-verified anyway
+    "pipeline_token_budget_select",
+    "pipeline_mixture_resample",
+    "pipeline_clean_corpus",
 )
+# pipeline_pretrain_corpus (the r11 composition) is NEW: the
+# never-driver-checked-first fallback puts it at the head of the
+# remainder automatically — it does not consume a priority slot.
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (
     "DRIVER_WINDOW_PRIORITY must stay small: it exists for this round's "

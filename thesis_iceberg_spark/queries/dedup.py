@@ -276,7 +276,14 @@ WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = _capped_shingles(docs, docs.count())
+    return ngram_jaccard_pairs_from_shingles(_capped_shingles(docs, docs.count()))
+
+
+def ngram_jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """Jaccard pairs from an already-built capped shingle frame (doc_id,
+    s) — extracted in r11 so pipeline_pretrain_corpus can share ONE
+    shingle explode between fuzzy dedup and decontamination instead of
+    scanning the text corpus twice."""
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

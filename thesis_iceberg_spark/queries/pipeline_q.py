@@ -444,13 +444,20 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thesis_iceberg_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_from_shingles(
+        dedup._capped_shingles(docs, docs.count())
+    )
+
+
+def decontaminate_from_shingles(capped_sh: DataFrame) -> DataFrame:
+    """Containment decontamination from an already-built capped shingle
+    frame (doc_id, s) — extracted in r11 so pipeline_pretrain_corpus can
+    share ONE shingle explode with the fuzzy-dedup stage."""
     bucket = _keyed_u32("split:") % 100
     split = F.when(bucket < 90, "train").otherwise("eval")
     # the split is a pure function of doc_id, so it can be (re)computed on
     # the exploded rows — no join back to documents needed
-    sh = dedup._capped_shingles(docs, docs.count()).select(
-        "doc_id", split.alias("split"), "s"
-    )
+    sh = capped_sh.select("doc_id", split.alias("split"), "s")
     train = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "s"
     )
@@ -671,10 +678,16 @@ def token_budget_select_df(
     budget_frac: float = BUDGET_FRAC,
     boundary_sort_cap: int = BOUNDARY_SORT_CAP,
     refine_depth_out: list | None = None,
+    pre_scored: bool = False,
 ) -> DataFrame:
     """Histogram-threshold token-budget selection over any documents
     frame (doc_id, text) — see the registered query's doc for the
     algorithm and its equivalence to the global-sort prefix rule.
+
+    ``pre_scored=True`` (r11, for pipeline_pretrain_corpus): ``docs``
+    already carries (doc_id, quality_score, n_tokens) — skip the
+    quality_frame text scan entirely, so a composition whose upstream
+    stage computed the scores never re-reads text here.
 
     The budget-crossing bin is refined ITERATIVELY before anything is
     sorted: while the boundary subset exceeds ``boundary_sort_cap``
@@ -711,7 +724,7 @@ def token_budget_select_df(
     # (eager, like dedup_minhash_lsh_pairs — at production scale this is
     # persist(DISK) or a staging table of ~32 bytes/doc, not the corpus).
     scored = (
-        quality_frame(docs)
+        (docs if pre_scored else quality_frame(docs))
         .filter(F.col("quality_score").isNotNull())
         .select(
             "doc_id",
@@ -929,20 +942,12 @@ def pipeline_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample_df(load_table(spark, sf_dir, "documents"))
 
 
-def mixture_resample_df(docs: DataFrame) -> DataFrame:
-    """Per-source mixture summary over any documents frame (doc_id,
-    source, text) — see the registered query's doc for semantics."""
-    from thesis_iceberg_spark.queries.text import _toks_of
-
-    n_tokens = F.size(_toks_of(F.col("text")))
-    u = _keyed_u32("mix:") / F.lit(4294967296.0)
-    # narrow 4-column projection, materialized once: the per-source
-    # aggregate and the kept-mass aggregate below both read ~40 B/doc
-    # instead of re-scanning the text corpus (same pattern as
-    # pipeline_token_budget_select)
-    t = docs.select(
-        "doc_id", "source", n_tokens.alias("n_tokens"), u.alias("u")
-    ).localCheckpoint(eager=True)
+def mixture_keep_fracs(t: DataFrame) -> DataFrame:
+    """(source, n_docs, tokens_total, keep_frac) from a narrow (source,
+    n_tokens) frame — the DoReMi budget arithmetic, extracted in r11 so
+    pipeline_pretrain_corpus and mixture_resample_df share ONE
+    implementation (twin copies of T = min_g(tokens_g/w_g) would drift).
+    One tiny per-source aggregate + a one-row min broadcast back."""
     # share only for the target sources src0..src19: an out-of-range or
     # negative N (e.g. a composer's 'src-1' or 'src25') must drop out with
     # share NULL->0, not poison T with a zero or negative weight (review
@@ -959,7 +964,7 @@ def mixture_resample_df(docs: DataFrame) -> DataFrame:
     tm = g.filter(F.col("w").isNotNull()).agg(
         F.min(F.col("tokens_total") / F.col("w")).alias("t_max")
     )
-    gf = g.crossJoin(F.broadcast(tm)).select(
+    return g.crossJoin(F.broadcast(tm)).select(
         "source",
         "n_docs",
         "tokens_total",
@@ -967,6 +972,23 @@ def mixture_resample_df(docs: DataFrame) -> DataFrame:
             (F.col("w") * F.col("t_max")) / F.col("tokens_total"), F.lit(0.0)
         ).alias("keep_frac"),
     )
+
+
+def mixture_resample_df(docs: DataFrame) -> DataFrame:
+    """Per-source mixture summary over any documents frame (doc_id,
+    source, text) — see the registered query's doc for semantics."""
+    from thesis_iceberg_spark.queries.text import _toks_of
+
+    n_tokens = F.size(_toks_of(F.col("text")))
+    u = _keyed_u32("mix:") / F.lit(4294967296.0)
+    # narrow 4-column projection, materialized once: the per-source
+    # aggregate and the kept-mass aggregate below both read ~40 B/doc
+    # instead of re-scanning the text corpus (same pattern as
+    # pipeline_token_budget_select)
+    t = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), u.alias("u")
+    ).localCheckpoint(eager=True)
+    gf = mixture_keep_fracs(t)
     kept = F.col("u") < F.col("keep_frac")
     k = (
         t.join(F.broadcast(gf.select("source", "keep_frac")), "source")
@@ -981,3 +1003,267 @@ def mixture_resample_df(docs: DataFrame) -> DataFrame:
     return gf.join(k, "source").select(
         "source", "n_docs", "tokens_total", "keep_frac", "n_kept", "tokens_kept"
     )
+
+
+# --- the end-to-end pre-training corpus composition (r11, VERDICT r10 #6) ---
+#
+# Every stage below is an individually driver-oracled operator; this query
+# chains them in the order a production pre-training pipeline runs them —
+#
+#   PII scrub -> quality / Gopher-lexical / C4-badwords / language gates
+#   -> train split -> exact dedup -> fuzzy (Jaccard) dedup
+#   -> decontamination -> token-budget selection -> mixture resampling
+#   -> sequence packing
+#
+# — and the DuckDB oracle is composed from the SAME registered oracle
+# fragments over a `documents` CTE that shadows the base view with the
+# PII-scrubbed text (DuckDB resolves the inner `main.documents` to the
+# real view and every fragment's bare `documents` to the shadow), so the
+# composition can never drift from the operators it composes.
+#
+# TEXT-SCAN AUDIT (the plan property a 100 TB run lives or dies by; the
+# pytest gate is tests/test_pretrain_corpus.py):
+#   * raw text is scanned exactly TWICE — pass A fuses scrub + quality +
+#     language + Gopher-lexical + C4 + fingerprint + token count into ONE
+#     projection chain (the keep_cols threading exists for exactly this),
+#     and pass B is the shared shingle explode that feeds BOTH fuzzy
+#     dedup and decontamination (one explode, two consumers, the
+#     dedup._capped_shingles cap bounding the hot keys);
+#   * nothing downstream touches text: the token-budget stage runs on
+#     pass A's (quality_score, n_tokens) via pre_scored=True, mixture and
+#     packing on (source, n_tokens).
+# Victim sets (exact-dup canonicals, Jaccard doc_b, contaminated docs)
+# are computed over the FULL scrubbed corpus, not the gated subset — the
+# same convention pipeline_clean_corpus established (a duplicate is a
+# duplicate whether or not its canonical survives the quality gates).
+# The line-shaped Gopher rules (text_gopher_line_flags) are explode-
+# shaped and deliberately not in the fused chain; adding them costs one
+# more narrow pass + doc_id join, the documented extension point.
+
+_PRETRAIN_SCRUB_SQL = (
+    f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), "
+    f"'{_PHONE_RE}', '[PHONE]', 'g')"
+)
+
+# Gopher-lexical gate, composition tuning: the published rule demands >= 2
+# of the paper's 8 English stop words, but the synthetic corpus maxes out
+# at ONE stop-word hit per document — the published constant empties the
+# whole pipeline (measured: gated = 0 at every SF), and an always-empty
+# composition oracle proves nothing.  The composition keeps the published
+# alpha-fraction and symbol-ratio arms at their paper values and relaxes
+# only min-stop-hits to 1, reusing the registered fragment's COLUMNS so
+# the three thresholds stay visible in one place.
+PRETRAIN_MIN_STOP_HITS = 1
+
+
+def _pretrain_oracle() -> str:
+    from thesis_iceberg_spark.queries.text import (
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MAX_SYMBOL_WORD_RATIO,
+        _sql_toks,
+    )
+
+    return f"""
+WITH documents AS (
+  SELECT doc_id, lang, source, n_chars, {_PRETRAIN_SCRUB_SQL} AS text
+  FROM main.documents),
+q AS ({REGISTRY["text_quality_scores"].oracle}),
+l AS ({REGISTRY["text_lang_id"].oracle}),
+glex AS ({REGISTRY["text_gopher_lexical_flags"].oracle}),
+c4 AS ({REGISTRY["text_c4_badwords_flags"].oracle}),
+fp AS ({REGISTRY["text_fingerprint"].oracle}),
+jac AS ({REGISTRY["dedup_ngram_jaccard_pairs"].oracle}),
+dec AS ({REGISTRY["pipeline_decontaminate"].oracle}),
+toks AS (SELECT doc_id, len({_sql_toks()}) AS n_tokens FROM documents),
+canon AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical
+          FROM fp),
+gated AS (
+  SELECT d.doc_id, d.source, q.quality_score, t.n_tokens
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN l USING (doc_id)
+  JOIN glex USING (doc_id)
+  JOIN c4 USING (doc_id)
+  JOIN canon USING (doc_id)
+  JOIN toks t USING (doc_id)
+  WHERE q.quality_score >= {QUALITY_MIN}
+    AND l.detected_lang = 'en'
+    AND glex.alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+    AND glex.symbol_word_ratio <= {GOPHER_MAX_SYMBOL_WORD_RATIO}
+    AND glex.n_stop_hits >= {PRETRAIN_MIN_STOP_HITS}
+    AND c4.keep
+    AND CAST('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 100 < 90
+    AND d.doc_id = canon.canonical
+    AND d.doc_id NOT IN (SELECT doc_b FROM jac)
+    AND d.doc_id NOT IN (SELECT doc_id FROM dec)),
+budget AS (SELECT CAST(floor(SUM(n_tokens) * {BUDGET_FRAC}) AS BIGINT) AS b
+           FROM gated),
+sel AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT g.*, SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+    FROM gated g), budget
+  WHERE cum <= b),
+mix_g AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         CASE WHEN TRY_CAST(substr(source, 4) AS INT) BETWEEN 0 AND 19
+              THEN (TRY_CAST(substr(source, 4) AS INT) + 1) / {MIX_WEIGHT_DENOM}
+              ELSE NULL END AS w
+  FROM sel GROUP BY source),
+tm AS (SELECT MIN(tokens_total / w) AS t_max FROM mix_g WHERE w IS NOT NULL),
+gf AS (SELECT mix_g.source,
+              coalesce((mix_g.w * tm.t_max) / mix_g.tokens_total, 0.0) AS keep_frac
+       FROM mix_g, tm),
+mixed AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM sel s JOIN gf USING (source)
+  WHERE CAST('0x' || substr(md5('mix:' || CAST(s.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) / 4294967296.0 < gf.keep_frac)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM mixed
+"""
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=_pretrain_oracle(),
+    doc="END-TO-END pre-training corpus composition: PII scrub -> quality "
+    "+ Gopher-lexical + C4-badwords + language gates -> 90% train split "
+    "-> exact dedup (fingerprint canonical) -> fuzzy n-gram-Jaccard dedup "
+    "-> shingle-containment decontamination -> 50% token-budget selection "
+    "by quality -> DoReMi mixture resampling -> 512-token sequence "
+    "packing; one row per surviving document with its pack assignment. "
+    "Every stage is an individually driver-oracled operator and the "
+    "oracle is composed from their oracle fragments over a PII-scrubbed "
+    "shadow CTE, so composition drift is impossible. Scale shape: raw "
+    "text scanned exactly twice (fused per-doc feature projection; "
+    "shared shingle explode feeding dedup AND decontamination), "
+    "everything after runs on narrow checkpointed projections.",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.queries.dedup import (
+        _capped_shingles,
+        ngram_jaccard_pairs_from_shingles,
+    )
+    from thesis_iceberg_spark.queries.text import (
+        GOPHER_MAX_SYMBOL_WORD_RATIO,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        c4_badwords_flags_df,
+        fingerprint_expr,
+        gopher_lexical_flags_df,
+        lang_id_df,
+        quality_frame,
+    )
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    staged = docs.select("doc_id", "source", scrub.alias("text"))
+    # ---- pass A: ONE fused projection chain = one raw text scan --------
+    feats = (
+        c4_badwords_flags_df(
+            gopher_lexical_flags_df(
+                lang_id_df(
+                    quality_frame(staged, keep_cols=("source", "text")),
+                    keep_cols=("source", "text", "n_tokens", "quality_score"),
+                ),
+                keep_cols=(
+                    "source",
+                    "text",
+                    "n_tokens",
+                    "quality_score",
+                    "detected_lang",
+                ),
+            ).withColumn(
+                # composition gate (PRETRAIN_MIN_STOP_HITS doc above): the
+                # paper's alpha/symbol arms + the relaxed stop-hits arm
+                "gopher_keep",
+                (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+                & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+                & (F.col("n_stop_hits") >= PRETRAIN_MIN_STOP_HITS),
+            ),
+            keep_cols=(
+                "source",
+                "text",
+                "n_tokens",
+                "quality_score",
+                "detected_lang",
+                "gopher_keep",
+            ),
+        )
+        .withColumnRenamed("keep", "c4_keep")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality_score",
+            "detected_lang",
+            "gopher_keep",
+            "c4_keep",
+            fingerprint_expr().alias("fingerprint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = feats.count()
+    # ---- pass B: the shared shingle explode = the second text scan -----
+    sh = _capped_shingles(staged, n).localCheckpoint(eager=True)
+    fuzzy_victims = ngram_jaccard_pairs_from_shingles(sh).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    contaminated = decontaminate_from_shingles(sh).select("doc_id")
+    # ---- gates + dedup + decontamination (all narrow from here on) -----
+    canon = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    gated = (
+        feats.withColumn("canonical", canon)
+        .filter(
+            (F.col("quality_score") >= QUALITY_MIN)
+            & (F.col("detected_lang") == "en")
+            & F.col("gopher_keep")
+            & F.col("c4_keep")
+            & (_keyed_u32("split:") % 100 < 90)
+            & (F.col("doc_id") == F.col("canonical"))
+        )
+        .join(fuzzy_victims, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "quality_score", "n_tokens")
+    )
+    # ---- token-budget selection on the pre-scored frame (no text) ------
+    sel = token_budget_select_df(gated, pre_scored=True).select(
+        "doc_id", "n_tokens"
+    )
+    kept = sel.join(gated.select("doc_id", "source"), "doc_id")
+    # ---- mixture resampling (shared budget arithmetic) ------------------
+    gf = mixture_keep_fracs(kept)
+    u = _keyed_u32("mix:") / F.lit(4294967296.0)
+    mixed = (
+        kept.withColumn("u", u)
+        .join(F.broadcast(gf.select("source", "keep_frac")), "source")
+        .filter(F.col("u") < F.col("keep_frac"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    # ---- sequence packing (pipeline_pack_sequences rule, keyed by source)
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pack_id = F.floor(
+        (F.sum("n_tokens").over(wp) - F.col("n_tokens")) / PACK_BUDGET
+    )
+    return mixed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        pack_id.cast("bigint").alias("pack_id"),
+    )
+

@@ -136,8 +136,17 @@ FROM scored
     "non-ASCII presence routes to 'zh'. Pure builtins, no UDF.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_df(_docs(spark, sf_dir))
+
+
+def lang_id_df(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Marker-scoring language ID over any documents frame (doc_id, text);
+    extracted from the registered query in r11 so pipeline compositions
+    can stack it on a projection chain (``keep_cols`` threads extra
+    columns through — see quality_frame)."""
     toks = _toks()
-    scored = _docs(spark, sf_dir).select(
+    scored = docs.select(
+        *keep_cols,
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"[^\x00-\x7f]"), F.lit(0))).alias("n_nonascii"),
         _marker_count(toks, LANG_MARKERS["en"]).alias("c_en"),
@@ -161,7 +170,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_fr") >= F.col("c_es"), F.lit("fr"))
         .otherwise(F.lit("es"))
     )
-    return scored.select("doc_id", detected.alias("detected_lang"))
+    return scored.select(*keep_cols, "doc_id", detected.alias("detected_lang"))
 
 
 @register(
@@ -198,13 +207,20 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_frame(docs: DataFrame) -> DataFrame:
+def quality_frame(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """ONE-PASS quality frame: the registered ratio/score columns PLUS the
     raw ``n_tokens`` count they were derived from — so composers that need
     score AND token mass together (pipeline_token_budget_select) get both
     from a single documents scan instead of self-joining two scans on
-    doc_id (a pure-overhead shuffle at corpus scale)."""
+    doc_id (a pure-overhead shuffle at corpus scale).
+
+    ``keep_cols`` threads extra input columns through unchanged (r11, for
+    pipeline_pretrain_corpus): because the result stays a pure projection
+    chain over ``docs``, stacking further per-doc stages on the output —
+    instead of joining parallel frames on doc_id — keeps the WHOLE
+    feature stage one Catalyst-fused scan."""
     m = docs.select(
+        *keep_cols,
         "doc_id",
         F.length("text").alias("n_chars_m"),
         F.size(_toks()).alias("n_tokens"),
@@ -224,6 +240,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / F.lit(100))
     )
     return m.select(
+        *keep_cols,
         "doc_id",
         "n_tokens",
         punct.alias("punct_ratio"),
@@ -247,13 +264,17 @@ FROM documents
     "textnorm unicode fold runs first in both engines (see _toks_of).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.md5(
-            F.regexp_replace(
-                F.trim(F.lower(fold_col(F.col("text")))), r"\s+", " "
-            ).cast("binary")
-        ).alias("fingerprint"),
+    return _docs(spark, sf_dir).select("doc_id", fingerprint_expr().alias("fingerprint"))
+
+
+def fingerprint_expr(col: str = "text"):
+    """The exact-dedup key as a reusable Column (r11: shared with
+    pipeline_pretrain_corpus so the composition can never drift from the
+    registered fingerprint)."""
+    return F.md5(
+        F.regexp_replace(F.trim(F.lower(fold_col(F.col(col)))), r"\s+", " ").cast(
+            "binary"
+        )
     )
 
 
@@ -626,6 +647,17 @@ FROM m
     "fuses into the ingest scan alongside the other quality gates.",
 )
 def text_gopher_lexical_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_lexical_flags_df(_docs(spark, sf_dir))
+
+
+def gopher_lexical_flags_df(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Gopher lexical gates over any documents frame (doc_id, text);
+    extracted from the registered query in r11 — a pure projection, so
+    pipeline_pretrain_corpus stacks it on its fused per-doc feature
+    chain (``keep_cols`` threads extra columns through, see
+    quality_frame)."""
     toks = _toks()
     n_tokens = F.size(toks)
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
@@ -635,7 +667,8 @@ def text_gopher_lexical_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop_hits = sum(
         F.when(F.array_contains(toks, w), 1).otherwise(0) for w in GOPHER_STOP_WORDS
     )
-    m = _docs(spark, sf_dir).select(
+    m = docs.select(
+        *keep_cols,
         "doc_id",
         (n_alpha.cast("double") / n_tokens).alias("alpha_word_frac"),
         (n_symbols.cast("double") / n_tokens).alias("symbol_word_ratio"),
@@ -647,6 +680,7 @@ def text_gopher_lexical_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
     )
     return m.select(
+        *keep_cols,
         "doc_id",
         "alpha_word_frac",
         "symbol_word_ratio",
@@ -936,7 +970,9 @@ C4_BADWORDS_EN = (
 C4_BADWORDS_FIXTURE = ("dup", "verboten", "slow query")
 
 
-def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_EN) -> DataFrame:
+def c4_badwords_flags_df(
+    docs: DataFrame, badwords=C4_BADWORDS_EN, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-page blocklist columns for an arbitrary word/phrase list.
 
     Pure narrow map: the list rides the plan as a LITERAL array (the
@@ -965,6 +1001,7 @@ def c4_badwords_flags_df(docs: DataFrame, badwords=C4_BADWORDS_EN) -> DataFrame:
     # of relying on operand NULL propagation.
     gate = lambda c: F.when(F.col("text").isNotNull(), c)  # noqa: E731
     return docs.select(
+        *keep_cols,
         "doc_id",
         gate(n_bad).alias("n_badword_tokens"),
         gate(n_phr).alias("n_badword_phrases"),
