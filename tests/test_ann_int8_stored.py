@@ -50,18 +50,38 @@ def test_scale_rides_with_the_table(spark, stored):
 
 def test_shortlist_scan_prunes_float_column(spark, stored):
     table, _scale, _loc = stored
-    from pyspark.sql import functions as F
-
     from thesis_iceberg_spark.plans import formatted_plan
 
     narrow = table.read().select("vec_id", "label", "q")
     plan = formatted_plan(narrow)
     # every parquet ReadSchema in the shortlist lineage excludes the
-    # float vectors — the 1/4-bytes claim depends on column pruning
-    for line in plan.splitlines():
-        if "ReadSchema" in line:
-            assert "embedding" not in line, line
-    assert "q:" in plan or "q" in plan
+    # float vectors — the 1/4-bytes claim depends on column pruning —
+    # and positively includes the int8 column (review r11: the old
+    # `or "q" in plan` arm matched 'parquet' and could never fail)
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    for line in schema_lines:
+        assert "embedding" not in line, line
+        assert "q:array<tinyint>" in line.replace(" ", ""), line
+
+
+def test_rerank_reads_only_survivor_rows(spark, stored):
+    # the float column is touched through pushed point/in-list predicates
+    # only: the full query's plan must show a pushed filter on vec_id for
+    # every embedding-bearing scan (never an unfiltered corpus scan)
+    table, _scale, _loc = stored
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    df = ann_int8_topk_stored(spark, table)
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "ReadSchema" in line and "embedding" in line:
+            # the scan description carries PushedFilters on vec_id
+            window = "\n".join(lines[max(0, i - 8) : i + 1])
+            assert (
+                "In(vec_id" in window or "EqualTo(vec_id" in window
+            ), f"embedding scan without a pushed vec_id predicate:\n{window}"
 
 
 def test_int8_column_is_quarter_the_bytes(stored):

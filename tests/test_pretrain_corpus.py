@@ -95,12 +95,40 @@ def test_composition_output_shape(spark, sf_dir):
 
 
 def test_every_stage_actually_gates(spark, sf_dir):
-    # the composition is only a composition if its stages each remove
-    # something at driver scale: compare survivor counts
+    """Per-stage non-vacuity (review r11: `0 < final < all` alone lets any
+    single stage silently no-op).  Each ACTIVE stage is shown to have real
+    work at driver scale via its own registered operator; the stages that
+    ARE no-ops on this synthetic corpus are pinned explicitly so a corpus
+    change that activates them is a deliberate event:
+      * quality >= 0.5: every synthetic doc scores above it;
+      * Gopher alpha/symbol arms: synthetic text is all-alpha; the
+        stop-hits arm is the relaxed PRETRAIN_MIN_STOP_HITS=1;
+      * C4 badwords: the corpus contains none (crafted badword corpora
+        exercise the operator in test_c4 suites);
+      * exact dedup: the generator emits no byte-identical documents
+        (fuzzy dedup is the active dedup stage here)."""
     from thesis_iceberg_spark.queries.pipeline_q import PRETRAIN_MIN_STOP_HITS
 
     assert PRETRAIN_MIN_STOP_HITS == 1  # the documented corpus tuning
     docs = load_table(spark, sf_dir, "documents")
     n_all = docs.count()
+    # active stage: language gate removes the non-'en' documents
+    n_en = (
+        REGISTRY["text_lang_id"].fn(spark, sf_dir)
+        .filter("detected_lang = 'en'")
+        .count()
+    )
+    assert 0 < n_en < n_all
+    # active stage: the 90/10 split removes ~10%
+    splits = {
+        r.split: r.n_docs
+        for r in REGISTRY["pipeline_train_eval_split"].fn(spark, sf_dir).collect()
+    }
+    assert splits.get("train", 0) > 0 and splits.get("eval", 0) > 0
+    # active stage: fuzzy dedup has victims, decontamination has hits
+    assert REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir).count() > 0
+    assert REGISTRY["pipeline_decontaminate"].fn(spark, sf_dir).count() > 0
+    # budget + mixture: the final corpus is a strict subset of the gated
+    # set (token budget halves the mass; mixture rebalances the sources)
     n_final = REGISTRY["pipeline_pretrain_corpus"].fn(spark, sf_dir).count()
-    assert 0 < n_final < n_all
+    assert 0 < n_final < n_en

@@ -123,3 +123,26 @@ def test_case_edge_pairs_share_fingerprint(spark, uni_docs_dir):
     assert fp[11] == fp[12]  # final-sigma text == pre-folded σ text
     assert fp[13] == fp[14]  # invisible chars deleted
     assert fp[3] != fp[4]  # NFC is NOT applied: composed != decomposed
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_gopher_repetition_signals",
+        "text_gopher_line_flags",
+        "text_c4_quality_flags",
+        "dedup_exact_substr_spans",
+    ],
+)
+def test_md5_kernels_raise_loudly_outside_contract(spark, tmp_path_factory, name):
+    # review r11: the md5-comparing Arrow kernels must enforce the same
+    # certify contract as the shingle kernels — a cased codepoint outside
+    # the stable blocks fails LOUDLY instead of silently hashing
+    # CPython-lowered text the utf8proc oracle would lower differently
+    d = str(tmp_path_factory.mktemp(f"uncert_{name}"))
+    rows = [(1, "deseret \U00010400 capital here today", "en", "src0", 30)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(f"{d}/documents.parquet")
+    with pytest.raises(Exception, match="tokenizer contract"):
+        REGISTRY[name].fn(spark, d).collect()

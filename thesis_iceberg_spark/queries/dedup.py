@@ -1004,7 +1004,8 @@ KMEANS_MIN_K = 256
 KMEANS_SUBQ_TRIVIAL_N = 256
 
 
-# Boundary of the third probe tier (below: p=5, at/above: p=8).  The 1e6
+# Boundary of the wide probe tier (below: p=5, at/above: p=8 — the only
+# tier edge since r11 merged the old p=3 bottom tier into p=5).  The 1e6
 # rehearsal (PERFORMANCE.md, r9) measured k=15,781/p=5 losing the 0.7
 # recall grade (0.530) where p=8 holds it (0.719 at ratio 0.0020 — 25x
 # under the 0.05 gate), while k=804/p=5 holds 0.952@0.8 on the planted

@@ -1236,6 +1236,12 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fuzzy_victims, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", "quality_score", "n_tokens")
+        # checkpoint: the gated lineage embeds the two expensive joins
+        # (Jaccard shingle self-join, decontamination containment join) —
+        # without this they re-execute for token_budget's internal
+        # checkpoint AND each of the two consumers of `kept` below
+        # (review r11: the dominant O(candidate-pairs) work ran 3x)
+        .localCheckpoint(eager=True)
     )
     # ---- token-budget selection on the pre-scored frame (no text) ------
     sel = token_budget_select_df(gated, pre_scored=True).select(

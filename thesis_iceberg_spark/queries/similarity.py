@@ -491,46 +491,61 @@ def quantize_embeddings_table(
 
 
 def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
-    """ann_int8_topk over a quantize_embeddings_table output: the integer
-    shortlist reads the STORED int8 column (narrow scan of vec_id/label/q
-    — 1/4 the vector bytes), the full-precision rerank joins the float
-    column back for the SHORTLIST_K survivors only."""
+    """ann_int8_topk over a quantize_embeddings_table output.
+
+    The reader pattern the write-time artifact exists for (review r11 —
+    the first version scanned the float column twice and never used the
+    stored scale):
+
+      1. the query id comes from the NARROW scan (int8 column only);
+      2. the query vector is a pushed-predicate POINT READ of its float
+         row, quantized with the TABLE-PROPERTY scale — exactly what a
+         reader does for an external query vector, and bit-identical to
+         the stored column by construction (same floor(x*s+0.5), same
+         IEEE double s via repr round-trip);
+      3. the integer shortlist is one narrow scan + TakeOrdered;
+      4. the full-precision rerank reads ONLY the SHORTLIST_K survivor
+         rows through an `isin` pushed filter (bounded by the constant,
+         so the collect is a point-lookup list, not corpus data) — the
+         float column is never scanned end to end."""
     s = float(table.properties[INT8_SCALE_PROP])
     base = table.read()
+    as_f64 = F.transform("embedding", lambda x: x.cast("double"))
     narrow = base.select("vec_id", "label", F.col("q"))
-    # query = lowest vec_id, quantized ONCE from its stored int8 row
-    qrow = (
-        narrow.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+    (qid,) = narrow.agg(F.min("vec_id")).first()  # narrow scan only
+    # point read of the query row's floats (pushed vec_id = qid), then
+    # property-scale quantization — the external-query-vector path
+    qrow = base.filter(F.col("vec_id") == qid).select(
+        as_f64.alias("qv"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(s) + F.lit(0.5)),
+        ).alias("qq"),
     )
     qdot = F.aggregate(
-        F.zip_with(
-            F.col("q"),
-            F.col("qq"),
-            lambda a, b: a.cast("bigint") * b.cast("bigint"),
-        ),
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a.cast("bigint") * b),
         F.lit(0).cast("bigint"),
         lambda acc, p: acc + p,
     )
     top = (
-        narrow.crossJoin(F.broadcast(qrow))
-        .filter(F.col("vec_id") != F.col("qid"))
+        narrow.crossJoin(F.broadcast(qrow.select("qq")))
+        .filter(F.col("vec_id") != qid)
         .select("vec_id", "label", qdot.alias("qdot"))
         .orderBy(F.col("qdot").desc(), F.col("vec_id"))
         .limit(SHORTLIST_K)
+        .localCheckpoint(eager=True)  # reused: id list + rerank join
     )
-    # rerank: only now touch the float column, for shortlist + query rows
-    as_f64 = F.transform("embedding", lambda x: x.cast("double"))
-    vecs = base.select("vec_id", as_f64.alias("v"))
-    qvec = (
-        base.orderBy("vec_id")
-        .limit(1)
-        .select(F.col("vec_id").alias("qid"), as_f64.alias("qv"))
+    ids = [r["vec_id"] for r in top.select("vec_id").collect()]  # <= SHORTLIST_K
+    if not ids:  # single-row table: no candidates
+        return top.select(
+            "vec_id", "label", "qdot", F.lit(None).cast("double").alias("cosine")
+        )
+    rerank_vecs = base.filter(F.col("vec_id").isin(ids)).select(
+        "vec_id", as_f64.alias("v")
     )
     return (
-        top.join(vecs, "vec_id")
-        .crossJoin(F.broadcast(qvec))
+        top.join(rerank_vecs, "vec_id")
+        .crossJoin(F.broadcast(qrow.select("qv")))
         .select(
             "vec_id", "label", "qdot", _cosine(F.col("v"), F.col("qv")).alias("cosine")
         )

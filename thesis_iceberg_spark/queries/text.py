@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.queries import register
-from thesis_iceberg_spark.queries.textnorm import fold_col, fold_py, fold_sql
+from thesis_iceberg_spark.queries.textnorm import certify_py, fold_col, fold_py, fold_sql
 from thesis_iceberg_spark.sources.registry import load_table
 
 # Marker stopwords per language for the n-gram/stopword language heuristic.
@@ -554,7 +554,9 @@ def text_gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFram
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
-                toks = ws.split(fold_py(text or "").strip(" ").lower())
+                folded = fold_py(text or "")
+                certify_py(folded)  # md5-comparing kernel: shingle contract
+                toks = ws.split(folded.strip(" ").lower())
                 t = len(toks)
                 hs = np.fromiter(
                     (h40(tk) for tk in toks), dtype=np.int64, count=t
@@ -904,7 +906,9 @@ def text_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # oracle's LEFT JOIN + COALESCE path (0.0 / keep)
                     recs.append((int(doc_id), 0.0, 0.0, 0.0, 0.0, True))
                     continue
-                toks = ws.split(fold_py(text).strip(" ").lower())
+                folded = fold_py(text)
+                certify_py(folded)  # md5-comparing kernel: shingle contract
+                toks = ws.split(folded.strip(" ").lower())
                 dl = sum(len(t) for t in toks) + len(toks) - 1
                 lines = [
                     " ".join(toks[i : i + line_toks])
@@ -1177,7 +1181,9 @@ def text_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     recs.append((int(doc_id), 0, 0, 0.0, None, None, None, None))
                     continue
                 raw = text
-                toks = ws.split(fold_py(raw).strip(" ").lower())
+                folded = fold_py(raw)
+                certify_py(folded)  # md5-comparing kernel: shingle contract
+                toks = ws.split(folded.strip(" ").lower())
                 lines = [
                     " ".join(toks[i : i + line_toks])
                     for i in range(0, len(toks), line_toks)
