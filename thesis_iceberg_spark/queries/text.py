@@ -1644,3 +1644,85 @@ def countmin_topk_df(docs: DataFrame) -> DataFrame:
             F.col("est_n").cast("bigint").alias("est_n"),
         )
     )
+
+
+# --- garbage / mojibake detection (r11) -------------------------------------
+#
+# Real web corpora carry decode damage the other gates never look at:
+# U+FFFD replacement characters (the universal mojibake marker a lossy
+# decode leaves behind) and C0 control characters that are neither
+# whitespace nor in the textnorm fold's contract.  Detection reads the
+# RAW text deliberately — the fold DELETES/normalizes exactly the bytes a
+# garbage detector exists to count, so it must run upstream of it.  The
+# control class [\x00-\x08\x0E-\x1B\x7F] excludes every character some
+# other operator treats as whitespace (\t \n \x0B \x0C \r via \s, and
+# the \x1C-\x1F information separators the fold turns into spaces).
+# Explicit \xNN classes parse identically in Java regex and RE2.
+
+GARBAGE_MAX_CONTROL_RATIO = 0.005  # >0.5% control chars => not prose
+_CTRL_RE = r"[\x00-\x08\x0E-\x1B\x7F]"
+
+
+def garbage_flags_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_replacement, n_control, garbage_ratio, keep) over any
+    documents frame — a pure narrow map (whole-stage codegen, zero
+    shuffle; at 100 TB this fuses into the ingest scan next to the other
+    quality gates).  keep = no replacement chars at all AND the control
+    ratio under GARBAGE_MAX_CONTROL_RATIO; NULL text propagates NULL
+    flags (the gate convention c4_badwords_flags_df established)."""
+    t = F.col(text_col)
+    n_repl = F.regexp_count(t, F.lit("�"))
+    n_ctl = F.regexp_count(t, F.lit(_CTRL_RE))
+    ratio = F.try_divide((n_repl + n_ctl).cast("double"), F.length(t))
+    keep = (n_repl == 0) & (F.coalesce(ratio, F.lit(0.0)) <= GARBAGE_MAX_CONTROL_RATIO)
+    gate = lambda c: F.when(t.isNotNull(), c)  # noqa: E731
+    return docs.select(
+        "doc_id",
+        gate(n_repl.cast("int")).alias("n_replacement"),
+        gate(n_ctl.cast("int")).alias("n_control"),
+        gate(ratio).alias("garbage_ratio"),
+        gate(keep).alias("keep"),
+    )
+
+
+@register(
+    "text_garbage_flags",
+    oracle=f"""
+WITH damaged AS (
+  SELECT doc_id,
+         text || repeat(chr(65533), CAST(doc_id % 3 AS INT))
+              || repeat(chr(7), CAST(doc_id % 5 AS INT)) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(t, chr(65533))) AS INT) AS n_replacement,
+       CAST(length(regexp_extract_all(t, '{_CTRL_RE}')) AS INT) AS n_control,
+       CAST(length(regexp_extract_all(t, chr(65533)))
+            + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
+           / length(t) AS garbage_ratio,
+       (length(regexp_extract_all(t, chr(65533))) = 0
+        AND CAST(length(regexp_extract_all(t, chr(65533)))
+                 + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
+              / length(t) <= {GARBAGE_MAX_CONTROL_RATIO}) AS keep
+FROM damaged
+""",
+    doc="Garbage/mojibake detection: U+FFFD replacement-char and C0 "
+    "control-char counts with a keep gate — the decode-damage filter the "
+    "other quality gates never look at, run on RAW text upstream of the "
+    "unicode fold (which would normalize away exactly what this counts). "
+    "The synthetic corpus is clean, so the registered entry appends a "
+    "deterministic doc_id-derived damage tail in BOTH engines (the "
+    "pipeline_pii_scrub convention) so every arm of the gate — clean, "
+    "replacement-hit, control-ratio-hit — is value-checked exactly; real "
+    "corpora go through garbage_flags_df. Pure narrow map, zero shuffle.",
+)
+def text_garbage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    damaged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit("�"), (F.col("doc_id") % 3).cast("int")),
+            F.repeat(F.lit("\x07"), (F.col("doc_id") % 5).cast("int")),
+        ).alias("t"),
+    )
+    return garbage_flags_df(damaged, text_col="t")
