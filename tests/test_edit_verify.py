@@ -1,0 +1,86 @@
+"""Edit-distance verification of near-dup candidates (r11).
+
+The contract is BYTE-level Levenshtein (the exact twin of DuckDB's
+builtin, which is byte-based where Spark's is codepoint-based — the
+measured divergence that forced the kernel form).  Pins: the vectorized
+DP against a reference implementation and against DuckDB itself
+(hypothesis, unicode included), and the operator-level property the pass
+exists for — Jaccard is order-blind, edit distance is not.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from thesis_iceberg_spark.queries.dedup import _byte_lev
+
+
+def _ref_lev(a: bytes, b: bytes) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(max_size=40),
+    st.text(max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_byte_lev_matches_reference_and_duckdb(a, b):
+    got = _byte_lev(a.encode(), b.encode())
+    assert got == _ref_lev(a.encode(), b.encode())
+    (dk,) = duckdb.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()
+    assert got == dk
+
+
+@pytest.mark.parametrize(
+    ("a", "b", "want"),
+    [
+        ("kitten", "sitting", 3),
+        ("", "", 0),
+        ("", "abc", 3),
+        ("same", "same", 0),
+        ("café déjà", "cafe deja", 6),  # byte-based: accented sub costs 2
+        ("漢字かな", "漢字カナ", 4),
+    ],
+)
+def test_byte_lev_directed(a, b, want):
+    assert _byte_lev(a.encode(), b.encode()) == want
+
+
+def test_edit_verify_catches_order_blindness(spark, tmp_path_factory):
+    # a document and its sentence-shuffled copy share every 3-token
+    # shingle ONLY if shingle windows survive the shuffle — use a
+    # word-level shuffle that preserves most shingles via repetition:
+    # the canonical Jaccard blind spot is token-order permutation of a
+    # repetitive text.  Construct: doc 2 = doc 1's two halves swapped —
+    # high shingle overlap, but a large edit distance.
+    from thesis_iceberg_spark.queries import REGISTRY, queries
+
+    queries()
+    half_a = "alpha beta gamma delta " * 6
+    half_b = "omega psi chi phi " * 6
+    d = str(tmp_path_factory.mktemp("editv"))
+    rows = [
+        (1, half_a + half_b, "en", "src0", 100),
+        (2, half_b + half_a, "en", "src0", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(f"{d}/documents.parquet")
+    jac = REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, d).collect()
+    # set metric: comfortably over the 0.5 pair threshold (only the
+    # half-boundary shingles differ)
+    assert jac and jac[0].jaccard >= 0.6
+    ver = REGISTRY["dedup_edit_verified_pairs"].fn(spark, d).collect()
+    (row,) = ver
+    # sequence metric: the halves moved — a large fraction of bytes edit
+    assert row.edit_dist > 0
+    assert row.edit_sim < 0.8, row  # order-blindness exposed

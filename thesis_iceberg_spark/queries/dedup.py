@@ -30,7 +30,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries import REGISTRY, register
 from thesis_iceberg_spark.queries.textnorm import certify_py, fold_col, fold_py, fold_sql
 from thesis_iceberg_spark.sources.registry import load_table
 
@@ -2056,4 +2056,112 @@ def pipeline_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("nk", F.lit(0))).alias("n_removed_tokens"),
+    )
+
+
+# --- edit-distance verification of near-dup candidates (r11) ----------------
+#
+# The standard near-dup pipeline ends with a verification pass the set
+# metrics cannot give: shingle Jaccard is ORDER-BLIND (a document and its
+# sentence-shuffled copy share every shingle), so production dedup
+# confirms candidate pairs with a sequence-aware distance before dropping
+# documents.  Cross-engine exactness note (measured, r11): DuckDB's
+# levenshtein() is BYTE-based over the UTF-8 encoding (an accented-char
+# substitution costs 2), Spark's F.levenshtein is codepoint-based — the
+# two builtins disagree on any non-ASCII text, so the certified contract
+# here is BYTE-level Levenshtein over the normalized text: the Spark
+# side computes it in an Arrow kernel (vectorized numpy DP, exact twin
+# of DuckDB's builtin), and similarity normalizes by byte length
+# (DuckDB strlen()).  Cost is per-PAIR, not per-doc: the kernel only
+# ever sees the candidate list the subquadratic generators emit.
+
+
+def _byte_lev(a: bytes, b: bytes) -> int:
+    """Byte-level Levenshtein, exact twin of DuckDB's levenshtein().
+    Vectorized DP: per row, the insertion recurrence cur[j] =
+    min(t[j], cur[j-1]+1) folds into a running min of (t[k] - k)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    import numpy as np
+
+    bb = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+    lb = len(b)
+    prev = np.arange(lb + 1, dtype=np.int32)
+    idx = np.arange(lb + 1, dtype=np.int32)
+    for i, ca in enumerate(a, 1):
+        t = np.empty(lb + 1, dtype=np.int32)
+        t[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca), out=t[1:])
+        prev = np.minimum.accumulate(t - idx) + idx
+    return int(prev[-1])
+
+
+# plain-literal template + .format: only the two placeholders are parsed;
+# the substituted fragments' regex braces are inserted verbatim (an
+# f-string template would have pre-baked them into the format text)
+_EDIT_VERIFY_ORACLE = """
+WITH pairs AS ({jaccard}),
+nt AS (SELECT doc_id, {norm} AS t FROM documents)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+             / greatest(strlen(a.t), strlen(b.t), 1) AS edit_sim
+FROM pairs p
+JOIN nt a ON a.doc_id = p.doc_a
+JOIN nt b ON b.doc_id = p.doc_b
+"""
+
+
+@register(
+    "dedup_edit_verified_pairs",
+    oracle=_EDIT_VERIFY_ORACLE.format(
+        jaccard=REGISTRY["dedup_ngram_jaccard_pairs"].oracle, norm=_norm_sql()
+    ),
+    doc="Edit-distance VERIFICATION of the n-gram-Jaccard candidate pairs "
+    "(the sequence-aware pass set metrics cannot give — Jaccard is "
+    "order-blind): per pair, byte-level Levenshtein over the normalized "
+    "text and a byte-length-normalized similarity. The metric is "
+    "certified cross-engine as BYTE Levenshtein (DuckDB's builtin is "
+    "byte-based where Spark's is codepoint-based — measured, see the "
+    "module comment), computed Spark-side in an Arrow kernel whose cost "
+    "is per-candidate-PAIR, never per-document; at 100 TB the pair list "
+    "is the subquadratic generators' output and the text join is two "
+    "id equi-joins. Integer distances and one exact division make this "
+    "a FULL value oracle.",
+)
+def dedup_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_from_shingles(
+        _capped_shingles(docs, docs.count())
+    ).select("doc_a", "doc_b")
+    nt = docs.select("doc_id", _norm().alias("t"))
+    joined = (
+        pairs.join(nt.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a")
+        .join(nt.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+        .select("doc_a", "doc_b", "ta", "tb")
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc_a, doc_b, ta, tb in zip(
+                pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy(), pdf["ta"], pdf["tb"]
+            ):
+                ba = (ta or "").encode()
+                bb = (tb or "").encode()
+                d = _byte_lev(ba, bb)
+                sim = 1.0 - d / max(len(ba), len(bb), 1)
+                recs.append((int(doc_a), int(doc_b), d, sim))
+            yield pd.DataFrame(
+                recs, columns=["doc_a", "doc_b", "edit_dist", "edit_sim"]
+            )
+
+    return joined.mapInPandas(
+        verify, "doc_a bigint, doc_b bigint, edit_dist bigint, edit_sim double"
     )
