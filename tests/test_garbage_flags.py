@@ -64,3 +64,36 @@ def test_null_and_empty_text(spark):
     # empty doc: zero counts, 0/0 division -> NULL ratio, coalesced keep
     assert out[2].n_replacement == 0 and out[2].garbage_ratio is None
     assert out[2].keep is True
+
+
+def test_registered_oracle_parity_on_empty_doc_without_damage_tail(
+    spark, tmp_path_factory
+):
+    # review r11: an EMPTY doc whose doc_id % 15 == 0 gets an empty damage
+    # tail -> length(t)=0 -> DuckDB 0/0 ratio is NULL, and the oracle's
+    # keep lacked the COALESCE its Spark twin has (NULL vs TRUE mismatch).
+    # Full driver-style compare over a corpus crafted to hit that arm.
+    import duckdb
+
+    from thesis_iceberg_spark.oracle import compare_query
+    from thesis_iceberg_spark.queries import REGISTRY, queries
+
+    queries()
+    d = str(tmp_path_factory.mktemp("garb_empty"))
+    rows = [
+        (15, "", "en", "src0", 0),  # empty + %15==0: no tail at all
+        (30, None, "en", "src0", None),  # NULL propagates NULL everywhere
+        (16, "", "en", "src1", 0),  # empty + damage tail (repl hit)
+        (17, "clean prose here", "en", "src2", 16),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    spec = REGISTRY["text_garbage_flags"]
+    r = compare_query(spark, con, "text_garbage_flags", spec.fn, spec.oracle, d)
+    assert r.ok, str(r)

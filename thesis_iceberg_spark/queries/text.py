@@ -1700,9 +1700,10 @@ SELECT doc_id,
             + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
            / length(t) AS garbage_ratio,
        (length(regexp_extract_all(t, chr(65533))) = 0
-        AND CAST(length(regexp_extract_all(t, chr(65533)))
-                 + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
-              / length(t) <= {GARBAGE_MAX_CONTROL_RATIO}) AS keep
+        AND COALESCE(
+              CAST(length(regexp_extract_all(t, chr(65533)))
+                   + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
+                / length(t), 0.0) <= {GARBAGE_MAX_CONTROL_RATIO}) AS keep
 FROM damaged
 """,
     doc="Garbage/mojibake detection: U+FFFD replacement-char and C0 "
