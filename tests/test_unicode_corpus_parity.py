@@ -128,10 +128,19 @@ def test_case_edge_pairs_share_fingerprint(spark, uni_docs_dir):
 @pytest.mark.parametrize(
     "name",
     [
+        # Arrow kernels (certify_py, the Python-vs-utf8proc contract)
         "text_gopher_repetition_signals",
         "text_gopher_line_flags",
         "text_c4_quality_flags",
         "dedup_exact_substr_spans",
+        # pure-JVM lower() queries (_jvm_certify inside fold_col, the
+        # Java-vs-utf8proc contract — r11 completion: EVERY text operator
+        # now raises on uncertifiable input instead of silently diverging)
+        "text_fingerprint",
+        "dedup_exact_hash",
+        "text_lang_id",
+        "text_countmin_topk",
+        "search_bm25_topk",
     ],
 )
 def test_md5_kernels_raise_loudly_outside_contract(spark, tmp_path_factory, name):

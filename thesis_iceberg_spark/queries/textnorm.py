@@ -38,7 +38,9 @@ can express with the SAME primitive (``translate`` + ``replace``):
    Spark's and DuckDB's ``lower()`` in
    tests/test_unicode_fold_contract.py.
 
-What remains OUT of contract (``certify_py`` raises): cased characters
+What remains OUT of contract (``certify_py`` raises on the Arrow-kernel
+paths; ``_jvm_certify`` inside ``fold_col(cased=True)`` raises on the
+pure-JVM lower() paths — EVERY text operator fails loudly): cased characters
 outside the stable blocks (Deseret, Adlam, Cherokee, ... — scripts whose
 case mappings postdate or drift across the engines' Unicode data
 versions) and unassigned/surrogate codepoints (a newer utf8proc could
@@ -113,14 +115,59 @@ TOKENIZER_CONTRACT_MSG = (
 
 # --- the fold, once per engine ---------------------------------------------
 
+# Java-regex class of codepoints the JVM lower() path cannot certify
+# (the Spark-expression twin of certify_py, r11 completion of the
+# contract): upper/titlecase OUTSIDE the stable blocks — Java would
+# apply its own mapping where utf8proc may differ — plus any codepoint
+# UNASSIGNED in Java 17's Unicode 13 data (the oldest of the three
+# engines: a char Java cannot lower but a newer utf8proc can is exactly
+# the divergence class; this also correctly rejects chars Python's newer
+# data certifies as caseless-assigned, because on THIS path the engine
+# pair is Java-vs-utf8proc, not Python-vs-utf8proc).  Lowercase/caseless
+# chars Java knows are lower-identity in every engine — allowed.
+_JVM_UNCERT_RE = (
+    "[\\p{Lu}\\p{Lt}&&[^A-Z"
+    + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in STABLE_CASED_RANGES)
+    + "]]|\\p{Cn}"
+)
+
+
+def _jvm_certify(col: Column) -> Column:
+    """Identity on certified text; raises loudly (first offending char in
+    the message) otherwise.  One regexp_extract per fold instance —
+    whole-stage codegen's subexpression elimination shares it across a
+    projection's repeated tokenizer expressions."""
+    bad = F.regexp_extract(col, f"({_JVM_UNCERT_RE})", 1)
+    return F.when(col.isNull() | (bad == F.lit("")), col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "tokenizer contract violated (JVM lower() path): "
+                    "uncertifiable character "
+                ),
+                bad,
+                F.lit(
+                    " — cased outside the stable blocks or unassigned in "
+                    "the JVM's Unicode data; see "
+                    "thesis_iceberg_spark/queries/textnorm.py"
+                ),
+            )
+        )
+    )
+
 
 def fold_col(col: Column, cased: bool = True) -> Column:
     """Spark fold (JVM builtins, codegen'd — no UDF).  ``cased=True`` for
-    tokenizers that lower() afterwards; ``cased=False`` for the
-    case-preserving token twins (İ/Σ fixups would alter their text)."""
+    tokenizers that lower() afterwards — that path also carries the
+    certify gate (_jvm_certify), so every JVM-side text operator raises
+    on uncertifiable input exactly like the Arrow kernels do via
+    certify_py; ``cased=False`` for the case-preserving token twins
+    (no lower() follows, so neither the İ/Σ fixups nor the gate apply)."""
     if cased:
         out = F.translate(
-            col, NORM_WS + _SIGMA_FROM + NORM_DEL, " " * len(NORM_WS) + _SIGMA_TO
+            _jvm_certify(col),
+            NORM_WS + _SIGMA_FROM + NORM_DEL,
+            " " * len(NORM_WS) + _SIGMA_TO,
         )
         return F.replace(out, F.lit(_DOTTED_I), F.lit(_DOTTED_I_FOLD))
     return F.translate(col, NORM_WS + NORM_DEL, " " * len(NORM_WS))
