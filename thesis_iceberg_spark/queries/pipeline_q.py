@@ -1216,6 +1216,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = feats.count()
     # ---- pass B: the shared shingle explode = the second text scan -----
+    # the checkpoint stages the exploded shingle rows (~3x the text bytes:
+    # each token appears in three 3-token shingles) so BOTH consumers read
+    # the materialization instead of re-running the explode (two more raw
+    # text scans).  At 100 TB the space-vs-reread call goes the same way,
+    # with two refinements this corpus size doesn't need: hash the shingle
+    # string to 16 bytes before staging (the joins only need equality;
+    # the oracle compares final pairs, not intermediate keys) and
+    # persist(DISK_ONLY) / a staging table instead of localCheckpoint.
     sh = _capped_shingles(staged, n).localCheckpoint(eager=True)
     fuzzy_victims = ngram_jaccard_pairs_from_shingles(sh).select(
         F.col("doc_b").alias("doc_id")
