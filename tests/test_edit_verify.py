@@ -55,6 +55,45 @@ def test_byte_lev_directed(a, b, want):
     assert _byte_lev(a.encode(), b.encode()) == want
 
 
+@given(
+    st.binary(max_size=60),
+    st.binary(max_size=60),
+    st.integers(min_value=0, max_value=70),
+)
+@settings(max_examples=300, deadline=None)
+def test_byte_lev_cap_contract(a, b, cap):
+    # capped mode (review r11 ADVICE — Ukkonen band + early exits) must be
+    # EXACT below the cap and return exactly cap+1 above it; both the
+    # banded branch (2*cap+1 < len(b)) and the full-width-with-early-exit
+    # branch are drawn by the strategy
+    exact = _ref_lev(a, b)
+    got = _byte_lev(a, b, cap=cap)
+    assert got == (exact if exact <= cap else cap + 1)
+
+
+@given(st.binary(min_size=30, max_size=80), st.integers(0, 8), st.integers(0, 8))
+@settings(max_examples=100, deadline=None)
+def test_byte_lev_banded_branch_small_edits(base, ndel, cap):
+    # force the banded branch deterministically: small true distance,
+    # long strings, narrow band
+    a = base
+    b = base[ndel:]  # true distance == ndel (pure deletions)
+    exact = _ref_lev(a, b)
+    got = _byte_lev(a, b, cap=cap)
+    assert got == (exact if exact <= cap else cap + 1)
+
+
+def test_byte_lev_cap_decision_equals_exact_decision():
+    # the property the composition's verification stage relies on: a
+    # "distance <= t" decision with cap == t is identical to the exact
+    # kernel's, including at the boundary
+    a = b"the quick brown fox jumps over the lazy dog" * 3
+    b = a.replace(b"quick", b"quack").replace(b"lazy", b"late")
+    exact = _byte_lev(a, b)
+    for t in (exact - 1, exact, exact + 1):
+        assert (_byte_lev(a, b, cap=t) <= t) == (exact <= t)
+
+
 def test_edit_verify_catches_order_blindness(spark, tmp_path_factory):
     # a document and its sentence-shuffled copy share every 3-token
     # shingle ONLY if shingle windows survive the shuffle — use a

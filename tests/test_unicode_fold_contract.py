@@ -165,6 +165,68 @@ def test_certify_raises_outside_domain(bad):
         certify_py(fold_py(bad))
 
 
+# --- post-Unicode-13 caseless allowlist (review r11 ADVICE) -----------------
+
+
+def test_post_u13_emoji_certified_in_all_three_engines(spark):
+    """Emoji assigned in Unicode 14/15 are \\p{Cn} to Java 17 — before the
+    allowlist they raised on every JVM fold_col(cased=True) operator while
+    the Arrow kernels accepted the same text.  Certification: lower() is
+    identity in all three engines (unassigned-to-Java lowers to itself,
+    same as caseless-assigned elsewhere).  _spark_lower_fold goes through
+    fold_col and therefore through the _jvm_certify gate: a raise here IS
+    the regression."""
+    assigned = [
+        "\U0001fae0",  # melting face (U14)
+        "\U0001faf0",  # hand with index finger and thumb crossed (U14)
+        "\U0001f6dd",  # playground slide (U14)
+        "鿿",  # CJK URO tail, U+9FFF (U14)
+    ]
+    # this CPython ships Unicode 14 data, so U15 emoji are Cn even HERE —
+    # they ride the allowlist arm of certify_py like the JVM's does
+    newer = [
+        "\U0001fa75",  # light blue heart (U15)
+        "\U0001fae8",  # shaking face (U15)
+        "\U0001fabd",  # wing (U15)
+    ]
+    for c in assigned:  # assigned + caseless per Python's data
+        assert unicodedata.category(c) != "Cn" and c.lower() == c, hex(ord(c))
+    chars = assigned + newer
+    for c in chars:
+        certify_py(fold_py(c))  # Arrow-path gate accepts
+    assert _spark_lower_fold(spark, chars) == chars  # JVM gate + identity
+    assert _duck_lower_fold(chars) == chars
+
+
+def test_allowlist_ranges_are_lower_identity_everywhere(spark):
+    # sweep a sample across every allowlisted range (assigned AND
+    # unassigned codepoints): all three engines must lower-fold each to
+    # itself, and both gates must accept — the documented residual
+    # assumption that these blocks never carry cased characters, made
+    # empirical for the engines actually in play
+    from thesis_iceberg_spark.queries.textnorm import JVM_CN_CASELESS_ALLOW
+
+    chars = []
+    for lo, hi in JVM_CN_CASELESS_ALLOW:
+        step = max(1, (hi - lo) // 40)
+        chars.extend(chr(cp) for cp in range(lo, hi + 1, step))
+        chars.append(chr(hi))
+    assert all(c.lower() == c for c in chars)  # never cased, newest data
+    for c in chars:
+        certify_py(fold_py(c))
+    assert _spark_lower_fold(spark, chars) == chars
+    assert _duck_lower_fold(chars) == chars
+
+
+def test_unassigned_outside_allowlist_still_raises():
+    # the \p{Cn} arm is narrowed, not removed: a genuinely unassigned
+    # codepoint outside the allowlisted blocks still fails loudly
+    for bad in ("͸", "΀", "⿠"):
+        assert unicodedata.category(bad) == "Cn"
+        with pytest.raises(ValueError, match="tokenizer contract"):
+            certify_py(fold_py(bad))
+
+
 def test_fold_is_noop_on_plain_ascii():
     s = "The Quick\tBrown\nFox 123 !?"
     assert fold_py(s) == s

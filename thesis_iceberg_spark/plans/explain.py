@@ -105,6 +105,14 @@ def assert_broadcast_hints_only(df: DataFrame, *allowed_markers: str) -> None:
             d = depth(ln)
             if d is not None and d <= d0:
                 break
+            # blank lines and "== Section ==" headers end the tree text
+            # entirely (review r11 ADVICE: a marker-less trailing line
+            # after the subtree's last node would otherwise still be
+            # attributed to the hint and could satisfy the gate
+            # vacuously).  analyzed().toString() is a bare tree today,
+            # but a future multi-section plan string stays safe.
+            if not ln.strip() or ln.lstrip().startswith("=="):
+                break
             subtree.append(ln)
         assert any(any(m in ln for m in allowed_markers) for ln in subtree), (
             f"forced hint over a non-allowed subtree (allowed markers "

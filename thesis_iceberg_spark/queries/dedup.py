@@ -2076,28 +2076,82 @@ def pipeline_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ever sees the candidate list the subquadratic generators emit.
 
 
-def _byte_lev(a: bytes, b: bytes) -> int:
+def _byte_lev(a: bytes, b: bytes, cap: int | None = None) -> int:
     """Byte-level Levenshtein, exact twin of DuckDB's levenshtein().
     Vectorized DP: per row, the insertion recurrence cur[j] =
-    min(t[j], cur[j-1]+1) folds into a running min of (t[k] - k)."""
+    min(t[j], cur[j-1]+1) folds into a running min of (t[k] - k).
+
+    ``cap`` (review r11 ADVICE): threshold-cutoff mode — returns the
+    EXACT distance when it is <= cap, else ``cap + 1`` (a certified
+    lower-bound marker).  Implementation is the classic Ukkonen band:
+    any alignment path leaving the |i - j| <= cap diagonal band costs
+    > cap, so the DP only materializes a (2*cap + 1)-wide band per row
+    — O(cap * min_len) cells instead of O(len_a * len_b) — plus a
+    length-difference shortcut and a monotone row-min early exit
+    (row minima are non-decreasing: every cell derives from a
+    min-plus-nonnegative of the previous row/cell).  A decision
+    "distance <= t" taken with cap >= t is therefore IDENTICAL to the
+    exact kernel's — what the composition's verification stage needs —
+    while the full exact distance stays available with cap=None (the
+    registered value-oracled query)."""
     if a == b:
         return 0
+    la, lb = len(a), len(b)
     if not a:
-        return len(b)
+        return lb if cap is None else min(lb, cap + 1)
     if not b:
-        return len(a)
+        return la if cap is None else min(la, cap + 1)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
     import numpy as np
 
+    if cap is None or 2 * cap + 1 >= lb:
+        # full-width rows (banding would span the whole row anyway)
+        bb = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+        prev = np.arange(lb + 1, dtype=np.int32)
+        idx = np.arange(lb + 1, dtype=np.int32)
+        for i, ca in enumerate(a, 1):
+            t = np.empty(lb + 1, dtype=np.int32)
+            t[0] = i
+            np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca), out=t[1:])
+            prev = np.minimum.accumulate(t - idx) + idx
+            if cap is not None and int(prev.min()) > cap:
+                return cap + 1
+        d = int(prev[-1])
+        return d if cap is None or d <= cap else cap + 1
+    # banded: band position d <-> column j = i - cap + d, d in [0, 2*cap]
+    k = cap
+    w = 2 * k + 1
+    big = np.int32(k + 2)  # any value > cap is equivalent; clip prevents growth
     bb = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
-    lb = len(b)
-    prev = np.arange(lb + 1, dtype=np.int32)
-    idx = np.arange(lb + 1, dtype=np.int32)
-    for i, ca in enumerate(a, 1):
-        t = np.empty(lb + 1, dtype=np.int32)
-        t[0] = i
-        np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca), out=t[1:])
-        prev = np.minimum.accumulate(t - idx) + idx
-    return int(prev[-1])
+    bpad = np.full(lb + 2 * w, -1, dtype=np.int32)  # -1 never equals a byte
+    bpad[w : w + lb] = bb
+    idx = np.arange(w, dtype=np.int32)
+    # row 0: cur[j] = j for j = d - k in [0, lb]
+    prev = np.minimum(idx - k, big)
+    prev[idx < k] = big  # j < 0: outside the matrix
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        jlo = i - k  # column at d = 0
+        # deletion prev[j] sits at band d+1 of the previous row;
+        # substitution prev[j-1] sits at band d of the previous row
+        del_ = np.empty(w, dtype=np.int32)
+        del_[:-1] = prev[1:] + 1
+        del_[-1] = big
+        chars = bpad[w + jlo - 1 : w + jlo - 1 + w]
+        t = np.minimum(del_, prev + (chars != ca))
+        j = jlo + idx
+        t[j > lb] = big
+        if jlo <= 0:
+            t[-jlo] = i  # j == 0 boundary column: distance = i deletions
+        cur = np.minimum.accumulate(t - idx) + idx
+        np.minimum(cur, big, out=cur)
+        cur[j < 0] = big
+        if int(cur.min()) > k:
+            return cap + 1
+        prev = cur
+    d = int(prev[lb - la + k])
+    return d if d <= cap else cap + 1
 
 
 # plain-literal template + .format: only the two placeholders are parsed;

