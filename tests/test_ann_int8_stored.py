@@ -105,3 +105,20 @@ def test_int8_column_is_quarter_the_bytes(stored):
     # "materially smaller" without flaking on encoder details
     ratio = emb_bytes / q_bytes
     assert ratio > 2.0, f"int8 column not materially smaller: {ratio:.2f}x"
+
+
+def test_rerank_point_list_bound_is_loud(spark, stored, monkeypatch):
+    # VERDICT r11 #7: the isin point-list collect is legitimate only while
+    # SHORTLIST_K is a small constant; if it ever scales with the corpus
+    # the rerank must fail LOUDLY (pointing at the broadcast-semi-join
+    # rewrite) instead of silently shipping corpus data through a pushed
+    # predicate.  The compile-time half of the contract first:
+    import thesis_iceberg_spark.queries.similarity as sim
+
+    assert sim.SHORTLIST_K <= sim.ISIN_POINT_LIST_MAX
+    # runtime half: with a ceiling below the real shortlist the collect
+    # path must raise, not proceed
+    table, _scale, _loc = stored
+    monkeypatch.setattr(sim, "ISIN_POINT_LIST_MAX", 2)
+    with pytest.raises(ValueError, match="broadcast semi-join"):
+        sim.ann_int8_topk_stored(spark, table)

@@ -44,27 +44,51 @@ def test_feature_stage_is_one_fused_scan(spark, sf_dir):
         quality_frame,
     )
 
+    from thesis_iceberg_spark.queries.dedup import _norm
+    from thesis_iceberg_spark.queries.text import garbage_flags_df
+
     docs = load_table(spark, sf_dir, "documents")
     scrub = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
     )
     staged = docs.select("doc_id", "source", scrub.alias("text"))
+    # r12: the garbage gate and the staged normalized text ride the same
+    # fused projection — the scan count must STAY at one
+    gflags = garbage_flags_df(staged, keep_cols=("source", "text")).select(
+        "doc_id", "source", "text", F.col("keep").alias("garbage_keep")
+    )
     feats = c4_badwords_flags_df(
         gopher_lexical_flags_df(
             lang_id_df(
-                quality_frame(staged, keep_cols=("source", "text")),
-                keep_cols=("source", "text", "n_tokens", "quality_score"),
+                quality_frame(gflags, keep_cols=("source", "text", "garbage_keep")),
+                keep_cols=("source", "text", "garbage_keep", "n_tokens", "quality_score"),
             ),
-            keep_cols=("source", "text", "n_tokens", "quality_score", "detected_lang"),
+            keep_cols=(
+                "source",
+                "text",
+                "garbage_keep",
+                "n_tokens",
+                "quality_score",
+                "detected_lang",
+            ),
         ).withColumnRenamed("keep", "gopher_keep"),
-        keep_cols=("source", "text", "n_tokens", "quality_score", "detected_lang"),
+        keep_cols=(
+            "source",
+            "text",
+            "garbage_keep",
+            "n_tokens",
+            "quality_score",
+            "detected_lang",
+        ),
     ).select(
         "doc_id",
         "source",
         "n_tokens",
         "quality_score",
         "detected_lang",
+        "garbage_keep",
         fingerprint_expr().alias("fingerprint"),
+        _norm().alias("norm_text"),
     )
     plan = formatted_plan(feats)
     assert _text_file_scans(plan) == 1, plan
@@ -132,3 +156,123 @@ def test_every_stage_actually_gates(spark, sf_dir):
     # set (token budget halves the mass; mixture rebalances the sources)
     n_final = REGISTRY["pipeline_pretrain_corpus"].fn(spark, sf_dir).count()
     assert 0 < n_final < n_en
+    # r12 stages at driver scale: the garbage gate is a pinned NO-OP on
+    # the clean synthetic corpus (crafted damage exercised below), and
+    # edit verification RESCUES a real subset of the Jaccard victims —
+    # the kept-doc delta VERDICT r11 #3 asked for
+    from thesis_iceberg_spark.queries.pipeline_q import PRETRAIN_EDIT_SIM_MIN
+    from thesis_iceberg_spark.queries.text import garbage_flags_df
+
+    assert (
+        garbage_flags_df(docs).filter("NOT keep OR keep IS NULL").count() == 0
+    )
+    ev = REGISTRY["dedup_edit_verified_pairs"].fn(spark, sf_dir).collect()
+    rescued = {r.doc_b for r in ev if r.edit_sim < PRETRAIN_EDIT_SIM_MIN}
+    confirmed = {r.doc_b for r in ev if r.edit_sim >= PRETRAIN_EDIT_SIM_MIN}
+    assert rescued, "no pair below the verification threshold at driver scale"
+    assert confirmed, "no pair above the verification threshold at driver scale"
+    final_ids = {
+        r.doc_id for r in REGISTRY["pipeline_pretrain_corpus"].fn(spark, sf_dir).collect()
+    }
+    # a VERIFIED victim can never reach the final corpus
+    assert not (confirmed & final_ids)
+
+
+def test_garbage_and_edit_verification_deltas_end_to_end(
+    spark, tmp_path_factory
+):
+    """Crafted corpus where the two r12 stages visibly change the kept
+    set, value-checked against the COMPOSED DuckDB oracle:
+      * 1000/1001 — a doc and its HALF-SWAPPED copy: Jaccard sees a
+        near-dup (shared shingles), byte-Levenshtein does not
+        (edit_sim 0.23) -> the copy is RESCUED and reaches the final
+        corpus (the r11 composition dropped it);
+      * 1002/1004 — a one-token edit: verified victim (edit_sim 0.97),
+        dropped;
+      * 1005 — U+FFFD decode damage: garbage-gated out even though its
+        text passes every other gate.
+    Fillers 1006-1009 keep the 50% token budget from cutting the docs
+    under test; all ids are train-split, one source so mixture keeps
+    everything it sees."""
+    import duckdb
+
+    from thesis_iceberg_spark.oracle import compare_query
+    from thesis_iceberg_spark.queries import oracle_sql
+    from thesis_iceberg_spark.queries.pipeline_q import PRETRAIN_EDIT_SIM_MIN
+
+    A = (
+        "slow data slow agg line slow stream small agg line batch join "
+        "merge batch part big hash part fast merge agg part key vector "
+        "scan table customer the value small"
+    )
+    at = A.split()
+    a_swap = " ".join(at[len(at) // 2 :] + at[: len(at) // 2])
+    B = (
+        "sort scan merge column hash query filter window value the group "
+        "merge small the stream the spark batch line big the table group "
+        "order sort customer value group"
+    )
+    b_mut = B.replace("filter window", "filter vector", 1)
+    C = (
+        "fast query fast line scan group the batch window merge key table "
+        "scan value part join the stream data sort the agg small hash "
+        "customer line part big value scan"
+    )
+    fill = [
+        "line join the scan part merge value sort data stream group key "
+        "batch window small customer the agg table hash big fast query "
+        "vector column slow the value sort",
+        "batch key the merge scan sort group line value part stream join "
+        "window small customer the agg table hash big fast query vector "
+        "column slow the data sort line",
+        "group value the sort scan merge line key batch part stream join "
+        "window small customer the agg table hash big fast query vector "
+        "column slow the data line join",
+        "stream part the join scan sort merge line value key batch group "
+        "window small customer the agg table hash big fast query vector "
+        "column slow the data sort scan",
+    ]
+    rows = [
+        (1000, A),
+        (1001, a_swap),
+        (1002, B),
+        (1004, b_mut),
+        (1005, C + " ��"),
+        (1006, fill[0]),
+        (1007, fill[1]),
+        (1008, fill[2]),
+        (1009, fill[3]),
+    ]
+    d = str(tmp_path_factory.mktemp("pretrain_delta"))
+    spark.createDataFrame(
+        [(i, t, "en", "src19", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    r = compare_query(
+        spark,
+        con,
+        "pipeline_pretrain_corpus",
+        REGISTRY["pipeline_pretrain_corpus"].fn,
+        oracle_sql()["pipeline_pretrain_corpus"],
+        d,
+    )
+    assert r.ok, str(r)
+    ev = {
+        (p.doc_a, p.doc_b): p.edit_sim
+        for p in REGISTRY["dedup_edit_verified_pairs"].fn(spark, d).collect()
+    }
+    assert set(ev) == {(1000, 1001), (1002, 1004)}, ev
+    assert ev[(1000, 1001)] < PRETRAIN_EDIT_SIM_MIN  # order-blind pair: rescued
+    assert ev[(1002, 1004)] >= PRETRAIN_EDIT_SIM_MIN  # true near-dup: victim
+    final = {
+        r.doc_id
+        for r in REGISTRY["pipeline_pretrain_corpus"].fn(spark, d).collect()
+    }
+    assert 1001 in final  # RESCUED by verification (r11 dropped it)
+    assert 1004 not in final  # verified victim stays dropped
+    assert 1005 not in final  # garbage-gated despite passing every other gate

@@ -98,32 +98,22 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # the two MATERIAL semantics changes this round
-    "text_token_stats",
-    "dedup_embedding_kmeans_pairs",
-    # md5-portable shingle/fingerprint family: certify-and-raise narrowed
-    # from any-non-ASCII to uncertifiable-only, fold widened to unicode
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_cluster_canonical",
-    "pipeline_decontaminate",
-    "dedup_exact_substr_spans",
-    "pipeline_remove_dup_spans",
-    "dedup_exact_hash",
-    "dedup_simhash",
-    "text_fingerprint",
-    # Python twins that now delete invisible chars like the folded oracle
-    "pandas_udf_scalar_text",
-    "udtf_tokenize_positions",
-    # refactored internals (pre_scored path / shared mixture arithmetic /
-    # shared shingler) — outputs unchanged, re-verified anyway
-    "pipeline_token_budget_select",
-    "pipeline_mixture_resample",
-    "pipeline_clean_corpus",
+    # Round 12 block: queries whose CODE changed this round only — the
+    # ~14 r9-green fold-touched stale queries ride the stalest-first
+    # fallback per VERDICT r11 #2 (do not grow this block for them).
+    # the composition gained two stages (garbage gate + banded edit
+    # verification of the fuzzy victims) and the hashed shingle staging
+    "pipeline_pretrain_corpus",
+    # restructured: certified token array hoisted + narrow per-doc frame
+    # checkpointed (the r11 +57% settlement, VERDICT r11 #1)
+    "search_bm25_topk",
+    # oracle text refactored onto the shared sql_garbage_flags fragment
+    # (identical semantics, re-verified anyway)
+    "text_garbage_flags",
+    # verification kernel rebuilt on edit_verify_pairs + banded _byte_lev
+    # (exact mode for the registered entry; results unchanged)
+    "dedup_edit_verified_pairs",
 )
-# pipeline_pretrain_corpus (the r11 composition) is NEW: the
-# never-driver-checked-first fallback puts it at the head of the
-# remainder automatically — it does not consume a priority slot.
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (
     "DRIVER_WINDOW_PRIORITY must stay small: it exists for this round's "

@@ -172,8 +172,23 @@ def _shingle_hasher():
     return h
 
 
-def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
+def _capped_shingles(
+    docs: DataFrame, n_docs: int, hash_keys: bool = False
+) -> DataFrame:
     """(doc_id, s) exploded distinct shingles, heavy-hitters removed.
+
+    ``hash_keys=True`` (r12, VERDICT r11 #6) replaces the shingle STRING
+    with its 16-byte md5 (``unhex(md5(s))``) in the STAGED frame — every
+    downstream consumer (Jaccard self-join, containment join, per-doc
+    counts) needs only key EQUALITY, and the oracle compares final
+    doc-id pairs, never intermediate keys, so a 16-byte key is
+    value-identical modulo md5 collision (~2^-64 at any corpus size that
+    fits a planet).  The hot-list cap still runs on the raw strings
+    (before the hash) so its broadcast stays tiny either way.  Measured
+    staging delta (tests/exp_shingle_stage_bytes.py, sf0.1): -2.3% only —
+    3-token shingles are already ~16 bytes, so this pays on longer keys
+    (wider shingles, URLs), and the composition keeps it mostly for the
+    fixed-width join key.
 
     Shingles are per-doc distinct, so the per-shingle row count IS document
     frequency.  The hot list is tiny by construction (only shingles in
@@ -212,7 +227,10 @@ def _capped_shingles(docs: DataFrame, n_docs: int) -> DataFrame:
     # explode + df-cap pass once, same rationale and same measured win as
     # the minhash checkpoint above (eager: a lazy checkpoint can be
     # recomputed after stage cleanup)
-    return sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=True)
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    if hash_keys:
+        kept = kept.select("doc_id", F.unhex(F.md5("s")).alias("s"))
+    return kept.localCheckpoint(eager=True)
 
 
 # DuckDB twin of _capped_shingles: sh0 -> hot -> anti join.
@@ -2193,9 +2211,36 @@ def dedup_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _capped_shingles(docs, docs.count())
     ).select("doc_a", "doc_b")
     nt = docs.select("doc_id", _norm().alias("t"))
+    return edit_verify_pairs(pairs, nt)
+
+
+def edit_verify_pairs(
+    pairs: DataFrame, norm_texts: DataFrame, min_sim: float | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, edit_dist, edit_sim) for candidate ``pairs`` joined
+    to ``norm_texts`` (doc_id, t) — the sequence-aware verification pass.
+
+    ``min_sim=None``: the exact kernel, full value oracle (the registered
+    query).  ``min_sim=s``: BANDED verification (review r11 ADVICE +
+    VERDICT r11 #3) — the kernel runs _byte_lev with
+    ``cap = floor((1-s)*max_byte_len) + 2`` per pair, so the DP touches
+    O(cap * len) cells instead of O(len^2), and only pairs with
+    ``edit_sim >= s`` survive.  The decision is EXACT: a survivor has
+    d <= (1-s)*m <= cap-2, inside the band, so its distance and
+    similarity are the exact values (same IEEE double ops as the DuckDB
+    oracle: 1.0 - d/m with byte lengths); a capped pair's marker
+    similarity 1-(cap+1)/m < s - 2/m sits strictly below every float
+    rounding of the threshold, so it is dropped exactly like its true
+    (larger) distance would drop it."""
     joined = (
-        pairs.join(nt.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a")
-        .join(nt.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+        pairs.join(
+            norm_texts.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            norm_texts.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
         .select("doc_a", "doc_b", "ta", "tb")
     )
 
@@ -2209,13 +2254,16 @@ def dedup_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 ba = (ta or "").encode()
                 bb = (tb or "").encode()
-                d = _byte_lev(ba, bb)
-                sim = 1.0 - d / max(len(ba), len(bb), 1)
+                m = max(len(ba), len(bb), 1)
+                cap = None if min_sim is None else int((1.0 - min_sim) * m) + 2
+                d = _byte_lev(ba, bb, cap=cap)
+                sim = 1.0 - d / m
                 recs.append((int(doc_a), int(doc_b), d, sim))
             yield pd.DataFrame(
                 recs, columns=["doc_a", "doc_b", "edit_dist", "edit_sim"]
             )
 
-    return joined.mapInPandas(
+    out = joined.mapInPandas(
         verify, "doc_a bigint, doc_b bigint, edit_dist bigint, edit_sim double"
     )
+    return out if min_sim is None else out.filter(F.col("edit_sim") >= min_sim)

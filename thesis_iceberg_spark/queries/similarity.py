@@ -338,6 +338,18 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SCALE_TOP = 127.0
 SHORTLIST_K = 4 * TOP_K
 
+# Hard ceiling on any driver-side point-lookup list (VERDICT r11 #7 /
+# DEVNOTES #5): the stored-int8 rerank collects the shortlist ids and
+# pushes them as an `isin` filter — legitimate ONLY while the list is a
+# small constant.  If SHORTLIST_K is ever retuned to scale with the
+# corpus (recall ladders sometimes do), the collect becomes corpus data
+# on the driver and the pushed filter becomes a megabyte-long predicate:
+# at that point the rerank must switch to a broadcast semi-join on the
+# checkpointed shortlist frame (`top.join(base, "vec_id")` with the
+# 40-row side auto-broadcast) — the code change is small, so this guard
+# fails LOUDLY instead of degrading silently.
+ISIN_POINT_LIST_MAX = 1024
+
 
 @register(
     "ann_int8_topk",
@@ -536,6 +548,15 @@ def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
         .localCheckpoint(eager=True)  # reused: id list + rerank join
     )
     ids = [r["vec_id"] for r in top.select("vec_id").collect()]  # <= SHORTLIST_K
+    if len(ids) > ISIN_POINT_LIST_MAX:
+        raise ValueError(
+            f"stored-int8 rerank point-list has {len(ids)} ids > "
+            f"ISIN_POINT_LIST_MAX={ISIN_POINT_LIST_MAX}: an isin pushed "
+            "filter is only sane for a constant-bounded shortlist — "
+            "switch the rerank to a broadcast semi-join on the "
+            "checkpointed shortlist frame (see the comment at "
+            "ISIN_POINT_LIST_MAX)"
+        )
     if not ids:  # single-row table: no candidates
         return top.select(
             "vec_id", "label", "qdot", F.lit(None).cast("double").alias("cosine")

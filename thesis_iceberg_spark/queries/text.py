@@ -1663,13 +1663,17 @@ GARBAGE_MAX_CONTROL_RATIO = 0.005  # >0.5% control chars => not prose
 _CTRL_RE = r"[\x00-\x08\x0E-\x1B\x7F]"
 
 
-def garbage_flags_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def garbage_flags_df(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, n_replacement, n_control, garbage_ratio, keep) over any
     documents frame — a pure narrow map (whole-stage codegen, zero
     shuffle; at 100 TB this fuses into the ingest scan next to the other
     quality gates).  keep = no replacement chars at all AND the control
     ratio under GARBAGE_MAX_CONTROL_RATIO; NULL text propagates NULL
-    flags (the gate convention c4_badwords_flags_df established)."""
+    flags (the gate convention c4_badwords_flags_df established).
+    ``keep_cols`` threads extra columns through, so the flags can ride
+    the pretrain composition's fused pass-A projection (r12)."""
     t = F.col(text_col)
     n_repl = F.regexp_count(t, F.lit("�"))
     n_ctl = F.regexp_count(t, F.lit(_CTRL_RE))
@@ -1678,11 +1682,30 @@ def garbage_flags_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     gate = lambda c: F.when(t.isNotNull(), c)  # noqa: E731
     return docs.select(
         "doc_id",
+        *keep_cols,
         gate(n_repl.cast("int")).alias("n_replacement"),
         gate(n_ctl.cast("int")).alias("n_control"),
         gate(ratio).alias("garbage_ratio"),
         gate(keep).alias("keep"),
     )
+
+
+def sql_garbage_flags(text_expr: str = "text") -> str:
+    """DuckDB twin of garbage_flags_df over an arbitrary text expression —
+    ONE fragment shared by the registered query (which feeds it the
+    synthetic damage-tail expression, the clean corpus needing every gate
+    arm exercised) and the pretrain composition (which feeds it the
+    scrubbed text unchanged: a real pipeline filters the damage it FINDS,
+    it does not inject any).  Sharing the SQL text keeps the two
+    consumers drift-impossible, same as the shadow-CTE trick."""
+    nr = f"length(regexp_extract_all({text_expr}, chr(65533)))"
+    nc = f"length(regexp_extract_all({text_expr}, '{_CTRL_RE}'))"
+    ratio = f"CAST({nr} + {nc} AS DOUBLE) / length({text_expr})"
+    return f"""SELECT doc_id,
+       CAST({nr} AS INT) AS n_replacement,
+       CAST({nc} AS INT) AS n_control,
+       {ratio} AS garbage_ratio,
+       ({nr} = 0 AND COALESCE({ratio}, 0.0) <= {GARBAGE_MAX_CONTROL_RATIO}) AS keep"""
 
 
 @register(
@@ -1693,17 +1716,7 @@ WITH damaged AS (
          text || repeat(chr(65533), CAST(doc_id % 3 AS INT))
               || repeat(chr(7), CAST(doc_id % 5 AS INT)) AS t
   FROM documents)
-SELECT doc_id,
-       CAST(length(regexp_extract_all(t, chr(65533))) AS INT) AS n_replacement,
-       CAST(length(regexp_extract_all(t, '{_CTRL_RE}')) AS INT) AS n_control,
-       CAST(length(regexp_extract_all(t, chr(65533)))
-            + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
-           / length(t) AS garbage_ratio,
-       (length(regexp_extract_all(t, chr(65533))) = 0
-        AND COALESCE(
-              CAST(length(regexp_extract_all(t, chr(65533)))
-                   + length(regexp_extract_all(t, '{_CTRL_RE}')) AS DOUBLE)
-                / length(t), 0.0) <= {GARBAGE_MAX_CONTROL_RATIO}) AS keep
+{sql_garbage_flags("t")}
 FROM damaged
 """,
     doc="Garbage/mojibake detection: U+FFFD replacement-char and C0 "
