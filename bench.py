@@ -155,7 +155,12 @@ def _rewrite_perf_lead(record: dict, cold_total: float, steady_total: float) -> 
     j = txt.find(_LEAD_END)
     if i == -1 or j == -1 or j < i or txt.count(_LEAD_BEGIN) != 1:
         return
-    head_end = txt.index("-->", i) + 3  # keep the marker comment itself
+    head_end = txt.find("-->", i) + 3  # keep the marker comment itself
+    if head_end < 3 or head_end > j:
+        # malformed BEGIN comment (lost its own '-->'): find() would land
+        # on the END marker's arrow and the splice would duplicate the
+        # tail — degrade to a no-op instead (review r12)
+        return
     fb = (
         " **COLD NUMBERS DEGRADED: every JVM-fresh child failed; cold came "
         "from the in-process fallback pass.**"
@@ -174,8 +179,13 @@ def _rewrite_perf_lead(record: dict, cold_total: float, steady_total: float) -> 
         f"subset (the composition series alone is ~8–9 s of steady)."
     )
     new = txt[:head_end] + "\n" + body + "\n" + txt[j:]
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(new)
+    try:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(new)
+    except OSError as exc:
+        # a doc nicety must never cost the driver its one stdout record
+        # line (review r12: read-only FS / disk-full after measurement)
+        print(f"bench: PERFORMANCE.md lead rewrite failed: {exc}", file=sys.stderr)
 
 
 def _child() -> None:
@@ -358,6 +368,16 @@ def main() -> None:
         )
     _rewrite_perf_lead(record, total, round(sum(steady.values()), 2))
     line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 1900:
+        # degradation ladder (review r12: with 30 series the 2-decimal
+        # line has only ~25 B headroom, and a slow-host round that pushes
+        # several medians past 10 s adds a char per value) — lose one
+        # decimal of precision BEFORE losing the whole steady series
+        record["queries"] = {k: round(v, 1) for k, v in record["queries"].items()}
+        record["queries_steady"] = {
+            k: round(v, 1) for k, v in record["queries_steady"].items()
+        }
+        line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:
         record.pop("queries_steady")
         line = json.dumps(record, separators=(",", ":"))

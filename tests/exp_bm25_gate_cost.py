@@ -44,14 +44,30 @@ def main() -> None:
     reg = Q.queries()
     names = ["search_bm25_topk", "text_countmin_topk", "dedup_exact_hash"]
 
+    def build(name):
+        # REPRODUCIBILITY (review r12): the registered bm25 eagerly
+        # localCheckpoints its per-doc frame at BUILD time since the r12
+        # restructure — through the registry, the tokenize+certify work
+        # under measurement would run untimed during construction and
+        # both timed arms would scan identical checkpoints (ratio ~1.0
+        # regardless of gate cost).  Build the pre-restructure shape
+        # (materialize=False) so the experiment keeps measuring the gate.
+        if name == "search_bm25_topk":
+            from thesis_iceberg_spark.queries.search import bm25_topk_df
+            from thesis_iceberg_spark.queries.text import _docs
+
+            return bm25_topk_df(
+                spark, _docs(spark, sf_dir), materialize=False
+            )
+        return reg[name](spark, sf_dir)
+
     real_gate = tn._jvm_certify
     results = {}
     for name in names:
-        fn = reg[name]
-        df_on = fn(spark, sf_dir)
+        df_on = build(name)
         tn._jvm_certify = lambda c: c  # gate OFF at expression-build time
         try:
-            df_off = fn(spark, sf_dir)
+            df_off = build(name)
         finally:
             tn._jvm_certify = real_gate
         # warm both plans (JIT + parquet footer cache) before timing

@@ -35,11 +35,16 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     out = {}
+    keep_alive = []  # review r12: rebinding the frame would drop the last
+    # reference to the previous arm's checkpoint, and the async
+    # ContextCleaner could unpersist its blocks BETWEEN the next arm's
+    # two snapshots, deflating (even negating) that arm's delta — pin
+    # every arm's frame for the experiment's lifetime so the
+    # "leftovers appear in both snapshots and cancel" invariant holds
     for label, hash_keys in (("raw_string", False), ("md5_16b", True)):
-        # snapshot-diff around the eager checkpoint: leftovers from the
-        # previous arm appear in both snapshots and cancel
         before = _storage_total(spark)
         sh = _capped_shingles(docs, n, hash_keys=hash_keys)
+        keep_alive.append(sh)
         rows = sh.count()
         out[label] = {"rows": rows, "staged_bytes": _storage_total(spark) - before}
     out["ratio"] = round(

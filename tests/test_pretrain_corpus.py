@@ -166,7 +166,29 @@ def test_every_stage_actually_gates(spark, sf_dir):
     assert (
         garbage_flags_df(docs).filter("NOT keep OR keep IS NULL").count() == 0
     )
-    ev = REGISTRY["dedup_edit_verified_pairs"].fn(spark, sf_dir).collect()
+    # compute the rescue/confirm split over the SAME domain the pipeline
+    # verifies in — PII-scrubbed, pass-A-normalized text (review r12: the
+    # registered query runs on RAW text; a generator change that puts an
+    # email into one member of a pair could shift its similarity across
+    # the cut in one domain only and fail this test against correct code)
+    from thesis_iceberg_spark.queries.dedup import (
+        _capped_shingles,
+        _norm,
+        edit_verify_pairs,
+        ngram_jaccard_pairs_from_shingles,
+    )
+    from thesis_iceberg_spark.queries.pipeline_q import _EMAIL_RE, _PHONE_RE
+
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    staged = docs.select("doc_id", scrub.alias("text"))
+    pairs = ngram_jaccard_pairs_from_shingles(
+        _capped_shingles(staged, n_all, hash_keys=True)
+    ).select("doc_a", "doc_b")
+    ev = edit_verify_pairs(
+        pairs, staged.select("doc_id", _norm().alias("t"))
+    ).collect()
     rescued = {r.doc_b for r in ev if r.edit_sim < PRETRAIN_EDIT_SIM_MIN}
     confirmed = {r.doc_b for r in ev if r.edit_sim >= PRETRAIN_EDIT_SIM_MIN}
     assert rescued, "no pair below the verification threshold at driver scale"

@@ -520,6 +520,19 @@ def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
          rows through an `isin` pushed filter (bounded by the constant,
          so the collect is a point-lookup list, not corpus data) — the
          float column is never scanned end to end."""
+    # guard BEFORE any job runs (review r12: checking after the
+    # orderBy+checkpoint+collect would let the driver-side hazard happen
+    # first — len(ids) <= SHORTLIST_K by construction, so the constant
+    # comparison at entry IS the whole contract)
+    if SHORTLIST_K > ISIN_POINT_LIST_MAX:
+        raise ValueError(
+            f"SHORTLIST_K={SHORTLIST_K} exceeds "
+            f"ISIN_POINT_LIST_MAX={ISIN_POINT_LIST_MAX}: an isin pushed "
+            "filter is only sane for a constant-bounded shortlist — "
+            "switch the rerank to a broadcast semi-join on the "
+            "checkpointed shortlist frame (see the comment at "
+            "ISIN_POINT_LIST_MAX)"
+        )
     s = float(table.properties[INT8_SCALE_PROP])
     base = table.read()
     as_f64 = F.transform("embedding", lambda x: x.cast("double"))
@@ -548,15 +561,6 @@ def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
         .localCheckpoint(eager=True)  # reused: id list + rerank join
     )
     ids = [r["vec_id"] for r in top.select("vec_id").collect()]  # <= SHORTLIST_K
-    if len(ids) > ISIN_POINT_LIST_MAX:
-        raise ValueError(
-            f"stored-int8 rerank point-list has {len(ids)} ids > "
-            f"ISIN_POINT_LIST_MAX={ISIN_POINT_LIST_MAX}: an isin pushed "
-            "filter is only sane for a constant-bounded shortlist — "
-            "switch the rerank to a broadcast semi-join on the "
-            "checkpointed shortlist frame (see the comment at "
-            "ISIN_POINT_LIST_MAX)"
-        )
     if not ids:  # single-row table: no candidates
         return top.select(
             "vec_id", "label", "qdot", F.lit(None).cast("double").alias("cosine")

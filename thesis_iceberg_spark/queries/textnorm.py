@@ -108,25 +108,50 @@ STABLE_CASED_RANGES = (
 )
 
 # Subtracted from the \p{Cn} arm of the JVM gate AND accepted by
-# certify_py (review r11 ADVICE — the two gates share this list so the
-# accepted domain stays identical by construction): blocks that gained
-# CASELESS characters after Unicode 13 (Java 17's data).  Certification
-# argument: a codepoint Java considers unassigned lower()s to ITSELF —
-# exactly what every newer engine does with a caseless assigned char —
-# so lower() is identity in all three engines either way and the char
-# is contract-safe.  Without this list, a post-U13 emoji (U+1FAE0
-# melting face, U+1FAF0 palm-down hand, ...) raised on every JVM
+# certify_py (review r11 ADVICE): every post-Unicode-13 NEW BLOCK whose
+# characters are CASELESS — i.e. all of them except Vithkuqi, the one
+# cased script Unicode 14/15 added (Java 17 ships Unicode 13 data).
+# Certification argument: a codepoint Java considers unassigned lower()s
+# to ITSELF — exactly what every newer engine does with a caseless
+# assigned char — so lower() is identity in all three engines either
+# way and the char is contract-safe.  Without this list, a post-U13
+# emoji (U+1FAE0 melting face...) raised on every JVM
 # fold_col(cased=True) operator while the Arrow-kernel paths accepted
-# the same text.  The residual assumption (documented, not mechanical):
-# no future utf8proc assigns a CASED character inside these ranges —
-# they are symbol/emoji planes, CJK-ideograph extensions and
-# caseless-script blocks, which do not gain cased letters; per-codepoint
-# identity over the ranges is asserted across all three engines in
-# tests/test_unicode_fold_contract.py.
+# the same text.  Residual divergence, documented and LOUD (review r12 —
+# the domains are aligned per-BLOCK, not per-codepoint):
+#   (a) U14/15 additions INSIDE pre-U13 blocks (e.g. U+0CDD Kannada):
+#       the JVM gate raises (it cannot know they were assigned later),
+#       certify_py accepts — asymmetric, but a hard failure, never a
+#       silent divergence;
+#   (b) Vithkuqi LOWERCASE (U+10597-105BC): lower-identity everywhere so
+#       certify_py accepts; the JVM gate raises (the block is excluded
+#       wholesale because its UPPERCASE half is genuinely uncertifiable);
+#   (c) cased characters of new scripts (Vithkuqi uppercase): BOTH gates
+#       raise.
+# The residual assumption (documented, not mechanical): no future
+# utf8proc assigns a CASED character inside these ranges — they are
+# symbol/emoji planes, CJK-ideograph extensions and caseless-script
+# blocks; per-codepoint lower-identity over samples of every range is
+# asserted across all three engines in tests/test_unicode_fold_contract.py.
 JVM_CN_CASELESS_ALLOW = (
     (0x0870, 0x089F),  # Arabic Extended-B (U14; Arabic has no case)
     (0x4E00, 0x9FFF),  # CJK URO (U14 assigned the 9FFD-9FFF tail)
+    (0x10780, 0x107BF),  # Latin Extended-F (U14; modifier letters, caseless)
+    (0x10EC0, 0x10EFF),  # Arabic Extended-C (U15)
+    (0x10F70, 0x10FAF),  # Old Uyghur (U14; caseless)
+    (0x11AB0, 0x11ABF),  # UCAS Extended-A (U14; caseless)
+    (0x11B00, 0x11B5F),  # Devanagari Extended-A (U15; caseless)
+    (0x11F00, 0x11F5F),  # Kawi (U15; caseless)
+    (0x12F90, 0x12FFF),  # Cypro-Minoan (U14; caseless)
+    (0x16A70, 0x16ACF),  # Tangsa (U14; caseless)
     (0x1AFF0, 0x1B16F),  # Kana Ext-B (U14) + supplement/Ext-A + small kana (U15)
+    (0x1CF00, 0x1CFCF),  # Znamenny Musical Notation (U14; symbols)
+    (0x1D2C0, 0x1D2DF),  # Kaktovik Numerals (U15)
+    (0x1DF00, 0x1DFFF),  # Latin Extended-G (U14; lowercase-only/modifiers)
+    (0x1E030, 0x1E08F),  # Cyrillic Extended-D (U15; modifier letters)
+    (0x1E290, 0x1E2BF),  # Toto (U14; caseless)
+    (0x1E4D0, 0x1E4FF),  # Nag Mundari (U15; caseless)
+    (0x1E7E0, 0x1E7FF),  # Ethiopic Extended-B (U14; caseless)
     (0x1F000, 0x1FBFF),  # plane-1 symbols & emoji region (U14/15 emoji adds)
     (0x20000, 0x2EE5F),  # CJK Ext B-F + Ext I (U15.1)
     (0x30000, 0x323AF),  # CJK Ext G + Ext H (U15)
@@ -274,9 +299,11 @@ def _char_certified(ch: str) -> bool:
             return True
         # unassigned even here, but inside a block that only ever gains
         # caseless characters (emoji/symbol planes, CJK extensions):
-        # accepted so the Python/Arrow domain matches the JVM gate's
-        # exactly (the JVM gate cannot distinguish "unassigned in U13"
-        # from "unassigned everywhere" inside these ranges)
+        # accepted so the Python/Arrow domain matches the JVM gate's on
+        # every allowlisted BLOCK (the JVM gate cannot distinguish
+        # "unassigned in U13" from "unassigned everywhere" inside these
+        # ranges; see the JVM_CN_CASELESS_ALLOW doc for the residual
+        # per-codepoint asymmetries, all of which fail loudly)
         return any(lo <= cp <= hi for lo, hi in JVM_CN_CASELESS_ALLOW)
     return cp != 0x130 and any(lo <= cp <= hi for lo, hi in STABLE_CASED_RANGES)
 
