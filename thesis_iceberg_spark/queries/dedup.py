@@ -266,6 +266,138 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental (cross-batch) dedup via a Bloom membership filter (r12) ----
+#
+# Every dedup operator above is INTRA-corpus; the pattern a production
+# crawl pipeline runs daily is INCREMENTAL — "which of today's documents
+# already exist in the 100 TB corpus we keep?".  The scalable shape is a
+# Bloom membership filter over the existing fingerprints (built once,
+# reused across many incremental batches) probed as a NARROW map on the
+# new batch, so the overwhelmingly-non-duplicate majority never enters a
+# join shuffle; the few candidates that survive are confirmed with an
+# exact equi-join, which makes the OUTPUT exact regardless of the
+# filter's false-positive rate — the Bloom layer is pure pruning, which
+# is what makes the operator fully value-oracle-able.
+#
+# At driver scale the per-partition bit arrays are OR-merged on the
+# driver and rebroadcast (a few KB); at 100 TB the same two-step is a
+# treeReduce of fixed-size arrays, and past the point where one array
+# fits an executor (~1e11 keys at 1% fpp ~ 120 GB) the filter shards by
+# fingerprint prefix with the probe side routed by the same prefix —
+# documented, not needed here.
+
+BLOOM_FPP = 0.01
+RECRAWL_ID_OFFSET = 1_000_000
+
+
+def _bloom_params(n_items: int) -> tuple[int, int]:
+    """(m bits, k hashes) for BLOOM_FPP at ``n_items`` keys; m rounded up
+    to whole uint64 words."""
+    n = max(n_items, 1)
+    m = max(64, math.ceil(-n * math.log(BLOOM_FPP) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(fp_hex: str, m: int, k: int):
+    """k bit positions from an md5 hex fingerprint via Kirsch-Mitzenmacher
+    double hashing g_i = (h1 + i*h2) mod m.  Any deterministic arithmetic
+    works for a Bloom filter as long as build and probe share it — and
+    output exactness never depends on it (the confirm join is exact)."""
+    h1 = int(fp_hex[:16], 16)
+    h2 = int(fp_hex[16:32], 16)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_build(fps: DataFrame, m: int, k: int) -> bytes:
+    """Bit array (as bytes) over ``fps.fingerprint`` (md5 hex strings):
+    one fixed-size numpy array per PARTITION (mapInPandas drains the
+    whole partition before yielding), OR-merged on the driver.  The
+    driver merge is the local[32] stand-in for a treeReduce."""
+
+    def setbits(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        for pdf in batches:
+            for fp in pdf["fingerprint"]:
+                for pos in _bloom_positions(fp, m, k):
+                    bits[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    import numpy as np
+
+    acc = np.zeros(m // 64, dtype=np.uint64)
+    for row in fps.select("fingerprint").mapInPandas(setbits, "bits binary").collect():
+        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return acc.tobytes()
+
+
+def bloom_probe(df: DataFrame, bloom_bc, m: int, k: int) -> DataFrame:
+    """Rows of ``df`` whose ``fingerprint`` MIGHT be in the filter — a
+    narrow Arrow map with zero shuffle; false positives possible (the
+    caller confirms exactly), false negatives impossible."""
+
+    def probe(batches):
+        import numpy as np
+
+        bits = np.frombuffer(bloom_bc.value, dtype=np.uint64)
+        one = np.uint64(1)
+        for pdf in batches:
+            keep = [
+                all(
+                    (bits[pos >> 6] >> np.uint64(pos & 63)) & one
+                    for pos in _bloom_positions(fp, m, k)
+                )
+                for fp in pdf["fingerprint"]
+            ]
+            yield pdf[np.array(keep, dtype=bool)] if len(pdf) else pdf
+
+    return df.mapInPandas(probe, df.schema)
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+WITH fp AS (SELECT doc_id, md5({_norm_sql()}) AS fingerprint FROM documents),
+ex AS (SELECT fingerprint, MIN(doc_id) AS canonical_doc_id
+       FROM fp WHERE doc_id % 2 = 0 GROUP BY 1),
+batch AS (SELECT doc_id + {RECRAWL_ID_OFFSET} AS doc_id, fingerprint FROM fp)
+SELECT b.doc_id, ex.canonical_doc_id, b.fingerprint
+FROM batch b JOIN ex USING (fingerprint)
+""",
+    doc="Incremental (cross-batch) exact dedup: which documents of a new "
+    "crawl batch already exist in the kept corpus. The kept corpus is "
+    "the even-doc_id half; the new batch is a simulated re-crawl of ALL "
+    "documents (ids offset by 1e6), so both arms carry real rows — even "
+    "docs' re-crawls ARE members, odd docs' re-crawls are not and are "
+    "pruned by the Bloom filter before any shuffle. Scale shape: the "
+    "filter is built once over the existing fingerprints (per-partition "
+    "bit arrays, OR-merge) and broadcast; the probe is a zero-shuffle "
+    "Arrow map over the batch; only surviving candidates enter the "
+    "exact confirm join, whose output is exact regardless of the "
+    "filter's false-positive rate — the oracle is the plain semi-join.",
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = docs.select("doc_id", F.md5(_norm().cast("binary")).alias("fingerprint"))
+    existing = fp.filter(F.col("doc_id") % 2 == 0)
+    batch = fp.select(
+        (F.col("doc_id") + RECRAWL_ID_OFFSET).alias("doc_id"), "fingerprint"
+    )
+    m, k = _bloom_params(existing.count())
+    bloom_bc = spark.sparkContext.broadcast(bloom_build(existing, m, k))
+    candidates = bloom_probe(batch, bloom_bc, m, k)
+    canon = existing.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id")
+    )
+    return candidates.join(canon, "fingerprint").select(
+        "doc_id", "canonical_doc_id", "fingerprint"
+    )
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
