@@ -126,6 +126,31 @@ def test_crafted_dups_across_batches(spark, tmp_path_factory):
     assert got == {(2 + off, 2), (3 + off, 2)}
 
 
+def test_null_text_is_never_a_member(spark, tmp_path_factory):
+    # NULL text -> NULL fingerprint: SQL equi-join semantics say NULL
+    # never matches, so the Bloom kernels must SKIP nulls (build carries
+    # no bits, probe rejects) instead of crashing — the r12 degenerate
+    # sweep caught a TypeError here on the first NULL-text doc
+    d = str(tmp_path_factory.mktemp("bloom_null"))
+    rows = [
+        (2, None, "en", "src0", 0),  # existing NULL-text doc
+        (3, None, "en", "src0", 0),  # odd NULL-text doc (re-crawled too)
+        (4, "alpha beta", "en", "src0", 10),
+        (5, "alpha beta", "en", "src0", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.doc_id, r.canonical_doc_id)
+        for r in REGISTRY["dedup_incremental_bloom"].fn(spark, d).collect()
+    }
+    off = RECRAWL_ID_OFFSET
+    # only the real-text dup pair matches; the NULL-text re-crawls of
+    # docs 2 and 3 are NOT members even though doc 2 is in the kept half
+    assert got == {(4 + off, 4), (5 + off, 4)}
+
+
 def test_registered_query_matches_duckdb_oracle(spark, tmp_path_factory):
     import duckdb
 

@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from thesis_iceberg_spark.queries import (  # noqa: F401
+        classify,
         dedup,
         extended,
         functions_q,

@@ -323,6 +323,12 @@ def bloom_build(fps: DataFrame, m: int, k: int) -> bytes:
         bits = np.zeros(m // 64, dtype=np.uint64)
         for pdf in batches:
             for fp in pdf["fingerprint"]:
+                if not isinstance(fp, str):
+                    # NULL text -> NULL fingerprint: never joinable as a
+                    # member (SQL equi-join semantics), so it carries no
+                    # bits — mirrored by the probe below and pinned in
+                    # tests/test_bloom_incremental.py
+                    continue
                 for pos in _bloom_positions(fp, m, k):
                     bits[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
         yield pd.DataFrame({"bits": [bits.tobytes()]})
@@ -347,7 +353,8 @@ def bloom_probe(df: DataFrame, bloom_bc, m: int, k: int) -> DataFrame:
         one = np.uint64(1)
         for pdf in batches:
             keep = [
-                all(
+                isinstance(fp, str)  # NULL fingerprint: not a member
+                and all(
                     (bits[pos >> 6] >> np.uint64(pos & 63)) & one
                     for pos in _bloom_positions(fp, m, k)
                 )
