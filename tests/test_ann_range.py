@@ -1,0 +1,89 @@
+"""ann_int8_range_search (r12): threshold (radius) similarity search.
+
+Membership is decided on the exact integer quantized dot against the
+integer rational threshold qdot*DEN >= qself*NUM, so these tests pin
+(a) set equality with a numpy twin of the same arithmetic, (b) the
+exact-boundary row (== threshold is KEPT, one grid step under is not),
+(c) the all-zero degenerate corpus, and (d) the narrow broadcast-only
+plan (the 100 TB claim).  The registered query's full value oracle is
+auto-covered by tests/test_correctness.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from thesis_iceberg_spark.plans import formatted_plan
+from thesis_iceberg_spark.queries import REGISTRY, queries
+from thesis_iceberg_spark.queries.similarity import (
+    Q_SCALE_TOP,
+    RANGE_DEN,
+    RANGE_NUM,
+)
+
+queries()
+
+_FN = REGISTRY["ann_int8_range_search"].fn
+_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def _numpy_twin(vecs, ids):
+    x = np.asarray(vecs, dtype=np.float64)
+    s = Q_SCALE_TOP / np.abs(x).max()
+    q8 = np.floor(x * s + 0.5).astype(np.int64)
+    qpos = int(np.argmin(ids))
+    qself = int(q8[qpos] @ q8[qpos])
+    dots = q8 @ q8[qpos]
+    return sorted(
+        (int(i), int(d))
+        for i, d in zip(ids, dots)
+        if i != ids[qpos] and d * RANGE_DEN >= qself * RANGE_NUM
+    )
+
+
+def test_matches_numpy_quantization_twin(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    expect = _numpy_twin([r.embedding for r in rows], [r.vec_id for r in rows])
+    got = sorted((r.vec_id, r.qdot) for r in _FN(spark, sf_dir).collect())
+    assert got == expect
+    assert got, "no matches at driver scale — the kept arm is untested"
+
+
+def _write_vecs(spark, tmp_path_factory, name, rows):
+    d = str(tmp_path_factory.mktemp(name))
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    return d
+
+
+def test_exact_boundary_row_is_kept(spark, tmp_path_factory):
+    # max |x| = 127 (parked on non-query rows) -> s = 1.0 exactly, so
+    # integer-valued floats quantize to themselves.  Query [100, 0]:
+    # qself = 10000; NUM/DEN = 3/10 -> the >= threshold is qdot = 3000
+    # EXACTLY, and the row sitting on the line must be kept.
+    rows = [
+        (1, [100.0, 0.0], 0),    # query: qself = 10000, threshold qdot >= 3000
+        (2, [30.0, 127.0], 0),   # qdot = 3000 == threshold -> KEPT (>=)
+        (3, [29.0, 127.0], 0),   # qdot = 2900 -> excluded
+        (4, [127.0, 0.0], 0),    # qdot = 12700 -> kept, sorts first
+    ]
+    d = _write_vecs(spark, tmp_path_factory, "range_boundary", rows)
+    got = [(r.vec_id, r.qdot) for r in _FN(spark, d).collect()]
+    assert got == [(4, 12700), (2, 3000)]  # ordered qdot DESC; 3 excluded
+
+
+def test_all_zero_corpus_returns_empty(spark, tmp_path_factory):
+    # 127/max|x| with max = 0: try_divide -> NULL scale -> NULL qdot ->
+    # filter drops everything; must not throw under ANSI
+    rows = [(i, [0.0, 0.0, 0.0], 0) for i in range(1, 5)]
+    d = _write_vecs(spark, tmp_path_factory, "range_zero", rows)
+    assert _FN(spark, d).count() == 0
+
+
+def test_plan_is_narrow_broadcast_only(spark, sf_dir):
+    plan = formatted_plan(_FN(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

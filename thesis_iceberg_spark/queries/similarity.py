@@ -577,3 +577,102 @@ def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+# --- threshold (radius) similarity search (r12) ------------------------------
+#
+# The ANN family above is all top-k; the OTHER retrieval API a vector
+# store serves is RANGE SEARCH — "every vector within similarity tau of
+# the query" (FAISS range_search; near-dup mining and dedup-adjacent
+# retrieval want a threshold, not a count, because the right k is
+# unknowable per query).  The exactness trick mirrors ann_int8_topk:
+# membership is decided on the EXACT INTEGER quantized dot against an
+# integer rational threshold (qdot * DEN >= qself * NUM — cross-
+# multiplied so no division ever happens), so the result SET is
+# value-oracle-exact cross-engine, unlike a float-cosine cutoff whose
+# 1-ulp noise could flip boundary rows between engines.
+
+# tau = 3/10 of the query's self dot-product: the data-adaptive radius.
+# Measured on the driver corpora so BOTH arms are real (kept / excluded):
+# 5 matches of 499 at sf0.001, 3/499 at sf0.01, 13/1999 at sf0.1.
+RANGE_NUM = 3
+RANGE_DEN = 10
+
+
+@register(
+    "ann_int8_range_search",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sc AS (SELECT {Q_SCALE_TOP} / MAX(list_max(list_transform(v, x -> abs(x)))) AS s FROM e),
+q AS (SELECT vec_id AS qid,
+             list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qq
+      FROM e, sc ORDER BY vec_id LIMIT 1),
+qs AS (SELECT qid, qq,
+              CAST(list_dot_product(CAST(qq AS DOUBLE[]), CAST(qq AS DOUBLE[]))
+                   AS BIGINT) AS qself
+       FROM q),
+scored AS (
+  SELECT e.vec_id, e.label, qs.qself,
+         CAST(list_dot_product(
+                CAST(list_transform(e.v, x -> CAST(floor(x * s + 0.5) AS BIGINT))
+                     AS DOUBLE[]),
+                CAST(qs.qq AS DOUBLE[])) AS BIGINT) AS qdot
+  FROM e, sc, qs WHERE e.vec_id != qs.qid)
+SELECT vec_id, label, qdot, qself
+FROM scored
+WHERE qdot * {RANGE_DEN} >= qself * {RANGE_NUM}
+ORDER BY qdot DESC, vec_id
+""",
+    doc=f"Range (radius) similarity search: every vector whose EXACT "
+    f"integer int8-quantized dot with the query reaches "
+    f"{RANGE_NUM}/{RANGE_DEN} of the query's self-dot — the threshold "
+    "compare is integer cross-multiplication, so set membership is "
+    "bit-exact cross-engine (a float-cosine cutoff would be 1-ulp "
+    "fragile at the boundary). Plan: one-row scale + query closures "
+    "broadcast, a NARROW zero-shuffle scan-and-filter over the corpus, "
+    "and a sort of the matches only. At 100 TB the scan reads the "
+    "write-time int8 column (1/4 the f32 bytes, quantize_embeddings_table) "
+    "and the filter prunes before anything wide happens.",
+)
+def ann_int8_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    sc = e.agg(
+        F.try_divide(
+            F.lit(Q_SCALE_TOP),
+            F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))),
+        ).alias("s")
+    )
+
+    def _q8(col):
+        return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p,
+        )
+
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .crossJoin(F.broadcast(sc))
+        .select(
+            F.col("vec_id").alias("qid"),
+            _q8(F.col("v")).alias("qq"),
+        )
+        .select("qid", "qq", _idot(F.col("qq"), F.col("qq")).alias("qself"))
+    )
+    return (
+        e.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "label",
+            _idot(_q8(F.col("v")), F.col("qq")).alias("qdot"),
+            "qself",
+        )
+        .filter(F.col("qdot") * RANGE_DEN >= F.col("qself") * RANGE_NUM)
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    )

@@ -167,3 +167,143 @@ def dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates()
     )
+
+
+# --- ordered-sequence funnel analysis (r12) -----------------------------------
+#
+# The behavioral-analytics primitive every event store serves: of the
+# users who did step 1, how many went on to do step 2 AFTER it, then
+# step 3 after that.  Sequential dependence ("after the previous step")
+# is what makes this more than three filters — step k's qualifying
+# events are defined by step k-1's FIRST occurrence time.
+#
+# Spark shape: the chain is expressed as stacked window minimums over
+# ONE (user_id, ts, event_id) ordering — prev_k = min(step-k hit ts)
+# over ROWS UNBOUNDED PRECEDING..1 PRECEDING — so the whole funnel is a
+# single hash-partition shuffle on user_id; the per-user rollup reuses
+# that partitioning (no second exchange, plan-gated) and the final
+# 3-row reshape is a broadcast of one scalar row.  At 100 TB: one
+# shuffle of the events table, window state bounded per user, skewed
+# users cost one partition's sort exactly like sessionize_events.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+# each transition must happen within this window of the previous step's
+# first qualifying event (the classic funnel parameter; without it the
+# uniform synthetic stream completes trivially — 1 day measures
+# 150 -> 60 -> 25 users at sf0.01, so every drop-off arm is real in the
+# driver's own oracle check).  Timestamp + interval is exact integer
+# microsecond arithmetic in both engines.
+FUNNEL_WINDOW_SQL = "INTERVAL 1 DAY"
+_FUNNEL_WIN = (
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE ts IS NOT NULL),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+              OVER ({_FUNNEL_WIN}) AS prev1
+  FROM e),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}'
+                      AND ts <= prev1 + {FUNNEL_WINDOW_SQL} THEN ts END)
+              OVER ({_FUNNEL_WIN}) AS prev2
+  FROM w1),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN event_type = '{FUNNEL_STEPS[1]}'
+                   AND ts <= prev1 + {FUNNEL_WINDOW_SQL} THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN event_type = '{FUNNEL_STEPS[2]}'
+                   AND ts <= prev2 + {FUNNEL_WINDOW_SQL} THEN 1 ELSE 0 END) AS r3
+  FROM w2 GROUP BY user_id),
+t AS (
+  SELECT COUNT(*) AS n_users,
+         CAST(SUM(r1) AS BIGINT) AS n1,
+         CAST(SUM(r2) AS BIGINT) AS n2,
+         CAST(SUM(r3) AS BIGINT) AS n3
+  FROM u)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       n1 AS n_users_reached, CAST(n1 AS DOUBLE) / n_users AS frac_of_prev
+FROM t
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', n2, CAST(n2 AS DOUBLE) / n1 FROM t
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', n3, CAST(n3 AS DOUBLE) / n2 FROM t
+""",
+    doc="Ordered funnel conversion (view -> click -> purchase, each "
+    "transition within 1 day): a user reaches step k only via an event "
+    "STRICTLY LATER (ts, event_id order) than their first qualifying "
+    "step-(k-1) event AND within the funnel window of it, expressed as "
+    "chained window minimums over one user ordering — one shuffle "
+    "total, window state bounded per user. Counts are exact integers; "
+    "each conversion fraction is a single IEEE division (exact "
+    "cross-engine; step 1's denominator is all users with timestamped "
+    "events). Events without a timestamp cannot participate in a "
+    "temporal funnel and are excluded in both twins (also dodging the "
+    "Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering divergence).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s1, s2, s3 = FUNNEL_STEPS
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a NULL prev_k makes the <= comparison NULL -> the WHEN never fires,
+    # so "previous step reached" and "within the window" are one predicate
+    win = F.expr(FUNNEL_WINDOW_SQL)
+    x = e.withColumn(
+        "prev1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(wprev)
+    )
+    hit2 = (F.col("event_type") == s2) & (F.col("ts") <= F.col("prev1") + win)
+    x = x.withColumn("prev2", F.min(F.when(hit2, F.col("ts"))).over(wprev))
+    hit3 = (F.col("event_type") == s3) & (F.col("ts") <= F.col("prev2") + win)
+    per_user = x.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == s1, 1).otherwise(0)).alias("r1"),
+        F.max(F.when(hit2, 1).otherwise(0)).alias("r2"),
+        F.max(F.when(hit3, 1).otherwise(0)).alias("r3"),
+    )
+    t = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("r1").alias("n1"),
+        F.sum("r2").alias("n2"),
+        F.sum("r3").alias("n3"),
+    )
+
+    def _row(step: int, name: str, n, prev):
+        return F.struct(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.col(n).alias("n_users_reached"),
+            F.try_divide(F.col(n).cast("double"), F.col(prev)).alias(
+                "frac_of_prev"
+            ),
+        )
+
+    return (
+        t.select(
+            F.explode(
+                F.array(
+                    _row(1, s1, "n1", "n_users"),
+                    _row(2, s2, "n2", "n1"),
+                    _row(3, s3, "n3", "n2"),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("step")
+    )
