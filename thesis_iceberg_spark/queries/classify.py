@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries.hashkit import md5_u32
 from thesis_iceberg_spark.queries.text import _SQL_LM_FTOKS, _docs, _lm_ftoks
 
 # 64 buckets: tiny on purpose so driver-scale corpora (31 distinct
@@ -61,17 +62,9 @@ HC_POS_LANG = "en"
 
 
 def _hc_bucket(t: Column) -> Column:
-    """Token -> bucket id in [0, HC_BUCKETS): first 8 md5 hex chars of
-    'hc:'||token as an int, mod HC_BUCKETS (column twin of
-    _SQL_HC_BUCKET; the text._cm_hash portability idiom)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("hc:"), t).cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % HC_BUCKETS
-    )
+    """Token -> bucket id in [0, HC_BUCKETS): the shared md5_u32 kernel
+    over 'hc:'||token, mod HC_BUCKETS (column twin of _SQL_HC_BUCKET)."""
+    return md5_u32(F.concat(F.lit("hc:"), t)) % HC_BUCKETS
 
 
 _SQL_HC_BUCKET = (
@@ -142,14 +135,28 @@ def hashed_classifier_score(docs: DataFrame, weights_row: DataFrame) -> DataFram
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # score is projected ONCE, pred derived from the projected column in
+    # a follow-up select: the HOF aggregate contains lambdas, which
+    # Spark's codegen subexpression elimination skips (SPARK-35410), so
+    # referencing `score` twice in one projection would run the
+    # per-token md5 chain twice per document (review r12 — the same
+    # multiply-referenced-non-cheap hazard bm25 staged around,
+    # search.py:85-89; CollapseProject keeps the split because the
+    # aggregate is non-cheap and multiply referenced downstream)
     return (
         docs.crossJoin(F.broadcast(weights_row))
         .select("doc_id", "lang", "w", toks.alias("toks"))
         .select(
             "doc_id",
+            "lang",
             F.size("toks").alias("n_toks"),
             score.alias("score"),
-            (score > 0).alias("pred"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "score",
+            (F.col("score") > 0).alias("pred"),
             (F.col("lang") == HC_POS_LANG).alias("is_pos_label"),
         )
     )

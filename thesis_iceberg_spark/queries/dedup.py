@@ -389,7 +389,14 @@ FROM batch b JOIN ex USING (fingerprint)
 )
 def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    fp = docs.select("doc_id", F.md5(_norm().cast("binary")).alias("fingerprint"))
+    # the fingerprint lineage (text scan + fold + certify + md5) feeds
+    # FOUR consumers (the params count, the filter build, the probe, and
+    # the confirm groupBy) — stage the NARROW (doc_id, 32-char) frame
+    # once so the expensive text pass runs once, not four times (review
+    # r12; same discipline as bm25's per_doc checkpoint, search.py:100)
+    fp = docs.select(
+        "doc_id", F.md5(_norm().cast("binary")).alias("fingerprint")
+    ).localCheckpoint(eager=True)
     existing = fp.filter(F.col("doc_id") % 2 == 0)
     batch = fp.select(
         (F.col("doc_id") + RECRAWL_ID_OFFSET).alias("doc_id"), "fingerprint"

@@ -43,18 +43,11 @@ def _keyed_u32(prefix: str):
     split decision in this module (callers reduce it with % 100 for
     percent buckets or / 2^32 for a uniform [0,1) double).  Twin of the
     oracles' CAST('0x' || substr(md5(prefix || doc_id), 1, 8) AS BIGINT)
-    (review r10: this expression existed in four drifting copies)."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit(prefix), F.col("doc_id").cast("string")).cast("binary")
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    (review r10: this expression existed in four drifting copies;
+    review r12 moved the column-input core to hashkit.md5_u32)."""
+    from thesis_iceberg_spark.queries.hashkit import md5_u32
+
+    return md5_u32(F.concat(F.lit(prefix), F.col("doc_id").cast("string")))
 
 
 QUALITY_MIN = 0.5

@@ -663,16 +663,22 @@ def ann_int8_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", "qq", _idot(F.col("qq"), F.col("qq")).alias("qself"))
     )
+    # FILTER FIRST, project qdot for survivors only: Catalyst pushes a
+    # predicate on an aliased column through the projection by
+    # substituting the alias, and HOF lambdas are excluded from codegen
+    # subexpression elimination (SPARK-35410) — a select-then-filter
+    # form would pay the O(dim) quantize+dot TWICE per corpus row
+    # (review r12).  This way the corpus pays it once in the filter and
+    # only the handful of survivors re-evaluate it in the output
+    # projection.
+    qdot = _idot(_q8(F.col("v")), F.col("qq"))
     return (
         e.crossJoin(F.broadcast(sc))
         .crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "vec_id",
-            "label",
-            _idot(_q8(F.col("v")), F.col("qq")).alias("qdot"),
-            "qself",
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (qdot * RANGE_DEN >= F.col("qself") * RANGE_NUM)
         )
-        .filter(F.col("qdot") * RANGE_DEN >= F.col("qself") * RANGE_NUM)
+        .select("vec_id", "label", qdot.alias("qdot"), "qself")
         .orderBy(F.col("qdot").desc(), F.col("vec_id"))
     )

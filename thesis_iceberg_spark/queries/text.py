@@ -1550,23 +1550,11 @@ _SQL_CM_HASH = (
 
 
 def _cm_hash(j, t):
-    """Column twin of _SQL_CM_HASH: row-j count-min column for token t."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("cm"), j.cast("string"), F.lit(":"), t
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % CM_COLS
-    )
+    """Column twin of _SQL_CM_HASH: row-j count-min column for token t
+    (the shared hashkit.md5_u32 kernel since r12)."""
+    from thesis_iceberg_spark.queries.hashkit import md5_u32
+
+    return md5_u32(F.concat(F.lit("cm"), j.cast("string"), F.lit(":"), t)) % CM_COLS
 
 
 @register(
