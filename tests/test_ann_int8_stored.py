@@ -122,3 +122,36 @@ def test_rerank_point_list_bound_is_loud(spark, stored, monkeypatch):
     monkeypatch.setattr(sim, "ISIN_POINT_LIST_MAX", 2)
     with pytest.raises(ValueError, match="broadcast semi-join"):
         sim.ann_int8_topk_stored(spark, table)
+
+
+def test_semi_join_rerank_identical_and_broadcast(spark, sf_dir, stored):
+    # the documented escape hatch for a corpus-scaled shortlist (r12):
+    # rerank='semi_join' must return the IDENTICAL top-k with no
+    # driver-side id list — the shortlist frame broadcasts into a hash
+    # join against the float scan
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    table, _scale, _loc = stored
+    isin_rows = [tuple(r) for r in ann_int8_topk_stored(spark, table).collect()]
+    df = ann_int8_topk_stored(spark, table, rerank="semi_join")
+    assert [tuple(r) for r in df.collect()] == isin_rows
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert " IN (" not in plan  # no pushed point list anywhere
+
+
+def test_semi_join_mode_ignores_point_list_ceiling(spark, stored, monkeypatch):
+    # the guard protects the isin path only: with a ceiling below the
+    # shortlist, semi_join still works (that is its whole reason to exist)
+    import thesis_iceberg_spark.queries.similarity as sim
+
+    table, _scale, _loc = stored
+    monkeypatch.setattr(sim, "ISIN_POINT_LIST_MAX", 2)
+    out = sim.ann_int8_topk_stored(spark, table, rerank="semi_join").collect()
+    assert len(out) == sim.TOP_K
+
+
+def test_invalid_rerank_mode_is_loud(spark, stored):
+    table, _scale, _loc = stored
+    with pytest.raises(ValueError, match="rerank must be"):
+        ann_int8_topk_stored(spark, table, rerank="collect")

@@ -114,6 +114,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # verification kernel rebuilt on edit_verify_pairs + banded _byte_lev
     # (exact mode for the registered entry; results unchanged)
     "dedup_edit_verified_pairs",
+    # NOT listed: the four late-r12 registrations (dedup_incremental_bloom,
+    # text_hashed_classifier, ann_int8_range_search,
+    # events_funnel_conversion) enter the window via the
+    # never-checked-first fallback; and the hashkit.md5_u32 delegation
+    # refactor (pipeline_q._keyed_u32 / text._cm_hash) produces the
+    # IDENTICAL column expression, so the touched queries ride the
+    # stalest-first fallback per the r11 symmetric-change precedent —
+    # re-verified at sf0.001 AND sf0.01 post-refactor (gate sim, 126/126).
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

@@ -502,7 +502,7 @@ def quantize_embeddings_table(
     return table, float(s)
 
 
-def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
+def ann_int8_topk_stored(spark: SparkSession, table, rerank: str = "isin") -> DataFrame:
     """ann_int8_topk over a quantize_embeddings_table output.
 
     The reader pattern the write-time artifact exists for (review r11 —
@@ -516,21 +516,34 @@ def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
          the stored column by construction (same floor(x*s+0.5), same
          IEEE double s via repr round-trip);
       3. the integer shortlist is one narrow scan + TakeOrdered;
-      4. the full-precision rerank reads ONLY the SHORTLIST_K survivor
-         rows through an `isin` pushed filter (bounded by the constant,
-         so the collect is a point-lookup list, not corpus data) — the
-         float column is never scanned end to end."""
+      4. the full-precision rerank reads ONLY the shortlist survivors.
+
+    ``rerank`` picks how step 4 fetches the survivor floats:
+      * 'isin' (default) — collect the ids and push them as a filter:
+        the parquet scan itself skips non-survivor row groups, ideal
+        while the shortlist is a small CONSTANT (guarded by
+        ISIN_POINT_LIST_MAX — the list rides in the plan and on the
+        driver, so it must never scale with the corpus);
+      * 'semi_join' — broadcast the checkpointed shortlist frame and
+        hash-join the float scan against it: no driver-side id list at
+        any shortlist size, at the cost of scanning (vec_id, embedding)
+        without a pushed point filter.  This is the documented escape
+        hatch for the day SHORTLIST_K is retuned to scale (VERDICT r11
+        #7 / DEVNOTES #5) — tests/test_ann_int8_stored.py pins that
+        both modes return the identical top-k."""
+    if rerank not in ("isin", "semi_join"):
+        raise ValueError(f"rerank must be 'isin' or 'semi_join', got {rerank!r}")
     # guard BEFORE any job runs (review r12: checking after the
     # orderBy+checkpoint+collect would let the driver-side hazard happen
     # first — len(ids) <= SHORTLIST_K by construction, so the constant
     # comparison at entry IS the whole contract)
-    if SHORTLIST_K > ISIN_POINT_LIST_MAX:
+    if rerank == "isin" and SHORTLIST_K > ISIN_POINT_LIST_MAX:
         raise ValueError(
             f"SHORTLIST_K={SHORTLIST_K} exceeds "
             f"ISIN_POINT_LIST_MAX={ISIN_POINT_LIST_MAX}: an isin pushed "
             "filter is only sane for a constant-bounded shortlist — "
-            "switch the rerank to a broadcast semi-join on the "
-            "checkpointed shortlist frame (see the comment at "
+            "call with rerank='semi_join' (broadcast semi-join on the "
+            "checkpointed shortlist frame; see the comment at "
             "ISIN_POINT_LIST_MAX)"
         )
     s = float(table.properties[INT8_SCALE_PROP])
@@ -560,14 +573,21 @@ def ann_int8_topk_stored(spark: SparkSession, table) -> DataFrame:
         .limit(SHORTLIST_K)
         .localCheckpoint(eager=True)  # reused: id list + rerank join
     )
-    ids = [r["vec_id"] for r in top.select("vec_id").collect()]  # <= SHORTLIST_K
-    if not ids:  # single-row table: no candidates
-        return top.select(
-            "vec_id", "label", "qdot", F.lit(None).cast("double").alias("cosine")
+    if rerank == "semi_join":
+        # no driver-side id list: the checkpointed <= SHORTLIST_K-row
+        # frame broadcasts and the float scan hash-joins against it
+        rerank_vecs = base.join(
+            F.broadcast(top.select("vec_id")), "vec_id"
+        ).select("vec_id", as_f64.alias("v"))
+    else:
+        ids = [r["vec_id"] for r in top.select("vec_id").collect()]  # <= SHORTLIST_K
+        if not ids:  # single-row table: no candidates
+            return top.select(
+                "vec_id", "label", "qdot", F.lit(None).cast("double").alias("cosine")
+            )
+        rerank_vecs = base.filter(F.col("vec_id").isin(ids)).select(
+            "vec_id", as_f64.alias("v")
         )
-    rerank_vecs = base.filter(F.col("vec_id").isin(ids)).select(
-        "vec_id", as_f64.alias("v")
-    )
     return (
         top.join(rerank_vecs, "vec_id")
         .crossJoin(F.broadcast(qrow.select("qv")))
