@@ -109,3 +109,41 @@ def test_single_shuffle_plan(spark, sf_dir):
     # in formatted output (tree + detail); 2 physical Exchanges
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") >= 2
+
+
+def test_general_funnel_df_four_steps(spark, tmp_path_factory):
+    # the df-level API generalizes to N steps sharing ONE partitioning:
+    # a 4-step funnel over a crafted stream, with one user completing
+    # all four in order and one breaking the chain at step 3
+    from thesis_iceberg_spark.queries.timeseries_q import funnel_df
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    rows = [
+        _ev(10, 1, "signup", 0), _ev(11, 1, "view", 1),
+        _ev(12, 1, "click", 2), _ev(13, 1, "purchase", 3),
+        _ev(20, 2, "signup", 0), _ev(21, 2, "view", 1),
+        _ev(22, 2, "purchase", 2),  # skipped click -> chain stops at 2
+    ]
+    d = _write_events(spark, tmp_path_factory, "funnel4", rows)
+    out = {r.step: r.n_users_reached for r in funnel_df(
+        load_table(spark, d, "events"),
+        ("signup", "view", "click", "purchase"),
+    ).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+    # a 4-step funnel must still be ONE data shuffle (3 windows share
+    # the partitioning) + the singleton rollup
+    plan = formatted_plan(funnel_df(
+        load_table(spark, d, "events"),
+        ("signup", "view", "click", "purchase"),
+    ))
+    assert plan.count("Exchange") <= 2 * 2
+    assert plan.count("Window") >= 3
+
+
+def test_funnel_df_rejects_single_step():
+    import pytest
+
+    from thesis_iceberg_spark.queries.timeseries_q import funnel_df
+
+    with pytest.raises(ValueError, match="at least two steps"):
+        funnel_df(None, ("view",))

@@ -250,13 +250,30 @@ SELECT 3, '{FUNNEL_STEPS[2]}', n3, CAST(n3 AS DOUBLE) / n2 FROM t
     "Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering divergence).",
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_df(
+        load_table(spark, sf_dir, "events"), FUNNEL_STEPS, FUNNEL_WINDOW_SQL
+    )
+
+
+def funnel_df(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_sql: str = FUNNEL_WINDOW_SQL,
+) -> DataFrame:
+    """N-step ordered funnel over any (user_id, ts, event_id, event_type)
+    frame — the general API behind the registered 3-step query.  One
+    chained window per transition, all sharing one (user_id) partitioning
+    (a k-step funnel is k-1 extra Window operators on the SAME exchange,
+    never k shuffles); output is one row per step.  Semantics identical
+    to the registered query's oracle: step k counts only events strictly
+    later (ts, event_id order) than the first qualifying step-(k-1)
+    event AND within ``window_sql`` of it."""
     from pyspark.sql.window import Window
 
-    s1, s2, s3 = FUNNEL_STEPS
-    e = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
-        .select("user_id", "ts", "event_id", "event_type")
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id", "event_type"
     )
     wprev = (
         Window.partitionBy("user_id")
@@ -265,28 +282,31 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # a NULL prev_k makes the <= comparison NULL -> the WHEN never fires,
     # so "previous step reached" and "within the window" are one predicate
-    win = F.expr(FUNNEL_WINDOW_SQL)
-    x = e.withColumn(
-        "prev1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(wprev)
-    )
-    hit2 = (F.col("event_type") == s2) & (F.col("ts") <= F.col("prev1") + win)
-    x = x.withColumn("prev2", F.min(F.when(hit2, F.col("ts"))).over(wprev))
-    hit3 = (F.col("event_type") == s3) & (F.col("ts") <= F.col("prev2") + win)
+    win = F.expr(window_sql)
+    x = e
+    hits = [F.col("event_type") == steps[0]]
+    for k, step in enumerate(steps[1:], start=1):
+        x = x.withColumn(
+            f"prev{k}", F.min(F.when(hits[-1], F.col("ts"))).over(wprev)
+        )
+        hits.append(
+            (F.col("event_type") == step)
+            & (F.col("ts") <= F.col(f"prev{k}") + win)
+        )
     per_user = x.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == s1, 1).otherwise(0)).alias("r1"),
-        F.max(F.when(hit2, 1).otherwise(0)).alias("r2"),
-        F.max(F.when(hit3, 1).otherwise(0)).alias("r3"),
+        *[
+            F.max(F.when(h, 1).otherwise(0)).alias(f"r{k + 1}")
+            for k, h in enumerate(hits)
+        ]
     )
     t = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum("r1").alias("n1"),
-        F.sum("r2").alias("n2"),
-        F.sum("r3").alias("n3"),
+        *[F.sum(f"r{k + 1}").alias(f"n{k + 1}") for k in range(len(steps))],
     )
 
-    def _row(step: int, name: str, n, prev):
+    def _row(step_no: int, name: str, n: str, prev: str):
         return F.struct(
-            F.lit(step).alias("step"),
+            F.lit(step_no).alias("step"),
             F.lit(name).alias("event_type"),
             F.col(n).alias("n_users_reached"),
             F.try_divide(F.col(n).cast("double"), F.col(prev)).alias(
@@ -294,16 +314,12 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
+    rows = [
+        _row(k + 1, step, f"n{k + 1}", "n_users" if k == 0 else f"n{k}")
+        for k, step in enumerate(steps)
+    ]
     return (
-        t.select(
-            F.explode(
-                F.array(
-                    _row(1, s1, "n1", "n_users"),
-                    _row(2, s2, "n2", "n1"),
-                    _row(3, s3, "n3", "n2"),
-                )
-            ).alias("r")
-        )
+        t.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")
         .orderBy("step")
     )
