@@ -323,3 +323,58 @@ def funnel_df(
         .select("r.*")
         .orderBy("step")
     )
+
+
+def cohort_retention_df(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix over any (user_id, ts) frame: users are
+    cohorted by the calendar week of their FIRST event; each row is
+    (cohort_week, week_no, n_active, frac_of_cohort) where week_no is
+    whole anchored weeks since that first event and frac divides by the
+    cohort's week-0 size (every user is active in their own week 0 by
+    construction, so the week-0 row IS the cohort census).
+
+    The funnel's sibling event-analytics primitive (registration
+    candidate for r13 — the r12 cap is met; DuckDB-parity pinned in
+    tests/test_cohort_retention.py meanwhile).  Shapes: first_ts is a
+    window min over ONE user_id partitioning (no groupBy+join round
+    trip), week arithmetic is integer seconds (unix_timestamp truncation
+    == DuckDB date_diff('second') boundary counting — exact cross-engine
+    where fractional epoch() subtraction could flip a week boundary),
+    and the retention fraction is computed by a window over the already-
+    aggregated (cohorts x weeks) frame, which is tiny at any corpus
+    size.  At 100 TB: one events shuffle on user_id + one bounded-key
+    count-distinct aggregation."""
+    from pyspark.sql.window import Window
+
+    e = events.filter(F.col("ts").isNotNull()).select("user_id", "ts")
+    f = e.withColumn("first_ts", F.min("ts").over(Window.partitionBy("user_id")))
+    x = f.select(
+        # formatted string, not DATE: pandas reads a DuckDB DATE as a
+        # midnight Timestamp, so a date-typed key would never hash-match
+        # (house determinism rule — sessionize_events precedent)
+        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("first_ts").cast("timestamp"))
+        ).alias("sec_since"),
+        "user_id",
+    ).select(
+        "cohort_week",
+        F.expr("sec_since div 604800").alias("week_no"),
+        "user_id",
+    )
+    a = x.groupBy("cohort_week", "week_no").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    wc = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_no") == 0, F.col("n_active"))).over(wc)
+    return a.select(
+        "cohort_week",
+        "week_no",
+        "n_active",
+        F.try_divide(F.col("n_active").cast("double"), size).alias(
+            "frac_of_cohort"
+        ),
+    ).orderBy("cohort_week", "week_no")
