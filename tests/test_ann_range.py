@@ -87,3 +87,34 @@ def test_plan_is_narrow_broadcast_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stored_range_search_identical_and_pruned(spark, sf_dir, tmp_path_factory):
+    # the 100 TB claim in the registered query's doc, made executable:
+    # over the write-time int8 table the range scan's corpus side must
+    # read ONLY (vec_id, label, q) — never the float column — and return
+    # the identical match set (same scale by construction: the table
+    # property pins the corpus scale the inline query recomputes)
+    from thesis_iceberg_spark.queries.similarity import (
+        ann_int8_range_search_stored,
+        quantize_embeddings_table,
+    )
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    loc = str(tmp_path_factory.mktemp("int8rng") / "emb")
+    raw = load_table(spark, sf_dir, "embeddings")
+    table, _scale = quantize_embeddings_table(spark, raw, loc)
+    stored = ann_int8_range_search_stored(spark, table)
+    inline = _FN(spark, sf_dir)
+    assert [tuple(r) for r in stored.collect()] == [tuple(r) for r in inline.collect()]
+    plan = formatted_plan(stored)
+    # every ReadSchema on the corpus side must exclude the float column;
+    # the only embedding read is the pushed vec_id point-read of the
+    # query row
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    emb_scans = [s for s in schemas if "embedding" in s]
+    assert len(emb_scans) <= 1  # the query-row point read only
+    assert any("q:" in s and "embedding" not in s for s in schemas)

@@ -702,3 +702,51 @@ def ann_int8_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", qdot.alias("qdot"), "qself")
         .orderBy(F.col("qdot").desc(), F.col("vec_id"))
     )
+
+
+def ann_int8_range_search_stored(
+    spark: SparkSession,
+    table,
+    num: int = RANGE_NUM,
+    den: int = RANGE_DEN,
+) -> DataFrame:
+    """Range search over a quantize_embeddings_table output — the 100 TB
+    shape the registered query's doc names: the corpus side of the scan
+    touches ONLY (vec_id, label, q), i.e. the write-time int8 column at
+    1/4 the float bytes (parquet column pruning, plan-gated in
+    tests/test_ann_range.py), with the query row's floats point-read and
+    quantized under the TABLE-PROPERTY scale exactly like
+    ann_int8_topk_stored.  Same integer cross-multiplied threshold as
+    the inline query, so results are identical by construction."""
+    s = float(table.properties[INT8_SCALE_PROP])
+    base = table.read()
+    narrow = base.select("vec_id", "label", F.col("q"))
+    (qid,) = narrow.agg(F.min("vec_id")).first()  # narrow scan only
+    qrow = base.filter(F.col("vec_id") == qid).select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(s) + F.lit(0.5)),
+        ).alias("qq"),
+    )
+    qq_self = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p,
+    )
+    qrow = qrow.select("qq", qq_self.alias("qself"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a.cast("bigint") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p,
+    )
+    # filter-first for the same pushed-predicate reason as the inline
+    # query: the corpus pays the integer dot once, survivors re-project
+    return (
+        narrow.crossJoin(F.broadcast(qrow))
+        .filter(
+            (F.col("vec_id") != qid)
+            & (qdot * den >= F.col("qself") * num)
+        )
+        .select("vec_id", "label", qdot.alias("qdot"), "qself")
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    )
