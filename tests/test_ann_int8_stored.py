@@ -137,7 +137,11 @@ def test_semi_join_rerank_identical_and_broadcast(spark, sf_dir, stored):
     assert [tuple(r) for r in df.collect()] == isin_rows
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
-    assert " IN (" not in plan  # no pushed point list anywhere
+    # no pushed point list anywhere: Spark renders a 40-element pushed
+    # list as INSET / In(vec_id, ...) — never " IN (" (review r12: the
+    # original assertion was vacuous against both modes)
+    assert "INSET" not in plan
+    assert "In(vec_id" not in plan
 
 
 def test_semi_join_mode_ignores_point_list_ceiling(spark, stored, monkeypatch):

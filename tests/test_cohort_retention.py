@@ -44,13 +44,14 @@ _SCHEMA = (
 
 
 def _parity(spark, d):
-    got = canonical_rows(cohort_retention_df(load_table(spark, d, "events")).toPandas())
-    con = duckdb.connect()
-    src = f"{d}/events.parquet"
-    glob = f"{src}/*.parquet" if not src.endswith(".parquet/") else src
     import os
 
-    pat = glob if os.path.isdir(src) else src
+    got = canonical_rows(cohort_retention_df(load_table(spark, d, "events")).toPandas())
+    con = duckdb.connect()
+    # testdata ships single parquet FILES; crafted corpora are spark-written
+    # DIRECTORIES of part files
+    src = f"{d}/events.parquet"
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pat}')")
     want = canonical_rows(con.sql(_ORACLE).df())
     assert sorted(got) == sorted(want)

@@ -114,9 +114,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # verification kernel rebuilt on edit_verify_pairs + banded _byte_lev
     # (exact mode for the registered entry; results unchanged)
     "dedup_edit_verified_pairs",
-    # NOT listed: the four late-r12 registrations (dedup_incremental_bloom,
-    # text_hashed_classifier, ann_int8_range_search,
-    # events_funnel_conversion) enter the window via the
+    # NOT listed: the four r12 registrations (dedup_incremental_bloom
+    # earlier in the round; text_hashed_classifier, ann_int8_range_search,
+    # events_funnel_conversion in the late block — DEVNOTES items 9/10)
+    # enter the window via the
     # never-checked-first fallback; and the hashkit.md5_u32 delegation
     # refactor (pipeline_q._keyed_u32 / text._cm_hash) produces the
     # IDENTICAL column expression, so the touched queries ride the

@@ -502,6 +502,29 @@ def quantize_embeddings_table(
     return table, float(s)
 
 
+def _stored_query_row(table):
+    """Shared stored-table reader kernel (review r12: this existed as two
+    verbatim copies in the top-k and range readers and would have
+    drifted): the NARROW (vec_id, label, q) corpus frame, the min-vec_id
+    query id (narrow scan only — int8 column, never floats), and the
+    query row's floats POINT-READ through a pushed vec_id predicate and
+    quantized under the TABLE-PROPERTY scale (the external-query-vector
+    path, bit-identical to the stored column by construction).  Returns
+    (base, narrow, qid, qrow) with qrow one row of (qv, qq)."""
+    s = float(table.properties[INT8_SCALE_PROP])
+    base = table.read()
+    narrow = base.select("vec_id", "label", F.col("q"))
+    (qid,) = narrow.agg(F.min("vec_id")).first()
+    qrow = base.filter(F.col("vec_id") == qid).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(s) + F.lit(0.5)),
+        ).alias("qq"),
+    )
+    return base, narrow, qid, qrow
+
+
 def ann_int8_topk_stored(spark: SparkSession, table, rerank: str = "isin") -> DataFrame:
     """ann_int8_topk over a quantize_embeddings_table output.
 
@@ -546,20 +569,8 @@ def ann_int8_topk_stored(spark: SparkSession, table, rerank: str = "isin") -> Da
             "checkpointed shortlist frame; see the comment at "
             "ISIN_POINT_LIST_MAX)"
         )
-    s = float(table.properties[INT8_SCALE_PROP])
-    base = table.read()
+    base, narrow, qid, qrow = _stored_query_row(table)
     as_f64 = F.transform("embedding", lambda x: x.cast("double"))
-    narrow = base.select("vec_id", "label", F.col("q"))
-    (qid,) = narrow.agg(F.min("vec_id")).first()  # narrow scan only
-    # point read of the query row's floats (pushed vec_id = qid), then
-    # property-scale quantization — the external-query-vector path
-    qrow = base.filter(F.col("vec_id") == qid).select(
-        as_f64.alias("qv"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(s) + F.lit(0.5)),
-        ).alias("qq"),
-    )
     qdot = F.aggregate(
         F.zip_with(F.col("q"), F.col("qq"), lambda a, b: a.cast("bigint") * b),
         F.lit(0).cast("bigint"),
@@ -718,16 +729,7 @@ def ann_int8_range_search_stored(
     quantized under the TABLE-PROPERTY scale exactly like
     ann_int8_topk_stored.  Same integer cross-multiplied threshold as
     the inline query, so results are identical by construction."""
-    s = float(table.properties[INT8_SCALE_PROP])
-    base = table.read()
-    narrow = base.select("vec_id", "label", F.col("q"))
-    (qid,) = narrow.agg(F.min("vec_id")).first()  # narrow scan only
-    qrow = base.filter(F.col("vec_id") == qid).select(
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(s) + F.lit(0.5)),
-        ).alias("qq"),
-    )
+    _base, narrow, qid, qrow = _stored_query_row(table)
     qq_self = F.aggregate(
         F.zip_with(F.col("qq"), F.col("qq"), lambda a, b: a * b),
         F.lit(0).cast("bigint"),

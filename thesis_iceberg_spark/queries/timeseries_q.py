@@ -343,7 +343,15 @@ def cohort_retention_df(events: DataFrame) -> DataFrame:
     and the retention fraction is computed by a window over the already-
     aggregated (cohorts x weeks) frame, which is tiny at any corpus
     size.  At 100 TB: one events shuffle on user_id + one bounded-key
-    count-distinct aggregation."""
+    count-distinct aggregation.
+
+    Timezone caveat (review r12): the NTZ->timestamp cast inside
+    unix_timestamp interprets wall-clock in spark.sql.session.timeZone
+    (the house pattern, time_bucket_rollup line ~38; this repo's
+    get_spark pins UTC).  Under a DST-observing session tz a pair
+    straddling a transition shifts sec_since by +/-3600 s and can flip a
+    week boundary vs the naive-timestamp oracle — run with a UTC session
+    for cross-engine exactness."""
     from pyspark.sql.window import Window
 
     e = events.filter(F.col("ts").isNotNull()).select("user_id", "ts")
