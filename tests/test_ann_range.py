@@ -118,3 +118,54 @@ def test_stored_range_search_identical_and_pruned(spark, sf_dir, tmp_path_factor
     emb_scans = [s for s in schemas if "embedding" in s]
     assert len(emb_scans) <= 1  # the query-row point read only
     assert any("q:" in s and "embedding" not in s for s in schemas)
+
+
+def test_pruned_range_search_identical_on_driver_corpus(spark, sf_dir):
+    # correctness never depends on pruning power: on the isotropic
+    # synthetic corpus the ball bound prunes ~nothing (measured), but
+    # the result set must still equal the brute scan exactly
+    from thesis_iceberg_spark.queries.similarity import (
+        ann_int8_range_search_pruned,
+    )
+
+    brute = [tuple(r) for r in _FN(spark, sf_dir).collect()]
+    pruned = [tuple(r) for r in ann_int8_range_search_pruned(spark, sf_dir).collect()]
+    assert pruned == brute
+
+
+def test_clustered_corpus_actually_prunes(spark, tmp_path_factory):
+    # two tight clusters far apart; query sits in cluster A, so cluster
+    # B's ball bound proves no member can reach the threshold and the
+    # bucket drops — while the kept set still equals the brute scan
+    from thesis_iceberg_spark.queries.similarity import (
+        _pruned_range_parts,
+        ann_int8_range_search_pruned,
+    )
+
+    rows = []
+    # cluster A around [120, 0, ...]; ids 1..10 (centroids come from the
+    # lowest ids, so both clusters contribute centroids: put 5 low ids
+    # in each)
+    for i in range(1, 6):
+        rows.append((i, [120.0 + (i % 3), 1.0 * i, 0.0, 0.0], 0))
+        rows.append((100 + i, [119.0, 1.0 * i, 0.0, 0.0], 0))
+    # cluster B around [-120, 100, ...]; ids 6..10 and 200+
+    for i in range(6, 11):
+        rows.append((i, [-120.0, 100.0 + (i % 3), 0.0, 0.0], 1))
+        rows.append((200 + i, [-119.0, 101.0, 0.0, 0.0], 1))
+    d = _write_vecs(spark, tmp_path_factory, "range_clustered", rows)
+    brute = [tuple(r) for r in _FN(spark, d).collect()]
+    pruned = [tuple(r) for r in ann_int8_range_search_pruned(spark, d).collect()]
+    assert pruned == brute
+    assert brute, "threshold keeps nothing — the kept arm is untested"
+    assigned, keep, _qrow = _pruned_range_parts(spark, d)
+    n_buckets = assigned.select("bucket").distinct().count()
+    n_kept = keep.count()
+    assert n_kept < n_buckets, (n_kept, n_buckets)  # something pruned
+    # and nothing the brute scan keeps lives in a pruned bucket
+    kept_ids = {r.vec_id for r in _FN(spark, d).collect()}
+    surviving = {
+        r.vec_id
+        for r in assigned.join(keep, "bucket", "left_semi").collect()
+    }
+    assert kept_ids <= surviving

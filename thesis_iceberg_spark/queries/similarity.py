@@ -752,3 +752,130 @@ def ann_int8_range_search_stored(
         .select("vec_id", "label", qdot.alias("qdot"), "qself")
         .orderBy(F.col("qdot").desc(), F.col("vec_id"))
     )
+
+
+def _pruned_range_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    num: int = RANGE_NUM,
+    den: int = RANGE_DEN,
+    n_centroids: int = N_CENTROIDS,
+):
+    """Internal pieces of ann_int8_range_search_pruned, exposed so the
+    tests can count pruned buckets: (assigned, keep, qrow)."""
+    e = _vecs(spark, sf_dir)
+    sc = e.agg(
+        F.try_divide(
+            F.lit(Q_SCALE_TOP),
+            F.max(F.array_max(F.transform("v", lambda x: F.abs(x)))),
+        ).alias("s")
+    )
+
+    def _q8(col):
+        return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p,
+        )
+
+    from pyspark.sql.window import Window
+
+    q8 = e.crossJoin(F.broadcast(sc)).select(
+        "vec_id", "label", _q8(F.col("v")).alias("v8")
+    )
+    cent = (
+        q8.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("v8").alias("c8"))
+    )
+    # index build (write-time at scale): assign each vector to its
+    # max-integer-dot centroid, deterministic tie-break on cid
+    w = Window.partitionBy("vec_id").orderBy(F.col("dc").desc(), F.col("cid"))
+    assigned = (
+        q8.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "v8", "cid",
+            _idot(F.col("v8"), F.col("c8")).alias("dc"),
+            _idot(
+                F.zip_with(F.col("v8"), F.col("c8"), lambda a, b: a - b),
+                F.zip_with(F.col("v8"), F.col("c8"), lambda a, b: a - b),
+            ).alias("dist2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "label", "v8", F.col("cid").alias("bucket"), "dist2")
+    )
+    stats = assigned.groupBy("bucket").agg(F.max("dist2").alias("r2"))
+    qrow = (
+        q8.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v8").alias("qq"),
+        )
+        .select("qid", "qq", _idot(F.col("qq"), F.col("qq")).alias("qself"))
+    )
+    # per-bucket ball bound, evaluated on the tiny (buckets x 1) frame
+    lhs = F.lit(num) * F.col("qself") - F.lit(den) * _idot(F.col("c8"), F.col("qq"))
+    keep = (
+        stats.join(cent, stats.bucket == cent.cid)
+        .crossJoin(F.broadcast(qrow))
+        .filter(
+            ~((lhs > 0) & (lhs * lhs > F.lit(den * den) * F.col("r2") * F.col("qself")))
+        )
+        .select("bucket")
+    )
+    return assigned, keep, qrow
+
+
+def ann_int8_range_search_pruned(
+    spark: SparkSession,
+    sf_dir: str,
+    num: int = RANGE_NUM,
+    den: int = RANGE_DEN,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """EXACTLY-pruned bucketed range search — the scale path a brute
+    range scan lacks: vectors are bucketed by nearest centroid (a
+    write-time partitioning at 100 TB, like ann_ivf_topk's assignment),
+    and a whole bucket is skipped when the ball bound proves NO member
+    can reach the threshold:
+
+        v.q  <=  c.q + |v - c| * |q|          (Cauchy-Schwarz on (v-c).q)
+
+    so bucket b is prunable iff num*qself - den*(c.q) > 0 AND
+    (num*qself - den*(c.q))^2 > den^2 * r2_b * qself, where r2_b is the
+    bucket's max |v - c|^2 — ALL INTEGER comparisons over the quantized
+    vectors, so the pruning decision is provably conservative: no float
+    rounding can ever drop a true match (the squares stay inside bigint
+    for d <= ~8k at |x| <= 127).  Results are therefore IDENTICAL to
+    ann_int8_range_search by construction (pytest-pinned).  Pruning
+    POWER (not correctness) is data-dependent: ~zero on the isotropic
+    synthetic corpus (measured — bucket radii dwarf the threshold
+    geometry), real on clustered corpora (tests/test_ann_range.py
+    crafts one and asserts buckets actually drop).  At 100 TB the bucket
+    id is the partition key, so a pruned bucket is a pruned partition —
+    the scan reads only surviving buckets' int8 columns."""
+    assigned, keep, qrow = _pruned_range_parts(spark, sf_dir, num, den, n_centroids)
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p,
+        )
+
+    qdot = _idot(F.col("v8"), F.col("qq"))
+    return (
+        assigned.join(F.broadcast(keep), "bucket", "left_semi")
+        .crossJoin(F.broadcast(qrow))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (qdot * den >= F.col("qself") * num)
+        )
+        .select("vec_id", "label", qdot.alias("qdot"), "qself")
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    )
