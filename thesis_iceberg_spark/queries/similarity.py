@@ -760,9 +760,17 @@ def _pruned_range_parts(
     num: int = RANGE_NUM,
     den: int = RANGE_DEN,
     n_centroids: int = N_CENTROIDS,
+    materialize_index: bool = False,
 ):
     """Internal pieces of ann_int8_range_search_pruned, exposed so the
-    tests can count pruned buckets: (assigned, keep, qrow)."""
+    tests can count pruned buckets: (assigned, keep, qrow).
+
+    ``materialize_index`` eagerly checkpoints the centroid assignment —
+    the local stand-in for the WRITE-TIME index build the docstring's
+    100 TB claim assumes (bucket id as partition key).  Without it the
+    df-level form pays the assignment shuffle per query, which at local
+    scales costs more than the brute scan it saves (measured:
+    tests/exp_pruned_range_scale.py)."""
     e = _vecs(spark, sf_dir)
     sc = e.agg(
         F.try_divide(
@@ -808,6 +816,8 @@ def _pruned_range_parts(
         .filter(F.col("rnk") == 1)
         .select("vec_id", "label", "v8", F.col("cid").alias("bucket"), "dist2")
     )
+    if materialize_index:
+        assigned = assigned.localCheckpoint(eager=True)
     stats = assigned.groupBy("bucket").agg(F.max("dist2").alias("r2"))
     qrow = (
         q8.orderBy("vec_id")
@@ -837,6 +847,7 @@ def ann_int8_range_search_pruned(
     num: int = RANGE_NUM,
     den: int = RANGE_DEN,
     n_centroids: int = N_CENTROIDS,
+    materialize_index: bool = False,
 ) -> DataFrame:
     """EXACTLY-pruned bucketed range search — the scale path a brute
     range scan lacks: vectors are bucketed by nearest centroid (a
@@ -859,7 +870,9 @@ def ann_int8_range_search_pruned(
     crafts one and asserts buckets actually drop).  At 100 TB the bucket
     id is the partition key, so a pruned bucket is a pruned partition —
     the scan reads only surviving buckets' int8 columns."""
-    assigned, keep, qrow = _pruned_range_parts(spark, sf_dir, num, den, n_centroids)
+    assigned, keep, qrow = _pruned_range_parts(
+        spark, sf_dir, num, den, n_centroids, materialize_index
+    )
 
     def _idot(a, b):
         return F.aggregate(
