@@ -1,0 +1,106 @@
+"""BPE tokenizer induction (r12, df-level; r13 registration candidate).
+
+The merge learner is pinned against HAND-COMPUTED merges on the classic
+Sennrich corpus (not against itself), the Spark word count against exact
+expected counts, and the Arrow encode kernel against the pure-Python
+reference encoder over the real driver corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from thesis_iceberg_spark.plans import formatted_plan
+from thesis_iceberg_spark.queries.bpe import (
+    EOW,
+    bpe_encode_df,
+    bpe_encode_word,
+    bpe_train,
+    bpe_word_counts,
+)
+from thesis_iceberg_spark.sources.registry import load_table
+
+# Sennrich et al.'s worked example
+_CLASSIC = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+
+def test_classic_corpus_merges_match_hand_computation():
+    # hand-derived: round-by-round best pairs with the (count DESC,
+    # pair ASC) tie-break — (e,s) and (s,t) and (t,</w>) all count 9 in
+    # round 1, lexicographic picks (e,s); etc.
+    merges = bpe_train(_CLASSIC, n_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", EOW),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+
+
+def test_encode_word_classic():
+    merges = bpe_train(_CLASSIC, n_merges=5)
+    # the canonical BPE demo: an UNSEEN word segments into learned units
+    assert bpe_encode_word("lowest", merges) == ["low", "est" + EOW]
+    assert bpe_encode_word("low", merges) == ["low", EOW]
+    assert bpe_encode_word("newest", merges) == ["n", "e", "w", "est" + EOW]
+
+
+def test_encoding_partitions_the_word():
+    # property: concatenating a word's subwords reproduces word + EOW
+    merges = bpe_train(_CLASSIC, n_merges=5)
+    for w in ("low", "lower", "newest", "widest", "lowest", "zq", ""):
+        assert "".join(bpe_encode_word(w, merges)) == w + EOW
+
+
+def test_min_freq_stops_early():
+    merges = bpe_train([("ab", 1), ("cd", 1)], n_merges=10, min_freq=2)
+    assert merges == []  # nothing reaches min_freq
+    assert bpe_train([], n_merges=3) == []
+
+
+def test_word_counts_and_cutoff(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bpewc"))
+    rows = [
+        (1, "aa bb aa", "en", "s", 8),
+        (2, "bb cc", "en", "s", 5),
+        (3, None, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    docs = load_table(spark, d, "documents")
+    wc = {r.word: r.c for r in bpe_word_counts(docs).collect()}
+    assert wc == {"aa": 2, "bb": 2, "cc": 1}
+    top = [tuple(r) for r in bpe_word_counts(docs, max_words=2).collect()]
+    # count DESC, word ASC at the cut: aa and bb tie at 2, cc dropped
+    assert top == [("aa", 2), ("bb", 2)]
+
+
+def test_arrow_encode_matches_reference_on_driver_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = [(r.word, r.c) for r in bpe_word_counts(docs).collect()]
+    merges = bpe_train(sorted(counts), n_merges=32)
+    assert merges, "no merges learned on the driver corpus"
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, list(r.subwords))
+        for r in bpe_encode_df(docs, merges).collect()
+    }
+    # independent reference: re-tokenize each doc in Python and encode
+    from thesis_iceberg_spark.queries.textnorm import fold_py
+
+    for row in docs.select("doc_id", "text").collect():
+        t = fold_py(row.text or "")
+        words = [w for w in t.strip(" ").lower().split() if w]
+        subs = [s for w in words for s in bpe_encode_word(w, merges)]
+        assert got[row.doc_id] == (len(words), len(subs), subs)
+    # encode is a narrow Arrow pass: no shuffle anywhere
+    plan = formatted_plan(bpe_encode_df(docs, merges))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_train_is_deterministic_under_input_order():
+    merges_a = bpe_train(_CLASSIC, n_merges=5)
+    merges_b = bpe_train(list(reversed(_CLASSIC)), n_merges=5)
+    assert merges_a == merges_b

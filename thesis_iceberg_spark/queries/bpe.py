@@ -1,0 +1,161 @@
+"""BPE tokenizer induction over the documents corpus.
+
+Training a byte-pair-encoding vocabulary is a core training-data-
+pipeline step (Sennrich et al. 2016; GPT-2's byte-level variant).  The
+scalable decomposition — and the reason this belongs in a Spark engine —
+is that BPE never needs the corpus per merge round: it needs the
+WORD-FREQUENCY TABLE.  So:
+
+  * the ONE corpus-scale job is a word count (explode + map-side-
+    combined groupBy — the same bounded-output shape as lm_unigram_vocab),
+    optionally truncated to the top ``max_words`` types by (count DESC,
+    word ASC) — the standard trainer cutoff, loud in the signature, and
+    the reason the driver-side table is bounded at ANY corpus size
+    (word types grow ~Heaps' law, but the cutoff caps what training
+    sees; counts are still exact for every kept type);
+  * the merge loop (pick the most frequent adjacent symbol pair, fuse
+    it everywhere, repeat) runs over that bounded table in plain
+    Python — deterministic by (count DESC, pair lexicographic ASC)
+    tie-break, so two engines/runs produce identical merge lists;
+  * encoding documents with the learned merges is embarrassingly
+    parallel: an Arrow mapInPandas kernel with per-token bounded state
+    (tests pin it against the reference encoder).
+
+No registered query (the r12 cap is met; r13 candidate — the encode
+output is SQL-comparable once the merge list is a literal), so the
+whole surface is pinned by tests/test_bpe.py including a pure-Python
+reference implementation of the textbook algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.queries.text import _lm_ftoks
+
+# end-of-word sentinel (Sennrich): lets merges distinguish "es" inside a
+# word from "es" at word end; chosen outside the tokenizer's alphabet
+EOW = "</w>"
+
+
+def bpe_word_counts(docs: DataFrame, max_words: int | None = None) -> DataFrame:
+    """(word, c): exact corpus word counts via the certified tokenizer —
+    the one corpus-scale job of BPE training.  ``max_words`` truncates
+    to the most frequent types (count DESC, word ASC at the cut), the
+    standard trainer cutoff that bounds the driver-side table."""
+    wc = (
+        docs.select(F.explode(_lm_ftoks()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_words is not None:
+        wc = wc.orderBy(F.col("c").desc(), F.col("word").asc()).limit(max_words)
+    return wc
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, c in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + c
+    return counts
+
+
+def _merge_vocab(
+    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    a, b = pair
+    fused = a + b
+    out: dict[tuple[str, ...], int] = {}
+    for syms, c in vocab.items():
+        merged = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(fused)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        out[tuple(merged)] = out.get(tuple(merged), 0) + c
+    return out
+
+
+def bpe_train(
+    word_counts: list[tuple[str, int]], n_merges: int, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Textbook BPE merge learning over a (word, count) table: each
+    round fuses the most frequent adjacent symbol pair (ties broken
+    count DESC then pair lexicographic ASC — fully deterministic) and
+    stops early when the best pair's frequency falls under ``min_freq``.
+    The table is bounded (bpe_word_counts' cutoff), so this driver-side
+    loop is O(n_merges * vocab) regardless of corpus size."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        syms = tuple(list(w) + [EOW])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        merges.append(best[0])
+        vocab = _merge_vocab(vocab, best[0])
+    return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges to one word, in learned order (the reference
+    encoder the Arrow kernel is pinned against)."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        i = 0
+        out: list[str] = []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_words, n_subwords, subwords): encode every document
+    with the learned merges — an Arrow mapInPandas kernel (per-token
+    bounded state, zero shuffle; the merges list rides the closure,
+    which is the broadcast-small-model pattern every tokenizer
+    deployment uses).  Tokenization mirrors _lm_ftoks via fold_py +
+    certify_py so the Python twin tokenizes exactly like the JVM
+    word-count side."""
+    from thesis_iceberg_spark.queries.textnorm import certify_py, fold_py
+
+    merges_local = list(merges)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = fold_py(text if isinstance(text, str) else "")
+                certify_py(t)
+                words = [w for w in t.strip(" ").lower().split() if w]
+                subs: list[str] = []
+                for w in words:
+                    subs.extend(bpe_encode_word(w, merges_local))
+                rows.append((doc_id, len(words), len(subs), subs))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_subwords", "subwords"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode,
+        "doc_id bigint, n_words int, n_subwords int, subwords array<string>",
+    )
