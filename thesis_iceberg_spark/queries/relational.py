@@ -587,10 +587,17 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_users",
-            (
-                F.abs(F.col("approx_users") - F.col("n_users"))
-                / F.col("n_users")
-                <= F.lit(0.05)
+            # try_divide + fallback: a group whose user_ids are ALL NULL
+            # has n_users = 0 (both counts ignore NULLs), where the bare
+            # division THROWS under ANSI (r12 degenerate-events sweep);
+            # the honest zero-group answer is approx == exact == 0
+            F.coalesce(
+                F.try_divide(
+                    F.abs(F.col("approx_users") - F.col("n_users")),
+                    F.col("n_users"),
+                )
+                <= F.lit(0.05),
+                F.col("approx_users") == F.col("n_users"),
             ).alias("approx_ok"),
         )
     )

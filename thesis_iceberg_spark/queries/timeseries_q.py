@@ -225,9 +225,9 @@ u AS (
   FROM w2 GROUP BY user_id),
 t AS (
   SELECT COUNT(*) AS n_users,
-         CAST(SUM(r1) AS BIGINT) AS n1,
-         CAST(SUM(r2) AS BIGINT) AS n2,
-         CAST(SUM(r3) AS BIGINT) AS n3
+         CAST(COALESCE(SUM(r1), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(r2), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(r3), 0) AS BIGINT) AS n3
   FROM u)
 SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
        n1 AS n_users_reached, CAST(n1 AS DOUBLE) / n_users AS frac_of_prev
@@ -299,9 +299,15 @@ def funnel_df(
             for k, h in enumerate(hits)
         ]
     )
+    # coalesce: SUM over an empty per_user frame (no timestamped events
+    # at all) is NULL in both engines, but "zero users reached step k"
+    # is the honest answer — r12 events-degenerate sweep
     t = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        *[F.sum(f"r{k + 1}").alias(f"n{k + 1}") for k in range(len(steps))],
+        *[
+            F.coalesce(F.sum(f"r{k + 1}"), F.lit(0)).alias(f"n{k + 1}")
+            for k in range(len(steps))
+        ],
     )
 
     def _row(step_no: int, name: str, n: str, prev: str):
