@@ -138,3 +138,63 @@ def test_fit_shuffle_is_bounded_by_bucket_count(spark, sf_dir):
     counts = hashed_classifier_weights(docs)
     [row] = counts.collect()
     assert len(row.w) == HC_BUCKETS
+
+
+def test_random_corpora_match_python_reference(spark):
+    # seeded-random differential: fit + score reimplemented directly in
+    # Python (hashlib md5 buckets, integer ppm rates) — pins the whole
+    # arithmetic chain beyond the crafted cases
+    import hashlib
+    import random
+
+    from thesis_iceberg_spark.queries.textnorm import fold_py
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(f"hc:{tok}".encode()).hexdigest()[:8], 16) % HC_BUCKETS
+
+    def ref(rows):
+        toks_of = lambda t: [
+            w for w in fold_py(t or "").strip(" ").lower().split() if w
+        ]
+        n_pos = [0] * HC_BUCKETS
+        n_neg = [0] * HC_BUCKETS
+        for _i, text, lang in rows:
+            for w in toks_of(text):
+                if lang == "en":
+                    n_pos[bucket(w)] += 1
+                else:
+                    n_neg[bucket(w)] += 1
+        tp, tn = sum(n_pos), sum(n_neg)
+        w = [
+            (n_pos[b] * HC_RATE_SCALE // tp if tp else 0)
+            - (n_neg[b] * HC_RATE_SCALE // tn if tn else 0)
+            for b in range(HC_BUCKETS)
+        ]
+        return {
+            i: sum(w[bucket(t)] for t in toks_of(text))
+            for i, text, lang in rows
+        }
+
+    vocab = ["the", "and", "der", "und", "alpha", "beta", "x1", "xy2", "zzz"]
+    for seed in (7, 8, 9):
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                None
+                if rng.random() < 0.05
+                else " ".join(rng.choices(vocab, k=rng.randint(0, 12))),
+                rng.choice(["en", "de", "fr", None]),
+            )
+            for i in range(40)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t, l, "s", 0) for i, t, l in rows], _SCHEMA
+        )
+        got = {
+            r.doc_id: r.score
+            for r in hashed_classifier_score(
+                docs, hashed_classifier_weights(docs)
+            ).collect()
+        }
+        assert got == ref(rows), seed
