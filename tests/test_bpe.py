@@ -12,7 +12,7 @@ import pytest
 
 from thesis_iceberg_spark.plans import formatted_plan
 from thesis_iceberg_spark.queries.bpe import (
-    EOW,
+    BOW,
     bpe_encode_df,
     bpe_encode_word,
     bpe_train,
@@ -25,32 +25,33 @@ _CLASSIC = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
 
 
 def test_classic_corpus_merges_match_hand_computation():
-    # hand-derived: round-by-round best pairs with the (count DESC,
-    # pair ASC) tie-break — (e,s) and (s,t) and (t,</w>) all count 9 in
-    # round 1, lexicographic picks (e,s); etc.
+    # hand-derived under the leading-space boundary convention:
+    # round 1 has (e,s) and (s,t) tied at 9, lexicographic picks (e,s);
+    # round 3 has (' ','l'), ('l','o'), ('o','w') tied at 7 and the
+    # space sorts first; etc.
     merges = bpe_train(_CLASSIC, n_merges=5)
     assert merges == [
         ("e", "s"),
         ("es", "t"),
-        ("est", EOW),
-        ("l", "o"),
-        ("lo", "w"),
+        (BOW, "l"),
+        (BOW + "l", "o"),
+        (BOW + "lo", "w"),
     ]
 
 
 def test_encode_word_classic():
     merges = bpe_train(_CLASSIC, n_merges=5)
     # the canonical BPE demo: an UNSEEN word segments into learned units
-    assert bpe_encode_word("lowest", merges) == ["low", "est" + EOW]
-    assert bpe_encode_word("low", merges) == ["low", EOW]
-    assert bpe_encode_word("newest", merges) == ["n", "e", "w", "est" + EOW]
+    assert bpe_encode_word("lowest", merges) == [BOW + "low", "est"]
+    assert bpe_encode_word("low", merges) == [BOW + "low"]
+    assert bpe_encode_word("newest", merges) == [BOW, "n", "e", "w", "est"]
 
 
 def test_encoding_partitions_the_word():
-    # property: concatenating a word's subwords reproduces word + EOW
+    # property: concatenating a word's subwords reproduces BOW + word
     merges = bpe_train(_CLASSIC, n_merges=5)
     for w in ("low", "lower", "newest", "widest", "lowest", "zq", ""):
-        assert "".join(bpe_encode_word(w, merges)) == w + EOW
+        assert "".join(bpe_encode_word(w, merges)) == BOW + w
 
 
 def test_min_freq_stops_early():
@@ -104,3 +105,17 @@ def test_train_is_deterministic_under_input_order():
     merges_a = bpe_train(_CLASSIC, n_merges=5)
     merges_b = bpe_train(list(reversed(_CLASSIC)), n_merges=5)
     assert merges_a == merges_b
+
+
+def test_boundary_marker_is_unforgeable_from_text():
+    # an HTML-heavy corpus full of literal "</w>"-ish character runs can
+    # never forge the boundary: tokens are whitespace-split so no base
+    # symbol is ' ', hence any symbol containing ' ' derives from the
+    # prepended marker — and it can only ever be a word's FIRST subword
+    corpus = [("</w>", 50), ("a</w>b", 30), ("<</w>>", 20), ("plain", 10)]
+    merges = bpe_train(corpus, n_merges=20)
+    for w in ("</w>", "a</w>b", "x</w>", "plain"):
+        subs = bpe_encode_word(w, merges)
+        assert "".join(subs) == BOW + w
+        for i, s in enumerate(subs):
+            assert (BOW in s) == (i == 0 and s.startswith(BOW)), (w, subs)

@@ -6,20 +6,32 @@ scalable decomposition — and the reason this belongs in a Spark engine —
 is that BPE never needs the corpus per merge round: it needs the
 WORD-FREQUENCY TABLE.  So:
 
-  * the ONE corpus-scale job is a word count (explode + map-side-
-    combined groupBy — the same bounded-output shape as lm_unigram_vocab),
-    optionally truncated to the top ``max_words`` types by (count DESC,
-    word ASC) — the standard trainer cutoff, loud in the signature, and
-    the reason the driver-side table is bounded at ANY corpus size
-    (word types grow ~Heaps' law, but the cutoff caps what training
-    sees; counts are still exact for every kept type);
+  * the ONE corpus-scale job is a word count (lm_unigram_vocab — the
+    same bounded-output shape the LM-rarity filter fits with, shared so
+    the two counts can never drift), optionally truncated to the top
+    ``max_words`` types by (count DESC, word ASC) — the standard trainer
+    cutoff, loud in the signature, and the reason the driver-side table
+    is bounded at ANY corpus size (word types grow ~Heaps' law, but the
+    cutoff caps what training sees; counts stay exact for every kept
+    type);
   * the merge loop (pick the most frequent adjacent symbol pair, fuse
     it everywhere, repeat) runs over that bounded table in plain
     Python — deterministic by (count DESC, pair lexicographic ASC)
     tie-break, so two engines/runs produce identical merge lists;
   * encoding documents with the learned merges is embarrassingly
     parallel: an Arrow mapInPandas kernel with per-token bounded state
-    (tests pin it against the reference encoder).
+    and a per-task word->subwords memo (Zipf: a few hundred types cover
+    most tokens), pinned against the reference encoder.
+
+Word-boundary convention: GPT-2/SentencePiece-style LEADING marker — a
+SPACE symbol prepended to every word ("low" -> [' ', 'l', 'o', 'w']).
+The space is genuinely outside the symbol alphabet BY CONSTRUCTION
+(tokens are whitespace-split, so no character of any word is ' '),
+which makes boundary-touching merges unforgeable from literal text.
+The classic trailing '</w>' sentinel does NOT have that property: an
+HTML-heavy corpus containing literal "</w>" substrings could learn
+'<'+'/', '</'+'w', '</w'+'>' and alias the sentinel, letting word-final
+merges fire word-internally (r12 review #3).
 
 No registered query (the r12 cap is met; r13 candidate — the encode
 output is SQL-comparable once the merge list is a literal), so the
@@ -32,26 +44,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from thesis_iceberg_spark.queries.text import _lm_ftoks
+from thesis_iceberg_spark.queries.text import lm_unigram_vocab
 
-# end-of-word sentinel (Sennrich): lets merges distinguish "es" inside a
-# word from "es" at word end; chosen outside the tokenizer's alphabet
-EOW = "</w>"
+# leading word-boundary marker (see module doc): unforgeable because
+# whitespace-split tokens can never contain a space
+BOW = " "
 
 
 def bpe_word_counts(docs: DataFrame, max_words: int | None = None) -> DataFrame:
     """(word, c): exact corpus word counts via the certified tokenizer —
-    the one corpus-scale job of BPE training.  ``max_words`` truncates
-    to the most frequent types (count DESC, word ASC at the cut), the
-    standard trainer cutoff that bounds the driver-side table."""
-    wc = (
-        docs.select(F.explode(_lm_ftoks()).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
+    the one corpus-scale job of BPE training, delegated to
+    lm_unigram_vocab (one canonical implementation).  ``max_words``
+    truncates to the most frequent types (count DESC, word ASC at the
+    cut), the standard trainer cutoff that bounds the driver-side
+    table."""
+    return lm_unigram_vocab(docs, max_words).select(
+        F.col("t").alias("word"), "c"
     )
-    if max_words is not None:
-        wc = wc.orderBy(F.col("c").desc(), F.col("word").asc()).limit(max_words)
-    return wc
 
 
 def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
@@ -93,7 +102,7 @@ def bpe_train(
     loop is O(n_merges * vocab) regardless of corpus size."""
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in word_counts:
-        syms = tuple(list(w) + [EOW])
+        syms = tuple([BOW] + list(w))
         vocab[syms] = vocab.get(syms, 0) + c
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -111,7 +120,7 @@ def bpe_train(
 def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply learned merges to one word, in learned order (the reference
     encoder the Arrow kernel is pinned against)."""
-    syms = list(word) + [EOW]
+    syms = [BOW] + list(word)
     for a, b in merges:
         i = 0
         out: list[str] = []
@@ -131,15 +140,25 @@ def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     with the learned merges — an Arrow mapInPandas kernel (per-token
     bounded state, zero shuffle; the merges list rides the closure,
     which is the broadcast-small-model pattern every tokenizer
-    deployment uses).  Tokenization mirrors _lm_ftoks via fold_py +
-    certify_py so the Python twin tokenizes exactly like the JVM
-    word-count side."""
+    deployment uses).  A per-task word->subwords memo turns the
+    per-OCCURRENCE merge loop into a per-TYPE one (Zipf: a few hundred
+    types cover most tokens — r12 review #3).  Tokenization mirrors
+    _lm_ftoks via fold_py + certify_py so the Python twin tokenizes
+    exactly like the JVM word-count side."""
     from thesis_iceberg_spark.queries.textnorm import certify_py, fold_py
 
     merges_local = list(merges)
 
     def encode(batches):
         import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            hit = memo.get(w)
+            if hit is None:
+                hit = memo[w] = bpe_encode_word(w, merges_local)
+            return hit
 
         for pdf in batches:
             rows = []
@@ -149,7 +168,7 @@ def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
                 words = [w for w in t.strip(" ").lower().split() if w]
                 subs: list[str] = []
                 for w in words:
-                    subs.extend(bpe_encode_word(w, merges_local))
+                    subs.extend(enc(w))
                 rows.append((doc_id, len(words), len(subs), subs))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_words", "n_subwords", "subwords"]

@@ -54,6 +54,24 @@ def _cosine(u: Column, w: Column) -> Column:
     return F.try_divide(_dot(u, w), F.sqrt(_dot(u, u)) * F.sqrt(_dot(w, w)))
 
 
+def _int8_quantize(col: Column) -> Column:
+    """floor(x*s + 0.5) under the in-scope corpus scale column ``s`` —
+    the ONE quantization expression (r12 review: this closure existed in
+    three copies; a drift between them would silently break the
+    'identical by construction' parity the int8 family's tests pin)."""
+    return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
+
+
+def _int8_dot(a: Column, b: Column) -> Column:
+    """Exact bigint dot product of two integer arrays (sequential fold,
+    same shape every engine computes identically)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p,
+    )
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
@@ -402,8 +420,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
 
-    def _q8(col):
-        return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
+    _q8 = _int8_quantize
 
     q = (
         e.orderBy("vec_id")
@@ -674,15 +691,7 @@ def ann_int8_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
 
-    def _q8(col):
-        return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
-
-    def _idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, p: acc + p,
-        )
+    _q8, _idot = _int8_quantize, _int8_dot
 
     q = (
         e.orderBy("vec_id")
@@ -779,37 +788,50 @@ def _pruned_range_parts(
         ).alias("s")
     )
 
-    def _q8(col):
-        return F.transform(col, lambda x: F.floor(x * F.col("s") + F.lit(0.5)))
-
-    def _idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, p: acc + p,
-        )
+    _q8, _idot = _int8_quantize, _int8_dot
 
     from pyspark.sql.window import Window
 
-    q8 = e.crossJoin(F.broadcast(sc)).select(
-        "vec_id", "label", _q8(F.col("v")).alias("v8")
+    # two-step projections: v8 (quantize HOF) lands first, vself (self
+    # dot) reads it as a plain column — each O(d) expression evaluated
+    # once per VECTOR, before the xN_CENTROIDS crossJoin multiplies rows
+    q8 = (
+        e.crossJoin(F.broadcast(sc))
+        .select("vec_id", "label", _q8(F.col("v")).alias("v8"))
+        .select(
+            "vec_id",
+            "label",
+            "v8",
+            _idot(F.col("v8"), F.col("v8")).alias("vself"),
+        )
     )
     cent = (
         q8.orderBy("vec_id")
         .limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("v8").alias("c8"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v8").alias("c8"),
+            F.col("vself").alias("cself"),
+        )
     )
     # index build (write-time at scale): assign each vector to its
-    # max-integer-dot centroid, deterministic tie-break on cid
+    # max-integer-dot centroid, deterministic tie-break on cid.
+    # dist2 = |v-c|^2 expands to vself - 2*dc + cself so every O(d) dot
+    # is projected ONCE (HOF lambdas are excluded from codegen
+    # subexpression elimination, SPARK-35410 — a zip_with difference
+    # array referenced twice would run twice per (vector x centroid)
+    # row on the hottest index-build path; r12 review)
     w = Window.partitionBy("vec_id").orderBy(F.col("dc").desc(), F.col("cid"))
     assigned = (
         q8.crossJoin(F.broadcast(cent))
         .select(
-            "vec_id", "label", "v8", "cid",
+            "vec_id", "label", "v8", "cid", "cself", "vself",
             _idot(F.col("v8"), F.col("c8")).alias("dc"),
-            _idot(
-                F.zip_with(F.col("v8"), F.col("c8"), lambda a, b: a - b),
-                F.zip_with(F.col("v8"), F.col("c8"), lambda a, b: a - b),
+        )
+        .select(
+            "vec_id", "label", "v8", "cid", "dc",
+            (
+                F.col("vself") - F.lit(2) * F.col("dc") + F.col("cself")
             ).alias("dist2"),
         )
         .withColumn("rnk", F.row_number().over(w))
@@ -819,14 +841,10 @@ def _pruned_range_parts(
     if materialize_index:
         assigned = assigned.localCheckpoint(eager=True)
     stats = assigned.groupBy("bucket").agg(F.max("dist2").alias("r2"))
-    qrow = (
-        q8.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("v8").alias("qq"),
-        )
-        .select("qid", "qq", _idot(F.col("qq"), F.col("qq")).alias("qself"))
+    qrow = q8.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v8").alias("qq"),
+        F.col("vself").alias("qself"),  # already projected per vector
     )
     # per-bucket ball bound, evaluated on the tiny (buckets x 1) frame
     lhs = F.lit(num) * F.col("qself") - F.lit(den) * _idot(F.col("c8"), F.col("qq"))
@@ -874,14 +892,7 @@ def ann_int8_range_search_pruned(
         spark, sf_dir, num, den, n_centroids, materialize_index
     )
 
-    def _idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, p: acc + p,
-        )
-
-    qdot = _idot(F.col("v8"), F.col("qq"))
+    qdot = _int8_dot(F.col("v8"), F.col("qq"))
     return (
         assigned.join(F.broadcast(keep), "bucket", "left_semi")
         .crossJoin(F.broadcast(qrow))

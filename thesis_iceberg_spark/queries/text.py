@@ -1299,17 +1299,21 @@ _SQL_COALESCED_TEXT = "coalesce(text, '')"
 _SQL_LM_FTOKS = f"list_filter({_sql_toks(_SQL_COALESCED_TEXT)}, t -> t <> '')"
 
 
-def lm_unigram_vocab(docs: DataFrame, v: int) -> DataFrame:
+def lm_unigram_vocab(docs: DataFrame, v: int | None) -> DataFrame:
     """(t, c): corpus token counts for the top-``v`` vocabulary.
     One map-side-combined groupBy(token) + TakeOrdered(v) by
-    (count DESC, token ASC) — deterministic at the cut."""
-    return (
+    (count DESC, token ASC) — deterministic at the cut.  ``v=None``
+    returns the full (unordered) count table — the ONE canonical
+    bounded-vocabulary job (bpe.bpe_word_counts delegates here since
+    r12 review #3 so the two counts can never drift)."""
+    wc = (
         docs.select(F.explode(_lm_ftoks()).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("t").asc())
-        .limit(v)
     )
+    if v is None:
+        return wc
+    return wc.orderBy(F.col("c").desc(), F.col("t").asc()).limit(v)
 
 
 # Above this vocabulary size the one-row-map scoring path switches to an
