@@ -119,3 +119,78 @@ def test_boundary_marker_is_unforgeable_from_text():
         assert "".join(subs) == BOW + w
         for i, s in enumerate(subs):
             assert (BOW in s) == (i == 0 and s.startswith(BOW)), (w, subs)
+
+
+# --- the r13 registered query: frozen literal merges + SQL twin -------------
+
+
+def test_frozen_merges_match_retraining_on_reference_corpus():
+    # BPE_MERGES is a literal so the oracle SQL can bake it in; this pin
+    # re-derives it from the sf0.001 reference corpus (fixed path — the
+    # training corpus, regardless of which sf the suite runs at) so the
+    # literal cannot drift from what bpe_train actually produces
+    import duckdb
+
+    from thesis_iceberg_spark.queries.bpe import BPE_MERGES, bpe_train
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    wc = con.sql(
+        "SELECT t, COUNT(*) AS c FROM (SELECT unnest(list_filter("
+        "regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),"
+        " t -> t <> '')) AS t FROM documents) GROUP BY 1"
+    ).fetchall()
+    assert tuple(bpe_train(wc, n_merges=len(BPE_MERGES))) == BPE_MERGES
+
+
+def test_no_self_pair_merges_in_frozen_list():
+    # the SQL twin's two-pass replace diverges from greedy BPE on odd
+    # same-symbol runs >= 5 under a self-pair merge (see _enc_sql), so
+    # the frozen list must never contain one
+    from thesis_iceberg_spark.queries.bpe import BPE_MERGES
+
+    assert all(a != b for a, b in BPE_MERGES)
+
+
+def test_sql_twin_matches_python_encoder_on_adversarial_words():
+    # the delimited two-pass-replace SQL must reproduce bpe_encode_word
+    # exactly — including on adjacent-run words where the replace trick
+    # has to work for its two passes ('ssss' under (' ','s')-adjacent
+    # chains, 'ararar' under ('a','r'), boundary-touching 'sort'/'as')
+    import duckdb
+
+    from thesis_iceberg_spark.queries.bpe import (
+        BPE_MERGES,
+        BPE_SEP,
+        _enc_sql,
+        bpe_encode_word,
+    )
+
+    words = [
+        "scan", "column", "window", "order", "sort", "part", "partition",
+        "merge", "as", "s", "ssss", "sssss", "ararar", "arar", "inin",
+        "owow", "lulu", "aaaa", "vvvv", "atat", "parpar", "erer",
+        "xerox", "minnow", "torn", "rust",
+    ]
+    con = duckdb.connect()
+    q = "SELECT " + ", ".join(
+        f"({_enc_sql(repr(w))}) AS w{i}" for i, w in enumerate(words)
+    )
+    row = con.sql(q).fetchone()
+    for i, w in enumerate(words):
+        assert row[i].split(BPE_SEP) == bpe_encode_word(w, list(BPE_MERGES)), w
+
+
+def test_registered_encode_output_shape(spark, sf_dir):
+    from thesis_iceberg_spark.queries import REGISTRY, queries
+
+    queries()
+    df = REGISTRY["text_bpe_encode"].fn(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "n_words", "n_subwords", "subwords_s"
+    ]
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan  # zero-shuffle Arrow encode

@@ -140,6 +140,34 @@ def test_general_funnel_df_four_steps(spark, tmp_path_factory):
     assert plan.count("Window") >= 3
 
 
+def test_registered_4step_dropoff_is_real(spark, sf_dir):
+    # the r13-registered 4-step funnel (signup -> view -> click ->
+    # purchase) must exercise every transition arm at driver scale —
+    # strict drop-off, nothing degenerate (sf0.01: 150/39/16/5)
+    fn = REGISTRY["events_funnel_4step"].fn
+    n = {r.step: r.n_users_reached for r in fn(spark, sf_dir).collect()}
+    assert n[1] > n[2] > n[3] > n[4] > 0, n
+
+
+def test_oracle_generator_matches_handwritten_3step_shape():
+    # _funnel_oracle(FUNNEL_STEPS) replaced r12's hand-written SQL; the
+    # clause inventory must be the hand-written shape (3 steps -> 2
+    # chained-window CTEs, 3 rollup arms, 3 UNION'd step rows)
+    from thesis_iceberg_spark.queries.timeseries_q import (
+        FUNNEL_STEPS,
+        FUNNEL_STEPS_4,
+        _funnel_oracle,
+    )
+
+    s3 = _funnel_oracle(FUNNEL_STEPS)
+    assert s3.count("OVER (PARTITION BY user_id") == 2
+    assert s3.count("UNION ALL") == 2
+    s4 = _funnel_oracle(FUNNEL_STEPS_4)
+    assert s4.count("OVER (PARTITION BY user_id") == 3
+    assert s4.count("UNION ALL") == 3
+    assert "prev3" in s4 and "prev4" not in s4
+
+
 def test_funnel_df_rejects_single_step():
     import pytest
 

@@ -33,18 +33,24 @@ HTML-heavy corpus containing literal "</w>" substrings could learn
 '<'+'/', '</'+'w', '</w'+'>' and alias the sentinel, letting word-final
 merges fire word-internally (r12 review #3).
 
-No registered query (the r12 cap is met; r13 candidate — the encode
-output is SQL-comparable once the merge list is a literal), so the
-whole surface is pinned by tests/test_bpe.py including a pure-Python
-reference implementation of the textbook algorithm.
+Registered r13 (`text_bpe_encode`, VERDICT r12 #1): the merge list is a
+FROZEN LITERAL — trained once on the sf0.001 reference corpus and
+applied to whatever corpus the driver hands the query, which is exactly
+how production tokenizers deploy (train once on a sample, encode
+everything) — so the encode output is fully SQL-expressible and gets a
+value oracle.  The DuckDB twin encodes each word by iterated string
+replace over a separator-delimited symbol string (see _enc_sql); the
+rest of the surface stays pinned by tests/test_bpe.py including a
+pure-Python reference implementation of the textbook algorithm.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thesis_iceberg_spark.queries.text import lm_unigram_vocab
+from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries.text import _SQL_LM_FTOKS, lm_unigram_vocab
 
 # leading word-boundary marker (see module doc): unforgeable because
 # whitespace-split tokens can never contain a space
@@ -177,4 +183,102 @@ def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         encode,
         "doc_id bigint, n_words int, n_subwords int, subwords array<string>",
+    )
+
+
+# --- the registered query: encode with a FROZEN literal merge list (r13) ----
+
+# Trained by bpe_train(n_merges=16) on the sf0.001 reference corpus's
+# word counts and frozen here — the production deployment shape (a
+# tokenizer is trained once on a sample, then applied to any corpus),
+# and the move that makes the encode output SQL-expressible (VERDICT
+# r12: "SQL-comparable once the merge list is a literal").
+# tests/test_bpe.py re-derives this list from the corpus so it cannot
+# drift silently.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    (" ", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("l", "u"),
+    (" ", "a"), (" ", "v"), ("a", "r"), ("p", "ar"), (" ", "c"), ("a", "s"),
+    (" ", "f"), ("m", "er"), (" ", "t"), ("a", "t"),
+)
+
+# The SQL twin applies each merge as a string replace over a
+# separator-delimited symbol string.  A left-to-right non-overlapping
+# replace of '<sep>a<sep>b<sep>' SKIPS an occurrence whose leading
+# separator was consumed by the previous match, so each merge runs TWO
+# replace passes: pass 1 fuses every other occurrence of an adjacent
+# run, which isolates the leftovers between fused symbols, and pass 2
+# fuses those.  That equals the symbol-space greedy fuse EXCEPT for
+# self-pair merges (a, a) over odd runs >= 5 of the same symbol (greedy
+# pairs strictly left-to-right; the two-pass replace fuses 1st/3rd
+# before 2nd, yielding a different subword ORDER) — so self-pairs are
+# excluded from the frozen list by the assert below, and the pytest
+# property check compares the SQL twin against bpe_encode_word on
+# adversarial repeat words.
+assert all(a != b for a, b in BPE_MERGES), (
+    "self-pair merges are excluded: the SQL twin's two-pass replace "
+    "diverges from greedy BPE on odd same-symbol runs (see comment)"
+)
+
+# symbol separator for the SQL twin: \x1f can never appear inside a
+# symbol — the textnorm fold maps \x1c-\x1f to a space BEFORE
+# tokenization, so no token (and no fused symbol) contains it; the BOW
+# marker ' ' is likewise token-impossible (whitespace-split)
+BPE_SEP = "\x1f"
+
+
+def _enc_sql(var: str) -> str:
+    """DuckDB expression encoding one word (lambda var ``var``) into its
+    BPE_SEP-joined subwords under the frozen BPE_MERGES."""
+    s = (
+        f"'{BPE_SEP}' || ' ' || '{BPE_SEP}' || "
+        f"array_to_string(string_split_regex({var}, ''), '{BPE_SEP}') || "
+        f"'{BPE_SEP}'"
+    )
+    for a, b in BPE_MERGES:
+        pat = f"'{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}'"
+        rep = f"'{BPE_SEP}{a}{b}{BPE_SEP}'"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return f"trim({s}, '{BPE_SEP}')"
+
+
+def _bpe_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_LM_FTOKS} AS ws FROM documents),
+enc AS (SELECT doc_id, ws, list_transform(ws, w -> {_enc_sql("w")}) AS es
+        FROM toks)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(
+                es, e -> len(string_split(e, '{BPE_SEP}')))), 0) AS BIGINT)
+           AS n_subwords,
+       array_to_string(es, '{BPE_SEP}') AS subwords_s
+FROM enc
+"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_oracle(),
+    doc="BPE subword encoding of every document under a FROZEN literal "
+    "merge list (trained once by bpe_train on the sf0.001 reference "
+    "corpus — the deploy-a-trained-tokenizer shape): (doc_id, n_words, "
+    "n_subwords, subwords_s) with the subword sequence joined on \\x1f "
+    "(token-impossible post-fold). Spark side is the zero-Exchange "
+    "Arrow mapInPandas encoder with a per-task word->subwords memo; the "
+    "DuckDB twin encodes via two-pass delimited string replace per "
+    "merge (equivalence argument at _enc_sql, property-pinned in "
+    "tests/test_bpe.py). FULL value oracle over the exact subword "
+    "sequence.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    enc = bpe_encode_df(
+        load_table(spark, sf_dir, "documents"), list(BPE_MERGES)
+    )
+    return enc.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_subwords").cast("bigint").alias("n_subwords"),
+        F.array_join("subwords", BPE_SEP).alias("subwords_s"),
     )
