@@ -73,15 +73,24 @@ _SQL_HC_BUCKET = (
 )
 
 
-def hashed_classifier_weights(docs: DataFrame) -> DataFrame:
+def hashed_classifier_weights(
+    docs: DataFrame, toks_col: Column | None = None
+) -> DataFrame:
     """ONE-ROW frame holding the dense weight array ``w`` (length
     HC_BUCKETS, bigint ppm-rate differences) fit from ``docs``
     (doc_id, text, lang).  Shapes: explode -> 64-key map-side-combined
     groupBy -> two tiny single-row/64-row aggregates; nothing here
-    scales with corpus size except the one bounded shuffle."""
+    scales with corpus size except the one bounded shuffle.
+
+    ``toks_col`` overrides the token source (default: the certified
+    _lm_ftoks over ``text``) — the composition fits from the pass-A
+    staged norm_text instead of re-scanning raw text (r13, VERDICT r12
+    #2); splitting the collapsed norm_text on single spaces yields
+    exactly _lm_ftoks' tokens, so the registered classifier's oracle
+    fragment still covers the composed fit."""
     spark = docs.sparkSession
     base = docs.select(
-        F.explode(_lm_ftoks()).alias("t"),
+        F.explode(_lm_ftoks() if toks_col is None else toks_col).alias("t"),
         F.when(F.col("lang") == HC_POS_LANG, F.lit(1))
         .otherwise(F.lit(0))
         .alias("pos"),
@@ -122,19 +131,29 @@ def hashed_classifier_weights(docs: DataFrame) -> DataFrame:
     )
 
 
-def hashed_classifier_score(docs: DataFrame, weights_row: DataFrame) -> DataFrame:
-    """Score every doc with the broadcast dense weight array: one narrow
-    zero-shuffle projection (the 100 TB hot path).  Returns
-    (doc_id, n_toks, score, pred, is_pos_label)."""
-    toks = _lm_ftoks()
-    score = F.aggregate(
+def hashed_classifier_score_expr(toks_col: Column) -> Column:
+    """bigint classifier score of one document's token array against the
+    in-scope dense weight array column ``w`` — the zero-shuffle HOF the
+    score path and the composition's gate arm share (one canonical
+    expression, same discipline as _int8_quantize).  Callers must
+    reference the result ONCE per projection/filter: the lambdas are
+    excluded from codegen subexpression elimination (SPARK-35410)."""
+    return F.aggregate(
         F.transform(
-            F.col("toks"),
+            toks_col,
             lambda t: F.element_at(F.col("w"), (_hc_bucket(t) + 1).cast("int")),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def hashed_classifier_score(docs: DataFrame, weights_row: DataFrame) -> DataFrame:
+    """Score every doc with the broadcast dense weight array: one narrow
+    zero-shuffle projection (the 100 TB hot path).  Returns
+    (doc_id, n_toks, score, pred, is_pos_label)."""
+    toks = _lm_ftoks()
+    score = hashed_classifier_score_expr(F.col("toks"))
     # score is projected ONCE, pred derived from the projected column in
     # a follow-up select: the HOF aggregate contains lambdas, which
     # Spark's codegen subexpression elimination skips (SPARK-35410), so

@@ -1064,6 +1064,19 @@ PRETRAIN_EDIT_SIM_MIN = 0.95
 # the three thresholds stay visible in one place.
 PRETRAIN_MIN_STOP_HITS = 1
 
+# Trained-classifier gate (r13, VERDICT r12 #2): real pipelines gate on a
+# classifier score, not heuristics alone (CCNet Wenzek et al. 2019; GPT-3
+# Brown et al. 2020 App. A) — the composition now requires the hashed
+# linear classifier's exact-integer score to favor the positive (en)
+# class.  Threshold 0 = "predicted positive", the text_hashed_classifier
+# pred convention; the fit runs over the FULL scrubbed corpus (the same
+# full-corpus convention the victim sets use) and BOTH fit and score
+# read the pass-A staged norm_text, so raw text stays at exactly two
+# scans (splitting the collapsed norm_text on single spaces reproduces
+# _lm_ftoks' tokens — tests/test_pretrain_corpus.py pins the gate delta
+# and the registered classifier's oracle fragment covers the arithmetic).
+PRETRAIN_HC_SCORE_MIN = 0
+
 
 def _pretrain_oracle() -> str:
     from thesis_iceberg_spark.queries.text import (
@@ -1082,6 +1095,7 @@ q AS ({REGISTRY["text_quality_scores"].oracle}),
 l AS ({REGISTRY["text_lang_id"].oracle}),
 glex AS ({REGISTRY["text_gopher_lexical_flags"].oracle}),
 c4 AS ({REGISTRY["text_c4_badwords_flags"].oracle}),
+hc AS ({REGISTRY["text_hashed_classifier"].oracle}),
 fp AS ({REGISTRY["text_fingerprint"].oracle}),
 ev AS ({REGISTRY["dedup_edit_verified_pairs"].oracle}),
 dec AS ({REGISTRY["pipeline_decontaminate"].oracle}),
@@ -1096,9 +1110,11 @@ gated AS (
   JOIN l USING (doc_id)
   JOIN glex USING (doc_id)
   JOIN c4 USING (doc_id)
+  JOIN hc USING (doc_id)
   JOIN canon USING (doc_id)
   JOIN toks t USING (doc_id)
   WHERE garb.keep
+    AND hc.score > {PRETRAIN_HC_SCORE_MIN}
     AND q.quality_score >= {QUALITY_MIN}
     AND l.detected_lang = 'en'
     AND glex.alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
@@ -1146,7 +1162,11 @@ FROM mixed
     "pipeline_pretrain_corpus",
     oracle=_pretrain_oracle(),
     doc="END-TO-END pre-training corpus composition: PII scrub -> garbage/"
-    "mojibake gate (r12) + quality + Gopher-lexical + C4-badwords + "
+    "mojibake gate (r12) + TRAINED-classifier gate (r13 — the hashed "
+    "linear classifier's exact-integer score must favor the positive "
+    "class, fit and scored from the pass-A staged norm_text so raw text "
+    "stays at two scans; CCNet/GPT-3 gate on a classifier, not "
+    "heuristics alone) + quality + Gopher-lexical + C4-badwords + "
     "language gates -> 90% train split -> exact dedup (fingerprint "
     "canonical) -> fuzzy dedup = n-gram-Jaccard candidates VERIFIED by "
     "banded byte-Levenshtein (r12 — order-blind set overlap alone no "
@@ -1165,6 +1185,10 @@ FROM mixed
 def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from thesis_iceberg_spark.queries.classify import (
+        hashed_classifier_score_expr,
+        hashed_classifier_weights,
+    )
     from thesis_iceberg_spark.queries.dedup import (
         _capped_shingles,
         _norm,
@@ -1189,7 +1213,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PHONE_RE,
         "[PHONE]",
     )
-    staged = docs.select("doc_id", "source", scrub.alias("text"))
+    staged = docs.select("doc_id", "source", "lang", scrub.alias("text"))
     # ---- pass A: ONE fused projection chain = one raw text scan --------
     # the garbage/mojibake gate rides the same fused projection (r12,
     # VERDICT r11 #3 — decode damage is the FIRST thing a real crawl
@@ -1198,16 +1222,20 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the registered query's synthetic tail exists only because the
     # driver corpus is clean, and the shared sql_garbage_flags fragment
     # keeps the two consumers drift-impossible
-    gflags = garbage_flags_df(staged, keep_cols=("source", "text")).select(
-        "doc_id", "source", "text", F.col("keep").alias("garbage_keep")
+    gflags = garbage_flags_df(staged, keep_cols=("source", "lang", "text")).select(
+        "doc_id", "source", "lang", "text", F.col("keep").alias("garbage_keep")
     )
     feats = (
         c4_badwords_flags_df(
             gopher_lexical_flags_df(
                 lang_id_df(
-                    quality_frame(gflags, keep_cols=("source", "text", "garbage_keep")),
+                    quality_frame(
+                        gflags,
+                        keep_cols=("source", "lang", "text", "garbage_keep"),
+                    ),
                     keep_cols=(
                         "source",
+                        "lang",
                         "text",
                         "garbage_keep",
                         "n_tokens",
@@ -1216,6 +1244,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 keep_cols=(
                     "source",
+                    "lang",
                     "text",
                     "garbage_keep",
                     "n_tokens",
@@ -1232,6 +1261,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             keep_cols=(
                 "source",
+                "lang",
                 "text",
                 "garbage_keep",
                 "n_tokens",
@@ -1244,6 +1274,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            "lang",
             "n_tokens",
             "quality_score",
             "detected_lang",
@@ -1291,12 +1322,28 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_sim=PRETRAIN_EDIT_SIM_MIN,
     ).select(F.col("doc_b").alias("doc_id"))
     contaminated = decontaminate_from_shingles(sh).select("doc_id")
+    # ---- trained-classifier gate (r13, VERDICT r12 #2) -----------------
+    # fit AND score read the pass-A staged norm_text (splitting the
+    # collapsed text on single spaces == _lm_ftoks over the scrubbed
+    # text, so the registered classifier's oracle fragment covers both);
+    # the fit is over the FULL scrubbed corpus — the same convention as
+    # the victim sets — and costs one explode over the checkpoint plus
+    # the 64-key map-side-combined shuffle; the score is a zero-shuffle
+    # HOF against the broadcast one-row weight array, referenced exactly
+    # once (in the gate conjunction) per the SPARK-35410 discipline
+    hc_toks = F.filter(
+        F.split(F.coalesce(F.col("norm_text"), F.lit("")), " "),
+        lambda t: t != F.lit(""),
+    )
+    hc_w = hashed_classifier_weights(feats, toks_col=hc_toks)
     # ---- gates + dedup + decontamination (all narrow from here on) -----
     canon = F.min("doc_id").over(Window.partitionBy("fingerprint"))
     gated = (
-        feats.withColumn("canonical", canon)
+        feats.crossJoin(F.broadcast(hc_w))
+        .withColumn("canonical", canon)
         .filter(
             F.col("garbage_keep")
+            & (hashed_classifier_score_expr(hc_toks) > PRETRAIN_HC_SCORE_MIN)
             & (F.col("quality_score") >= QUALITY_MIN)
             & (F.col("detected_lang") == "en")
             & F.col("gopher_keep")
