@@ -179,3 +179,41 @@ def test_registered_query_matches_duckdb_oracle(spark, tmp_path_factory):
         d,
     )
     assert r.ok, str(r)
+
+def test_filter_bytes_budget_raises_loudly():
+    # r13 (VERDICT r12 #3): a corpus-scaled n_items must never silently
+    # size a multi-GB array — the guard fires BEFORE any job runs, so no
+    # spark frame is even needed to pin it
+    from thesis_iceberg_spark.queries.dedup import (
+        BLOOM_MAX_FILTER_BYTES,
+        bloom_build,
+    )
+
+    too_big_m = (BLOOM_MAX_FILTER_BYTES * 8) + 64
+    with pytest.raises(ValueError, match="prefix"):
+        bloom_build(None, too_big_m, 7)
+
+
+def test_tree_merge_equals_flat_driver_merge(spark):
+    # the treeAggregate OR-merge must produce the byte-identical filter
+    # the r12 flat driver merge produced, on a genuinely multi-partition
+    # build (8 partitions -> 8 per-partition arrays to merge)
+    import numpy as np
+
+    from thesis_iceberg_spark.queries.dedup import (
+        _bloom_params,
+        _bloom_positions,
+        bloom_build,
+    )
+
+    fps = spark.range(0, 4000).repartition(8).select(
+        F.md5(F.col("id").cast("string").cast("binary")).alias("fingerprint")
+    )
+    m, k = _bloom_params(4000)
+    got = bloom_build(fps, m, k)
+    # flat reference merge, straight from the definition
+    acc = np.zeros(m // 64, dtype=np.uint64)
+    for (fp,) in fps.collect():
+        for pos in _bloom_positions(fp, m, k):
+            acc[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+    assert got == acc.tobytes()

