@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     args = sys.argv[1:]
-    if args and "/" in args[0]:
+    # a directory argument is the sf_dir; anything else is a query name
+    # (review r13: a '/'-based sniff misrouted relative dirs like sf0.01)
+    if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
 
     from thesis_iceberg_spark import get_spark

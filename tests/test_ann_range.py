@@ -211,11 +211,17 @@ def test_write_time_index_prunes_actual_files(spark, tmp_path_factory):
     plan = formatted_plan(out)
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf_lines, plan
+    # the plan holds TWO scans of location/vectors (the bucket-filtered
+    # corpus scan and the qrow point-read with empty PartitionFilters) —
+    # parse whichever line carries the literal bucket list (review r13:
+    # pf_lines[0] assumed a print order Spark does not promise)
     kept_buckets = {
-        int(x) for x in re.findall(r"(?:= |IN \(|INSET )([\d, ]+)", pf_lines[0])
-        for x in str(x).replace(",", " ").split()
+        int(x)
+        for ln in pf_lines
+        for grp in re.findall(r"(?:= |IN \(|INSET )([\d, ]+)", ln)
+        for x in grp.replace(",", " ").split()
     }
-    assert kept_buckets, pf_lines[0]
+    assert kept_buckets, pf_lines
 
     vec = spark.read.parquet(f"{loc}/vectors")
     all_files = {

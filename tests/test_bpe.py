@@ -124,25 +124,27 @@ def test_boundary_marker_is_unforgeable_from_text():
 # --- the r13 registered query: frozen literal merges + SQL twin -------------
 
 
-def test_frozen_merges_match_retraining_on_reference_corpus():
+def test_frozen_merges_match_retraining_on_reference_corpus(spark):
     # BPE_MERGES is a literal so the oracle SQL can bake it in; this pin
-    # re-derives it from the sf0.001 reference corpus (fixed path — the
-    # training corpus, regardless of which sf the suite runs at) so the
-    # literal cannot drift from what bpe_train actually produces
-    import duckdb
-
-    from thesis_iceberg_spark.queries.bpe import BPE_MERGES, bpe_train
-
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    # re-derives it through the REAL training path — bpe_word_counts
+    # (certified fold tokenizer) over the sf0.001 reference corpus
+    # (fixed path: the training corpus, regardless of which sf the suite
+    # runs at) — so the literal cannot drift from what bpe_train
+    # actually produces.  (Review r13: an earlier draft re-counted words
+    # with a fold-less DuckDB tokenizer, which would diverge from the
+    # certified path the moment the corpus gains a fold-affected char.)
+    from thesis_iceberg_spark.queries.bpe import (
+        BPE_MERGES,
+        bpe_train,
+        bpe_word_counts,
     )
-    wc = con.sql(
-        "SELECT t, COUNT(*) AS c FROM (SELECT unnest(list_filter("
-        "regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),"
-        " t -> t <> '')) AS t FROM documents) GROUP BY 1"
-    ).fetchall()
+
+    wc = [
+        (r.word, r.c)
+        for r in bpe_word_counts(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        ).collect()
+    ]
     assert tuple(bpe_train(wc, n_merges=len(BPE_MERGES))) == BPE_MERGES
 
 

@@ -218,6 +218,12 @@ assert all(a != b for a, b in BPE_MERGES), (
     "self-pair merges are excluded: the SQL twin's two-pass replace "
     "diverges from greedy BPE on odd same-symbol runs (see comment)"
 )
+# a retrained list on an apostrophe-bearing corpus can legitimately learn
+# a symbol containing a quote; _enc_sql escapes them, but \x1f inside a
+# symbol would alias the separator and MUST stay impossible (it is, by
+# the fold contract — assert so a tokenizer change cannot silently
+# break it; review r13)
+assert all("\x1f" not in a + b for a, b in BPE_MERGES)
 
 # symbol separator for the SQL twin: \x1f can never appear inside a
 # symbol — the textnorm fold maps \x1c-\x1f to a space BEFORE
@@ -228,17 +234,25 @@ BPE_SEP = "\x1f"
 
 def _enc_sql(var: str) -> str:
     """DuckDB expression encoding one word (lambda var ``var``) into its
-    BPE_SEP-joined subwords under the frozen BPE_MERGES."""
+    BPE_SEP-joined subwords under the frozen BPE_MERGES.  Merge symbols
+    are embedded as SQL string literals, so single quotes are doubled
+    (review r13: a retrained list on an apostrophe corpus can learn a
+    symbol containing ' — e.g. (\"don\", \"'t\") — and an unescaped
+    literal would be a parse error or, worse, a wrong pattern)."""
+
+    def q(text: str) -> str:
+        return "'" + text.replace("'", "''") + "'"
+
     s = (
-        f"'{BPE_SEP}' || ' ' || '{BPE_SEP}' || "
-        f"array_to_string(string_split_regex({var}, ''), '{BPE_SEP}') || "
-        f"'{BPE_SEP}'"
+        f"{q(BPE_SEP)} || ' ' || {q(BPE_SEP)} || "
+        f"array_to_string(string_split_regex({var}, ''), {q(BPE_SEP)}) || "
+        f"{q(BPE_SEP)}"
     )
     for a, b in BPE_MERGES:
-        pat = f"'{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}'"
-        rep = f"'{BPE_SEP}{a}{b}{BPE_SEP}'"
+        pat = q(f"{BPE_SEP}{a}{BPE_SEP}{b}{BPE_SEP}")
+        rep = q(f"{BPE_SEP}{a}{b}{BPE_SEP}")
         s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
-    return f"trim({s}, '{BPE_SEP}')"
+    return f"trim({s}, {q(BPE_SEP)})"
 
 
 def _bpe_oracle() -> str:

@@ -786,7 +786,16 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
 
     if sf_dir in _QUANT_BUILT:
         return VersionedTable(spark, _QUANT_BUILT[sf_dir])
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    import hashlib
+
+    # the on-disk key hashes the FULL sf_dir (review r13: a basename-only
+    # key lets two corpora named sf0.01 silently serve each other's
+    # table — the cache dict keys by full path, so the location must too)
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + "_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
     loc = os.path.join("/tmp/tisw_checks", tag, "emb_int8_vt")
     shutil.rmtree(loc, ignore_errors=True)
     os.makedirs(os.path.dirname(loc), exist_ok=True)
@@ -1001,6 +1010,10 @@ def build_range_index(
     _range_index_frames with the per-query pruned path, so quantization
     and assignment cannot drift between the two."""
     _q8, cent, assigned = _range_index_frames(spark, sf_dir, n_centroids)
+    # materialize once: the assignment (the one corpus-scale job) feeds
+    # TWO write actions — without this the quantize+assign lineage would
+    # re-execute for each (review r13; at 100 TB this is a staging table)
+    assigned = assigned.localCheckpoint(eager=True)
     stats = assigned.groupBy("bucket").agg(F.max("dist2").alias("r2"))
     (
         cent.join(stats, cent.cid == stats.bucket)
