@@ -265,9 +265,13 @@ SELECT doc_id,
        CAST(COALESCE(list_sum(list_transform(
                 es, e -> len(string_split(e, '{BPE_SEP}')))), 0) AS BIGINT)
            AS n_subwords,
-       array_to_string(es, '{BPE_SEP}') AS subwords_s
+       COALESCE(array_to_string(es, '{BPE_SEP}'), '') AS subwords_s
 FROM enc
 """
+# ^ the COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+# array_join([]) is '' — an empty/whitespace-only/NULL-text document
+# must encode as the empty string in both engines (unicode-corpus
+# degenerate rows 18-21, caught by tests/test_unicode_corpus_parity.py)
 
 
 @register(
