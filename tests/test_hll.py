@@ -1,0 +1,105 @@
+"""HyperLogLog distinct sketch (r13, df-level; r14 registration
+candidate): cross-engine parity of every sketch intermediate, accuracy
+in/out of the linear-counting domain, degenerate inputs, and the
+bounded-shuffle plan claim.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.oracle import canonical_rows
+from thesis_iceberg_spark.plans import formatted_plan
+from thesis_iceberg_spark.queries.sketch import (
+    HLL_BUCKETS,
+    hll_corrected_estimate,
+    hll_distinct_df,
+    sql_hll_distinct,
+)
+from thesis_iceberg_spark.sources.registry import load_table
+
+
+def _parity(spark, sf_dir, col="user_id"):
+    import os
+
+    got = canonical_rows(
+        hll_distinct_df(load_table(spark, sf_dir, "events"), col).toPandas()
+    )
+    con = duckdb.connect()
+    src = f"{sf_dir}/events.parquet"
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pat}')")
+    want = canonical_rows(con.sql(sql_hll_distinct("events", col)).df())
+    assert got == want
+
+
+def test_parity_on_driver_corpus(spark, sf_dir):
+    _parity(spark, sf_dir)
+
+
+def test_parity_on_string_column(spark, sf_dir):
+    # the sketch hashes the VARCHAR form, so a string column must agree
+    # the same way an integer one does
+    _parity(spark, sf_dir, col="event_type")
+
+
+def test_accuracy_in_the_raw_domain(spark):
+    # 5000 distinct ids: comfortably past 2.5m = 160, so est_raw is the
+    # operative estimate; published standard error is 1.04/sqrt(64) =
+    # 13% — assert a generous 3-sigma band
+    df = spark.range(5000).select(F.col("id").alias("user_id"))
+    row = hll_distinct_df(df, "user_id").first()
+    assert not row.use_linear
+    assert abs(row.est_raw - 5000) / 5000 < 0.39, row.est_raw
+    assert hll_corrected_estimate(row) == row.est_raw
+
+
+def test_linear_counting_domain_flagged_and_corrected(spark):
+    # 15 distinct values: raw HLL is known-biased here, the domain flag
+    # must fire, and the linear-counting correction must land far closer
+    # than the raw estimate
+    df = spark.range(15).select(F.col("id").alias("user_id"))
+    row = hll_distinct_df(df, "user_id").first()
+    assert row.use_linear
+    corrected = hll_corrected_estimate(row)
+    assert abs(corrected - 15) < abs(row.est_raw - 15)
+    assert abs(corrected - 15) / 15 < 0.35, corrected
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    # COUNT(DISTINCT) semantics: 100 copies of each id give the same
+    # sketch as one copy (max per bucket is idempotent)
+    ids = spark.range(200).select(F.col("id").alias("user_id"))
+    dup = ids.crossJoin(spark.range(100).select(F.lit(1).alias("_x"))).select(
+        "user_id"
+    )
+    a = hll_distinct_df(ids, "user_id").first()
+    b = hll_distinct_df(dup, "user_id").first()
+    assert (a.denom, a.v_empty, a.est_raw, a.n_exact) == (
+        b.denom,
+        b.v_empty,
+        b.est_raw,
+        b.n_exact,
+    )
+
+
+def test_all_null_input(spark):
+    df = spark.range(10).select(
+        F.lit(None).cast("bigint").alias("user_id")
+    )
+    row = hll_distinct_df(df, "user_id").first()
+    assert row.n_exact == 0
+    assert row.v_empty == HLL_BUCKETS
+    assert row.use_linear  # the degenerate corner of the small-range rule
+
+
+def test_plan_is_one_bounded_groupby_no_python(spark, sf_dir):
+    plan = formatted_plan(
+        hll_distinct_df(load_table(spark, sf_dir, "events"), "user_id")
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    # partial aggregation before the exchange = the per-partition
+    # partial-sketch merge (<= m rows per task cross the wire)
+    assert "partial" in plan.lower()

@@ -1,0 +1,189 @@
+"""HyperLogLog distinct-count sketch (sketch family, §2B).
+
+The count-min sketch (text.py:1538) covers frequency estimation; this
+module adds the OTHER workhorse sketch a 100 TB engine needs —
+approximate COUNT(DISTINCT) with bounded per-task state (Flajolet et
+al. 2007 HyperLogLog).  Spark ships approx_count_distinct, but its
+HLL++ buckets are engine-private, so nothing about it can be
+value-oracled; this from-scratch sketch is built on the registry's
+md5-portable hash family, which makes EVERY intermediate — bucket
+maxima, empty-bucket count, the harmonic denominator — bit-identical
+in DuckDB, the same certify-the-sketch-cells move text_countmin_topk
+made.
+
+Determinism discipline (the 1-ulp rules):
+  * bucket and rank come from two independent md5_u32 draws
+    ("hllb:"/"hllr:" keyed — the hashkit idiom; classic HLL bit-slices
+    one hash, two draws are equivalent for a from-scratch sketch and
+    keep both engines on the shared 8-hex-chars kernel);
+  * rank = leading zeros of the 32-bit draw + 1, capped at HLL_RMAX
+    (an exact integer both engines compute with floor(log2)-free
+    arithmetic: 32 - length of the draw's binary form);
+  * the harmonic denominator is computed in EXACT bigint arithmetic,
+    scaled by 2^HLL_RMAX: D = sum over buckets of 2^(RMAX - M_j).
+    With m = {m} buckets and RMAX = 33, D <= m * 2^33 < 2^40 — no
+    overflow, no float sum whose addition ORDER could cost an ulp;
+  * the final estimate alpha * m^2 * 2^RMAX / D is a pure multiply/
+    divide chain over exact inputs — IEEE operations are exactly
+    rounded, so identical inputs give identical doubles in every
+    engine (only libm transcendentals like ln diverge, which is why
+    the small-range linear-counting correction — m*ln(m/V) — is NOT
+    part of the oracled output; the pytest checks accuracy, the
+    oracle checks the sketch itself).
+
+Scale shape: one narrow projection (bucket, rank) per row, a groupBy
+over m bucket keys (map-side combined — each task ships <= m rows at
+ANY corpus size; the partial-sketch merge IS the combine), a spine
+join for empty buckets, one single-row aggregate.  The exact
+COUNT(DISTINCT) rides alongside as the verification harness, exactly
+like countmin's exact_n column — at 100 TB the sketch is the product.
+
+ref: the reference engine has no sketch surface (api.py is
+relational-only); this extends the §2B mandate's scale toolkit.
+df-level in r13 (the +4 registration cap is met); r14 registration
+candidate — the oracle builder sql_hll_distinct() is ready.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from thesis_iceberg_spark.queries.hashkit import md5_u32
+
+HLL_BUCKETS = 64  # m = 2^6: small enough that driver corpora fill a
+# meaningful fraction of the buckets; production would use 2^12+, same
+# plan shapes (the shuffle stays <= m rows per task either way)
+HLL_RMAX = 33  # rank cap: a 32-bit draw has at most 32 leading zeros
+# (rank 33 for the all-zeros draw); keeping ranks <= 33 is what bounds
+# the exact-integer denominator at m * 2^33
+HLL_ALPHA = 0.709  # the published alpha_m for m = 64
+# the estimate's numerator alpha * m^2 * 2^RMAX, computed ONCE here and
+# embedded as the SAME repr literal in both engines — repr round-trips
+# the IEEE double exactly, so est_raw is one division over two exact
+# inputs everywhere (and DuckDB never sees a DECIMAL literal chain,
+# whose bounded multiplication overflows where doubles don't)
+HLL_NUMER = HLL_ALPHA * float(HLL_BUCKETS * HLL_BUCKETS) * float(2**HLL_RMAX)
+
+
+def _hll_bucket(v: Column) -> Column:
+    return md5_u32(F.concat(F.lit("hllb:"), v)) % HLL_BUCKETS
+
+
+def _hll_rank(v: Column) -> Column:
+    """Leading zeros of the 32-bit draw + 1, capped at HLL_RMAX — as
+    33 - bit_length(draw), with the all-zeros draw pinned to HLL_RMAX
+    (bit_length(0) = 0 in the formula's terms)."""
+    draw = md5_u32(F.concat(F.lit("hllr:"), v))
+    # bit_length(x) for x in [1, 2^32): 32 - leading_zeros; Spark's bit_length
+    # is BYTES*8 of the string form, so compute via log-free integer compare:
+    # length of binary string representation
+    blen = F.length(F.conv(draw.cast("string"), 10, 2))
+    return F.when(draw == 0, F.lit(HLL_RMAX)).otherwise(
+        F.lit(HLL_RMAX) - blen
+    )
+
+
+def hll_distinct_df(df: DataFrame, col: str) -> DataFrame:
+    """One-row (n_exact, n_buckets, v_empty, denom, est_raw) HLL sketch
+    summary over ``df[col]`` (NULLs excluded, like COUNT(DISTINCT)).
+
+    denom is the exact-bigint harmonic denominator (scaled by
+    2^HLL_RMAX) and est_raw = HLL_ALPHA * m^2 * 2^RMAX / denom — the
+    raw HLL estimate, multiply/divide-only over exact integers so the
+    value oracle can compare it bit-for-bit."""
+    spark = df.sparkSession
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    per_bucket = (
+        vals.select(_hll_bucket(F.col("v")).alias("b"), _hll_rank(F.col("v")).alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("m_j"))
+    )
+    spine = spark.range(HLL_BUCKETS).select(F.col("id").alias("b"))
+    full = spine.join(per_bucket, "b", "left").select(
+        "b", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    exact = vals.agg(F.countDistinct("v").alias("n_exact"))
+    m = HLL_BUCKETS
+    return (
+        full.agg(
+            F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v_empty"),
+            # SQL-function form: the python F.shiftleft only takes a
+            # literal shift amount, the SQL builtin takes a column
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - m_j)"))
+            .cast("bigint")
+            .alias("denom"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.lit(m).cast("bigint").alias("n_buckets"),
+            "v_empty",
+            "denom",
+            (F.lit(HLL_NUMER) / F.col("denom").cast("double")).alias(
+                "est_raw"
+            ),
+        )
+        .withColumn(
+            # the published small-range rule: below 2.5m with empty
+            # buckets, linear counting m*ln(m/V) replaces est_raw.  The
+            # ln itself is libm (1-ulp-excluded from the oracle), but
+            # the DOMAIN decision compares two bit-identical values, so
+            # the flag is exactly oracle-able; hll_corrected_estimate
+            # applies the correction for consumers (pytest-checked)
+            "use_linear",
+            (F.col("est_raw") <= F.lit(2.5 * HLL_BUCKETS))
+            & (F.col("v_empty") > 0),
+        )
+    )
+
+
+def hll_corrected_estimate(row) -> float:
+    """The full published estimator over a hll_distinct_df row: linear
+    counting m*ln(m/V) in the small-range domain, est_raw otherwise.
+    Driver-side (one row); not oracle-able because of the ln."""
+    import math
+
+    if row.use_linear:
+        return HLL_BUCKETS * math.log(HLL_BUCKETS / row.v_empty)
+    return row.est_raw
+
+
+def sql_hll_distinct(table: str, col: str) -> str:
+    """DuckDB twin of hll_distinct_df — the oracle builder for the r14
+    registration.  Every clause mirrors the Spark side: same keyed
+    md5_u32 draws, same bit-length rank, same exact-bigint denominator,
+    same multiply/divide-only estimate."""
+    u32 = "CAST('0x' || substr(md5('{k}' || v), 1, 8) AS BIGINT)"
+    bucket = f"({u32.format(k='hllb:')}) % {HLL_BUCKETS}"
+    draw = u32.format(k="hllr:")
+    return f"""
+WITH vals AS (SELECT DISTINCT CAST({col} AS VARCHAR) AS v FROM {table}
+              WHERE {col} IS NOT NULL),
+ranked AS (
+  SELECT {bucket} AS b,
+         CASE WHEN {draw} = 0 THEN {HLL_RMAX}
+              ELSE {HLL_RMAX} - length(bin({draw})) END AS r
+  FROM vals),
+per_bucket AS (SELECT b, MAX(r) AS m_j FROM ranked GROUP BY b),
+filled AS (
+  SELECT s.b, COALESCE(p.m_j, 0) AS m_j
+  FROM range({HLL_BUCKETS}) s(b) LEFT JOIN per_bucket p USING (b)),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RMAX} - m_j)) AS BIGINT) AS denom
+  FROM filled)
+SELECT n_exact, n_buckets, v_empty, denom, est_raw,
+       est_raw <= CAST({2.5 * HLL_BUCKETS!r} AS DOUBLE) AND v_empty > 0
+           AS use_linear
+FROM (
+  SELECT (SELECT COUNT(*) FROM vals) AS n_exact,
+         CAST({HLL_BUCKETS} AS BIGINT) AS n_buckets,
+         v_empty, denom,
+         CAST({HLL_NUMER!r} AS DOUBLE) / CAST(denom AS DOUBLE) AS est_raw
+  FROM agg)
+"""
