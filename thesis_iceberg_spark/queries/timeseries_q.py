@@ -412,6 +412,77 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention_df(load_table(spark, sf_dir, "events"))
 
 
+HOP_WIDTH_SEC = 1800  # 30-minute windows ...
+HOP_SLIDE_SEC = 900  # ... hopping every 15 minutes: each event lands in
+# exactly width/slide = 2 windows — the classic overlapping-window
+# monitoring shape (Flink/KSQL "HOP", Spark's F.window(w, s))
+
+
+def time_hopping_window_rollup_df(
+    events: DataFrame,
+    width_sec: int = HOP_WIDTH_SEC,
+    slide_sec: int = HOP_SLIDE_SEC,
+) -> DataFrame:
+    """Hopping (sliding) window rollup over `events`: (window_start_epoch,
+    event_type, n, total_value) with overlapping [start, start+width)
+    windows on a slide-aligned grid — the sibling of time_bucket_rollup's
+    tumbling buckets, via Spark's built-in F.window generator (each row
+    expands to width/slide windows JVM-side, then the same map-side-
+    combined groupBy; window count x event_type bounds the shuffle at any
+    scale, exactly like the tumbling case).
+
+    Epoch-seconds output keys keep the comparison timezone-free (the
+    house time_bucket_rollup convention); width must be a multiple of
+    slide so the window set per event is exact and the DuckDB twin can
+    enumerate hop offsets.  df-level in r13 (the +4 cap is met); r14
+    registration candidate — sql_hopping_rollup() is the ready oracle."""
+    if width_sec % slide_sec:
+        raise ValueError("width must be a multiple of slide")
+    w = F.window(
+        F.col("ts").cast("timestamp"),
+        f"{width_sec} seconds",
+        f"{slide_sec} seconds",
+    )
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sql_hopping_rollup(
+    width_sec: int = HOP_WIDTH_SEC, slide_sec: int = HOP_SLIDE_SEC
+) -> str:
+    """DuckDB twin of time_hopping_window_rollup_df: enumerate the
+    width/slide hop offsets per event and bucket each on the slide grid
+    — integer epoch arithmetic end to end, so the window keys match
+    Spark's F.window starts exactly."""
+    ratio = width_sec // slide_sec
+    offsets = ", ".join(str(j) for j in range(ratio))
+    return f"""
+SELECT (CAST(floor(epoch(ts) / {slide_sec}) AS BIGINT) - j) * {slide_sec}
+           AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events, (SELECT unnest([{offsets}]) AS j) hops
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def cohort_retention_df(events: DataFrame) -> DataFrame:
     """Cohort retention matrix over any (user_id, ts) frame: users are
     cohorted by the calendar week of their FIRST event; each row is
