@@ -83,6 +83,14 @@ HEADLINE_EXTRA = [
     # ~8-9 s steady dominates the total, so round comparisons stay on the
     # common subset per the standing protocol.
     "pipeline_pretrain_corpus",
+    # round 13: of the four new registrations, only the BPE encoder is a
+    # genuinely new execution family (Arrow mapInPandas with a per-task
+    # type memo) — funnel/cohort/stored-range reuse already-benched
+    # window/agg/int8 shapes.  Its ~44 B is paid by the v4 lever: the
+    # COLD dict drops to 1 decimal (cold walls carry ±30% JIT noise, so
+    # the 2nd decimal was noise-bits; steady keeps 2, full precision in
+    # bench_full.json as always).
+    "text_bpe_encode",
 ]
 
 
@@ -335,8 +343,10 @@ def main() -> None:
         # .json keeps 4).  The ~55 freed bytes pay for the
         # pipeline_pretrain_corpus series under the 1900 B stdout cap.
         # v2 (r11) = run counts in sidecar, dicts at 3 decimals.
-        "v": 3,
-        "queries": {k: round(v, 2) for k, v in med.items()},
+        # v4 (r13) = cold dict at 1 decimal (JIT noise dominates the 2nd
+        # decimal of cold walls); pays for the text_bpe_encode series.
+        "v": 4,
+        "queries": {k: round(v, 1) for k, v in med.items()},
         "queries_steady": {k: round(v, 2) for k, v in steady.items()},
         "canary_jvm_sec": canary_jvm,  # fixed 1e8-row xxhash64 bit_xor
         "canary_numpy_sec": canary_np,  # fixed 8x 1024^3 GEMM chain
