@@ -14,7 +14,7 @@ import datetime as dt
 
 import duckdb
 
-from thesis_iceberg_spark.oracle import canonical_rows
+from thesis_iceberg_spark.oracle import canonical_rows, duckdb_table_view
 from thesis_iceberg_spark.plans import formatted_plan
 from thesis_iceberg_spark.queries.timeseries_q import cohort_retention_df
 from thesis_iceberg_spark.sources.registry import load_table
@@ -48,11 +48,7 @@ def _parity(spark, d):
 
     got = canonical_rows(cohort_retention_df(load_table(spark, d, "events")).toPandas())
     con = duckdb.connect()
-    # testdata ships single parquet FILES; crafted corpora are spark-written
-    # DIRECTORIES of part files
-    src = f"{d}/events.parquet"
-    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
-    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pat}')")
+    duckdb_table_view(con, d, "events")
     want = canonical_rows(con.sql(_ORACLE).df())
     assert sorted(got) == sorted(want)
 

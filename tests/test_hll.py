@@ -9,7 +9,7 @@ from __future__ import annotations
 import duckdb
 from pyspark.sql import functions as F
 
-from thesis_iceberg_spark.oracle import canonical_rows
+from thesis_iceberg_spark.oracle import canonical_rows, duckdb_table_view
 from thesis_iceberg_spark.plans import formatted_plan
 from thesis_iceberg_spark.queries.sketch import (
     HLL_BUCKETS,
@@ -27,9 +27,7 @@ def _parity(spark, sf_dir, col="user_id"):
         hll_distinct_df(load_table(spark, sf_dir, "events"), col).toPandas()
     )
     con = duckdb.connect()
-    src = f"{sf_dir}/events.parquet"
-    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
-    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pat}')")
+    duckdb_table_view(con, sf_dir, "events")
     want = canonical_rows(con.sql(sql_hll_distinct("events", col)).df())
     assert got == want
 
@@ -103,3 +101,12 @@ def test_plan_is_one_bounded_groupby_no_python(spark, sf_dir):
     # partial aggregation before the exchange = the per-partition
     # partial-sketch merge (<= m rows per task cross the wire)
     assert "partial" in plan.lower()
+
+
+def test_float_column_raises_loudly(spark, sf_dir):
+    # review r13: Spark renders doubles as '1.0E20' where DuckDB says
+    # '1e+20' — a silent cross-engine parity break the guard makes loud
+    import pytest
+
+    with pytest.raises(ValueError, match="canonical string"):
+        hll_distinct_df(load_table(spark, sf_dir, "events"), "value")

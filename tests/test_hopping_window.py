@@ -10,7 +10,7 @@ import datetime as dt
 import duckdb
 import pytest
 
-from thesis_iceberg_spark.oracle import canonical_rows
+from thesis_iceberg_spark.oracle import canonical_rows, duckdb_table_view
 from thesis_iceberg_spark.plans import formatted_plan
 from thesis_iceberg_spark.queries.timeseries_q import (
     HOP_SLIDE_SEC,
@@ -30,9 +30,7 @@ def _parity(spark, d, width=HOP_WIDTH_SEC, slide=HOP_SLIDE_SEC):
         ).toPandas()
     )
     con = duckdb.connect()
-    src = f"{d}/events.parquet"
-    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
-    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pat}')")
+    duckdb_table_view(con, d, "events")
     want = canonical_rows(con.sql(sql_hopping_rollup(width, slide)).df())
     assert got == want
 

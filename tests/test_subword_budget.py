@@ -12,7 +12,7 @@ from thesis_iceberg_spark.oracle import canonical_rows
 from thesis_iceberg_spark.queries import REGISTRY, queries
 from thesis_iceberg_spark.queries.bpe import _bpe_oracle
 from thesis_iceberg_spark.queries.pipeline_q import (
-    BUDGET_FRAC,
+    sql_token_budget_select,
     token_budget_select_subword_df,
 )
 
@@ -20,22 +20,13 @@ queries()
 
 
 def _oracle() -> str:
-    quality = REGISTRY["text_quality_scores"].oracle
-    return f"""
-WITH q AS ({quality}),
-e AS ({_bpe_oracle()}),
-s AS (SELECT q.doc_id, q.quality_score, e.n_subwords AS n_tokens
-      FROM q JOIN e ON e.doc_id = q.doc_id
-      WHERE q.quality_score IS NOT NULL),
-b AS (SELECT CAST(floor(SUM(n_tokens) * {BUDGET_FRAC}) AS BIGINT) AS budget
-      FROM s),
-sel AS (SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
-        FROM s)
-SELECT sel.doc_id, CAST(sel.n_tokens AS BIGINT) AS n_tokens
-FROM sel, b WHERE sel.cum <= b.budget
-"""
+    # the SAME builder the registered word-count query's oracle uses —
+    # only the token-mass CTE differs, so the prefix rule cannot drift
+    # between the two (review r13)
+    return sql_token_budget_select(
+        f"SELECT doc_id, n_subwords AS n_tokens FROM ({_bpe_oracle()})",
+        "sel.doc_id, CAST(sel.n_tokens AS BIGINT) AS n_tokens",
+    )
 
 
 def test_parity_on_driver_corpus(spark, sf_dir):

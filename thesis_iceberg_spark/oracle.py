@@ -22,13 +22,26 @@ from pyspark.sql import SparkSession
 from thesis_iceberg_spark.sources.registry import TABLES
 
 
+def duckdb_table_view(
+    con: duckdb.DuckDBPyConnection, sf_dir: str, name: str
+) -> None:
+    """Register ``{sf_dir}/{name}.parquet`` as view ``name`` — handling
+    BOTH layouts: the driver testdata ships single parquet FILES, while
+    crafted test corpora are spark-written DIRECTORIES of part files
+    (review r13: this dir-or-file sniff existed as three verbatim test
+    copies)."""
+    import os
+
+    src = f"{sf_dir}/{name}.parquet"
+    pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with every testdata table registered as a view."""
     con = duckdb.connect()
     for name in TABLES:
-        con.sql(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
+        duckdb_table_view(con, sf_dir, name)
     return con
 
 

@@ -627,11 +627,17 @@ BUDGET_FRAC = 0.5  # keep the best half of the corpus' token mass
 BOUNDARY_SORT_CAP = 4_000_000  # rows one task may sort; above it, refine
 MAX_REFINE_DEPTH = 16  # backstop for pathological distributions
 
-@register(
-    "pipeline_token_budget_select",
-    oracle=f"""
+
+def sql_token_budget_select(tokens_sql: str, out_cols: str) -> str:
+    """Oracle builder for the prefix-rule budget selection: quality join
+    + budget + window cumsum, parameterized by the token-mass CTE and
+    the output projection — ONE source of the b/sel/cum<=budget rule
+    for the registered word-count query AND the subword-denominated
+    variant's test twin (review r13: the hand-copied fragment was the
+    drift class _funnel_oracle was built to kill)."""
+    return f"""
 WITH q AS ({REGISTRY["text_quality_scores"].oracle}),
-t AS (SELECT doc_id, len({text._sql_toks()}) AS n_tokens FROM documents),
+t AS ({tokens_sql}),
 s AS (SELECT q.doc_id, q.quality_score, t.n_tokens
       FROM q JOIN t ON t.doc_id = q.doc_id
       WHERE q.quality_score IS NOT NULL),
@@ -640,11 +646,19 @@ sel AS (SELECT doc_id, n_tokens, quality_score,
                SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
                                    ROWS UNBOUNDED PRECEDING) AS cum
         FROM s)
-SELECT sel.doc_id, CAST(sel.n_tokens AS BIGINT) AS n_tokens,
-       CAST(least(floor(sel.quality_score * {NB_QBUCKETS}),
-                  {NB_QBUCKETS - 1}) AS BIGINT) AS sel_bucket
+SELECT {out_cols}
 FROM sel, b WHERE sel.cum <= b.budget
-""",
+"""
+
+
+@register(
+    "pipeline_token_budget_select",
+    oracle=sql_token_budget_select(
+        f"SELECT doc_id, len({text._sql_toks()}) AS n_tokens FROM documents",
+        f"""sel.doc_id, CAST(sel.n_tokens AS BIGINT) AS n_tokens,
+       CAST(least(floor(sel.quality_score * {NB_QBUCKETS}),
+                  {NB_QBUCKETS - 1}) AS BIGINT) AS sel_bucket""",
+    ),
     doc=f"Token-budget corpus selection: keep the best documents by "
     f"quality score until {BUDGET_FRAC:.0%} of the corpus' token mass is "
     "spent (prefix rule: a document is kept iff its running total under "

@@ -1,6 +1,7 @@
 """HyperLogLog distinct-count sketch (sketch family, §2B).
 
-The count-min sketch (text.py:1538) covers frequency estimation; this
+The count-min sketch (text.text_countmin_topk) covers frequency
+estimation; this
 module adds the OTHER workhorse sketch a 100 TB engine needs —
 approximate COUNT(DISTINCT) with bounded per-task state (Flajolet et
 al. 2007 HyperLogLog).  Spark ships approx_count_distinct, but its
@@ -21,7 +22,7 @@ Determinism discipline (the 1-ulp rules):
     arithmetic: 32 - length of the draw's binary form);
   * the harmonic denominator is computed in EXACT bigint arithmetic,
     scaled by 2^HLL_RMAX: D = sum over buckets of 2^(RMAX - M_j).
-    With m = {m} buckets and RMAX = 33, D <= m * 2^33 < 2^40 — no
+    With m = HLL_BUCKETS = 64 and RMAX = 33, D <= m * 2^33 < 2^40 — no
     overflow, no float sum whose addition ORDER could cost an ulp;
   * the final estimate alpha * m^2 * 2^RMAX / D is a pure multiply/
     divide chain over exact inputs — IEEE operations are exactly
@@ -91,8 +92,25 @@ def hll_distinct_df(df: DataFrame, col: str) -> DataFrame:
     denom is the exact-bigint harmonic denominator (scaled by
     2^HLL_RMAX) and est_raw = HLL_ALPHA * m^2 * 2^RMAX / denom — the
     raw HLL estimate, multiply/divide-only over exact integers so the
-    value oracle can compare it bit-for-bit."""
+    value oracle can compare it bit-for-bit.
+
+    Accepts STRING/integral/boolean/date columns only: the hash input is
+    the engine's cast-to-string, which is identical cross-engine for
+    those types but NOT for doubles ('1.0E20' vs '1e+20'), timestamps,
+    or decimals — a silent parity break the guard turns into a loud one
+    (review r13; hash such columns via a caller-supplied canonical
+    string column instead)."""
     spark = df.sparkSession
+    kind = df.schema[col].dataType.typeName()
+    if kind not in (
+        "string", "long", "integer", "short", "byte", "boolean", "date"
+    ):
+        raise ValueError(
+            f"hll_distinct_df over a {kind} column: the cast-to-string "
+            "hash input diverges between engines for float/timestamp/"
+            "decimal types — pre-format a canonical string column and "
+            "sketch that instead"
+        )
     vals = df.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )

@@ -468,7 +468,11 @@ def sql_hopping_rollup(
     """DuckDB twin of time_hopping_window_rollup_df: enumerate the
     width/slide hop offsets per event and bucket each on the slide grid
     — integer epoch arithmetic end to end, so the window keys match
-    Spark's F.window starts exactly."""
+    Spark's F.window starts exactly.  Same alignment contract as the df
+    side: an unaligned width floor-dividing to a wrong hop count must
+    raise, not mislabel a tumbling rollup (review r13)."""
+    if width_sec % slide_sec:
+        raise ValueError("width must be a multiple of slide")
     ratio = width_sec // slide_sec
     offsets = ", ".join(str(j) for j in range(ratio))
     return f"""
