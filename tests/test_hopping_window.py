@@ -90,3 +90,22 @@ def test_plan_shape(spark, sf_dir):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "partial" in plan.lower()
+
+
+def test_streaming_hopping_equals_batch_and_oracle(spark, sf_dir):
+    # the SAME window spec under watermarked streaming replay must equal
+    # the batch rollup AND the DuckDB hop-enumeration twin — overlapping
+    # windows were the one streaming shape the family lacked (r13)
+    from thesis_iceberg_spark.streaming.events import hopping_event_stats
+
+    stream_rows = canonical_rows(hopping_event_stats(spark, sf_dir).toPandas())
+    batch_rows = canonical_rows(
+        time_hopping_window_rollup_df(
+            load_table(spark, sf_dir, "events")
+        ).toPandas()
+    )
+    assert stream_rows == batch_rows
+    con = duckdb.connect()
+    duckdb_table_view(con, sf_dir, "events")
+    want = canonical_rows(con.sql(sql_hopping_rollup()).df())
+    assert stream_rows == want

@@ -108,3 +108,52 @@ def stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed))
+
+
+def hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (overlapping) event-time windows on the stream: 30-minute
+    windows sliding every 15, with a watermark — the streaming twin of
+    queries/timeseries_q.time_hopping_window_rollup_df (r13; the batch
+    side carries the DuckDB hop-enumeration oracle, this side proves the
+    SAME window spec runs under watermarked streaming semantics, which
+    is the point of building on F.window: one window definition serves
+    both engines' modes).  Replayed to completion with availableNow into
+    a memory sink; epoch-seconds output keys like the batch twin."""
+    from thesis_iceberg_spark.queries.timeseries_q import (
+        HOP_SLIDE_SEC,
+        HOP_WIDTH_SEC,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.window(
+                "ts", f"{HOP_WIDTH_SEC} seconds", f"{HOP_SLIDE_SEC} seconds"
+            ).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    sink = f"events_hopping_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp(F.col("win.start")).alias("window_start_epoch"),
+        "event_type",
+        "n",
+        "total_value",
+    )
