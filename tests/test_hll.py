@@ -110,3 +110,60 @@ def test_float_column_raises_loudly(spark, sf_dir):
 
     with pytest.raises(ValueError, match="canonical string"):
         hll_distinct_df(load_table(spark, sf_dir, "events"), "value")
+
+
+# --- deterministic sampled quantiles (sketch family #3, same module) --------
+
+
+def test_quantile_sampled_parity(spark, sf_dir):
+    from thesis_iceberg_spark.queries.sketch import (
+        quantile_sampled_df,
+        sql_quantile_sampled,
+    )
+
+    got = canonical_rows(
+        quantile_sampled_df(
+            load_table(spark, sf_dir, "events"), "value", "event_id"
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    duckdb_table_view(con, sf_dir, "events")
+    want = canonical_rows(
+        con.sql(sql_quantile_sampled("events", "value", "event_id")).df()
+    )
+    assert got == want
+    assert len(got) == 4  # one row per QS_QUANTILES entry
+
+
+def test_quantile_estimates_converge_and_are_stored_values(spark, sf_dir):
+    from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = {
+        r.q_pct: r
+        for r in quantile_sampled_df(ev, "value", "event_id").collect()
+    }
+    vals = {r.value for r in ev.select("value").collect() if r.value is not None}
+    for q, r in rows.items():
+        # order statistics are STORED input doubles, never arithmetic
+        assert r.exact_q in vals and r.sample_q in vals
+        # a 25% uniform sample's percentile lands near the true one
+        # (driver corpus: within the q +- 6 percentile band, generous)
+        assert abs(r.sample_q - r.exact_q) / max(abs(r.exact_q), 1e-9) < 0.25, (q, r)
+    assert rows[25].exact_q <= rows[50].exact_q <= rows[75].exact_q <= rows[95].exact_q
+
+
+def test_quantile_exact_side_is_percentile_disc(spark):
+    # hand-checkable 10-row frame: percentile_disc(50) of 1..10 = 5
+    from pyspark.sql import functions as F
+
+    from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+    df = spark.range(1, 11).select(
+        F.col("id").cast("double").alias("value"), F.col("id").alias("event_id")
+    )
+    rows = {
+        r.q_pct: r.exact_q
+        for r in quantile_sampled_df(df, "value", "event_id").collect()
+    }
+    assert rows == {25: 3.0, 50: 5.0, 75: 8.0, 95: 10.0}

@@ -205,3 +205,105 @@ FROM (
          CAST({HLL_NUMER!r} AS DOUBLE) / CAST(denom AS DOUBLE) AS est_raw
   FROM agg)
 """
+
+
+# --- deterministic sampled quantiles (sketch family #3) ---------------------
+#
+# Count-min answers frequency, HLL answers distinct; the third sketch a
+# 100 TB engine needs is QUANTILES.  Production engines use t-digest /
+# KLL — both randomized and engine-private, so nothing about them can be
+# value-oracled.  This estimator is the deterministic alternative: an
+# md5-keyed uniform sample (the registry's portable hash family — both
+# engines select the IDENTICAL sample) and EXACT order statistics over
+# it (percentile_disc convention, ties broken by the key column, index
+# arithmetic in exact integers).  Selecting an order statistic involves
+# NO float arithmetic at all — the estimate is a stored input value —
+# so the whole operator is bit-exact cross-engine.  The exact full-data
+# quantile rides alongside as the verification harness (countmin's
+# exact_n pattern); at scale the sample is the product and its global
+# sort is the one scale cost (a fixed-rate sample still scales with the
+# corpus: pick the rate for the target sample size, or layer the
+# token-budget histogram refinement if the sample must stay huge).
+
+QS_RATE_NUM, QS_RATE_DEN = 1, 4  # sample ~1/4 of rows (driver corpora
+# are small; production would use 2^-10 or lower, same plan shapes)
+QS_QUANTILES = (25, 50, 75, 95)  # percent points
+
+
+def quantile_sampled_df(
+    df: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """(q_pct, n_total, n_sample, exact_q, sample_q) for each percent in
+    QS_QUANTILES over ``df[value_col]`` (NULLs excluded): exact_q from
+    the full data, sample_q from the md5-keyed 1/QS_RATE_DEN sample —
+    both as percentile_disc order statistics with (value, key)
+    tie-break, so every output is a stored input double, never
+    arithmetic."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(value_col).alias("v"), F.col(key_col).cast("string").alias("k")
+    ).filter(F.col("v").isNotNull())
+    in_sample = (
+        md5_u32(F.concat(F.lit("qs:"), F.col("k"))) * QS_RATE_DEN
+        < F.lit(QS_RATE_NUM * (2**32)).cast("bigint")
+    )
+    # global (value, key) ordering: correctness-first form; the scale
+    # path layers range partitioning / histogram refinement (see module
+    # comment) — the SAMPLE is what gets sorted at 100 TB, not the data
+    w = Window.orderBy("v", "k")
+
+    def ranked(frame):
+        return frame.select(
+            "v", F.row_number().over(w).alias("rn")
+        ).crossJoin(F.broadcast(frame.agg(F.count("*").alias("n"))))
+
+    qframe = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QS_QUANTILES])).alias("q_pct")
+    )
+    # percentile_disc index: ceil(q/100 * n) in exact integers
+    idx = F.expr("CAST((q_pct * n + 99) div 100 AS BIGINT)")
+
+    def pick(frame, out):
+        return (
+            ranked(frame)
+            .crossJoin(F.broadcast(qframe))
+            .filter(F.col("rn") == idx)
+            .select("q_pct", F.col("v").alias(out), F.col("n"))
+        )
+
+    e = pick(base, "exact_q").withColumnRenamed("n", "n_total")
+    s = pick(base.filter(in_sample), "sample_q").withColumnRenamed(
+        "n", "n_sample"
+    )
+    return e.join(s, "q_pct").select(
+        "q_pct", "n_total", "n_sample", "exact_q", "sample_q"
+    )
+
+
+def sql_quantile_sampled(table: str, value_col: str, key_col: str) -> str:
+    """DuckDB twin of quantile_sampled_df — same sample membership, same
+    (value, key) order statistics, same integer index arithmetic."""
+    # membership is decided over base's canonical k column (review: an
+    # earlier draft referenced {key_col}, which base no longer carries)
+    u32 = "CAST('0x' || substr(md5('qs:' || k), 1, 8) AS BIGINT)"
+    qlist = ", ".join(str(q) for q in QS_QUANTILES)
+    return f"""
+WITH base AS (SELECT {value_col} AS v, CAST({key_col} AS VARCHAR) AS k
+              FROM {table} WHERE {value_col} IS NOT NULL),
+qs AS (SELECT unnest([{qlist}]) AS q_pct),
+ranked_full AS (
+  SELECT v, row_number() OVER (ORDER BY v, k) AS rn, COUNT(*) OVER () AS n
+  FROM base),
+ranked_samp AS (
+  SELECT v, row_number() OVER (ORDER BY v, k) AS rn, COUNT(*) OVER () AS n
+  FROM base WHERE {u32} * {QS_RATE_DEN} < CAST({QS_RATE_NUM} * 4294967296 AS BIGINT)),
+e AS (SELECT q_pct, v AS exact_q, n AS n_total
+      FROM ranked_full, qs WHERE rn = (q_pct * n + 99) // 100),
+s AS (SELECT q_pct, v AS sample_q, n AS n_sample
+      FROM ranked_samp, qs WHERE rn = (q_pct * n + 99) // 100)
+SELECT e.q_pct, CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_sample AS BIGINT) AS n_sample, exact_q, sample_q
+FROM e JOIN s ON s.q_pct = e.q_pct
+"""
