@@ -87,11 +87,14 @@ def test_oracle_generator_unrolls_k_rounds():
 
 
 def test_pair_generation_runs_once_not_per_iteration(spark, sf_dir):
-    # the edge+degree frame is checkpointed before the loop: the final
-    # plan must NOT contain the shingle self-join lineage (it reads the
-    # checkpoint), or K iterations would re-run pair generation K times
+    # the PAIR frame is checkpointed before anything derives from it
+    # (review r13): the final plan reads the checkpoint everywhere —
+    # no parquet scan, no shingle self-join, no Jaccard filter — so the
+    # expensive generation lineage can only have executed in the one
+    # checkpoint job
     from thesis_iceberg_spark.plans import formatted_plan
 
     plan = formatted_plan(pagerank_near_dup_df(spark, sf_dir))
     assert "ExistingRDD" in plan or "LocalTableScan" in plan  # checkpoint read
     assert "documents.parquet" not in plan
+    assert "jaccard" not in plan.lower()

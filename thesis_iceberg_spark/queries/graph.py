@@ -66,6 +66,14 @@ def pagerank_pairs_df(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     level crafted-graph tests drive directly (a star graph's hub/leaf
     ranks are hand-computable; the near-dup wrapper only supplies the
     edge source)."""
+    # pin the PAIR frame first: every downstream piece (edges, nodes, nn,
+    # deg, r0 and all K iterations) derives from this one
+    # materialization, so the expensive pair-generation lineage — the
+    # shingle self-join for the near-dup wrapper — executes exactly ONCE
+    # (review r13: checkpointing only the edge+degree frame left
+    # nodes/nn/r0 carrying the full generation lineage into the final
+    # job)
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -74,9 +82,10 @@ def pagerank_pairs_df(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     nn = nodes.agg(F.count("*").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    # deg(src) is loop-invariant: join it onto the edges once and pin the
-    # frame so the K iterations reuse one materialization (and the
-    # expensive pair-generation lineage never re-executes per round)
+    # deg(src) is loop-invariant: pin the joined frame too, so the K
+    # iterations reference one materialized edge list instead of
+    # re-deriving the union+groupBy+join subtree K times in the final
+    # plan (cheap: it reads the pairs checkpoint)
     ew = edges.join(deg, "src").localCheckpoint(eager=True)
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "doc_id", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r")

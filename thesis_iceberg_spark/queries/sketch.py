@@ -67,6 +67,24 @@ HLL_ALPHA = 0.709  # the published alpha_m for m = 64
 HLL_NUMER = HLL_ALPHA * float(HLL_BUCKETS * HLL_BUCKETS) * float(2**HLL_RMAX)
 
 
+def _require_portable_cast(df: DataFrame, col: str, fn: str) -> None:
+    """The md5-portable sketches hash each engine's own cast-to-string of
+    the column, which is identical cross-engine ONLY for string/integral/
+    boolean/date types — doubles ('1.0E20' vs '1e+20'), timestamps and
+    decimals silently select different hash inputs and break the parity
+    the whole module exists for.  One guard, both sketches (review r13:
+    HLL had it, the quantile sampler re-exposed the hazard)."""
+    kind = df.schema[col].dataType.typeName()
+    if kind not in (
+        "string", "long", "integer", "short", "byte", "boolean", "date"
+    ):
+        raise ValueError(
+            f"{fn} over a {kind} column: the cast-to-string hash input "
+            "diverges between engines for float/timestamp/decimal types "
+            "— pre-format a canonical string column and use that instead"
+        )
+
+
 def _hll_bucket(v: Column) -> Column:
     return md5_u32(F.concat(F.lit("hllb:"), v)) % HLL_BUCKETS
 
@@ -101,16 +119,7 @@ def hll_distinct_df(df: DataFrame, col: str) -> DataFrame:
     (review r13; hash such columns via a caller-supplied canonical
     string column instead)."""
     spark = df.sparkSession
-    kind = df.schema[col].dataType.typeName()
-    if kind not in (
-        "string", "long", "integer", "short", "byte", "boolean", "date"
-    ):
-        raise ValueError(
-            f"hll_distinct_df over a {kind} column: the cast-to-string "
-            "hash input diverges between engines for float/timestamp/"
-            "decimal types — pre-format a canonical string column and "
-            "sketch that instead"
-        )
+    _require_portable_cast(df, col, "hll_distinct_df")
     vals = df.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -242,6 +251,7 @@ def quantile_sampled_df(
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
+    _require_portable_cast(df, key_col, "quantile_sampled_df")
     base = df.select(
         F.col(value_col).alias("v"), F.col(key_col).cast("string").alias("k")
     ).filter(F.col("v").isNotNull())

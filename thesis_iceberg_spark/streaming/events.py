@@ -57,6 +57,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _replay_to_memory(spark: SparkSession, agg: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    uniquely-named memory sink and return the materialized table — the
+    ONE replay convention every registered streaming aggregate shares
+    (review r13: this existed as two verbatim copies)."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day event-time windows with a 1-day watermark: count and
     exact (decimal) value sum per (day, event_type).
@@ -74,16 +91,7 @@ def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("string").cast("double").alias("total_value"),
         )
     )
-    sink = f"events_windowed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return _replay_to_memory(spark, agg, "events_windowed").select(
         F.date_format("win.start", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_events",
@@ -142,16 +150,7 @@ def hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    sink = f"events_hopping_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return _replay_to_memory(spark, agg, "events_hopping").select(
         F.unix_timestamp(F.col("win.start")).alias("window_start_epoch"),
         "event_type",
         "n",
