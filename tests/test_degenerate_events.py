@@ -23,6 +23,8 @@ queries()
 # replay sinks are exercised by their own suites)
 _EVENT_QUERIES = [
     "events_funnel_conversion",
+    "events_funnel_4step",  # r13
+    "events_cohort_retention",  # r13
     "sessionize_events",
     "time_bucket_rollup",
     "resample_gapfill_locf",
