@@ -389,6 +389,14 @@ def main() -> None:
         }
         line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:
+        # intermediate step (r13: the 31-series line sits 7 B under the
+        # cap, so a slow-host round could cross it): degrade steady to
+        # 1 decimal before amputating the whole series dict
+        record["queries_steady"] = {
+            k: round(v, 1) for k, v in record["queries_steady"].items()
+        }
+        line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 1900:
         record.pop("queries_steady")
         line = json.dumps(record, separators=(",", ":"))
     assert len(line) <= 1900, (
