@@ -1448,3 +1448,67 @@ def token_budget_select_subword_df(
     return token_budget_select_df(frame, pre_scored=True).select(
         "doc_id", "n_tokens"
     )
+
+
+# --- weighted (priority) sampling (r13, df-level) ---------------------------
+#
+# The sampling family had per-stratum rates (pipeline_stratified_sample)
+# and exact-k per stratum (pipeline_topk_per_lang_sample); the third
+# classic is WEIGHT-proportional sampling — "pick k documents with
+# probability ~ token count" (training-data mixing and eval-set
+# construction both want it).  The scalable form is PRIORITY SAMPLING
+# (Duffield/Lund/Thorup; bottom-k of u/w): priority = uniform(doc) / w,
+# keep the k smallest.  Determinism: u is the keyed md5_u32 draw and
+# u/w is ONE IEEE division of exact integers — exactly rounded, so both
+# engines compute the identical double and the identical bottom-k (ties
+# broken by doc_id; no summation, no libm).  Spark shape: narrow map +
+# TakeOrderedAndProject — no global sort ever materializes.
+
+WS_K = 50  # sample size of the df-level default
+
+
+def weighted_sample_df(
+    docs_with_weight: DataFrame, k: int = WS_K, key: str = "wsample:"
+) -> DataFrame:
+    """Bottom-k priority sample over (doc_id, w): every row with w > 0
+    competes with priority u/w (u = keyed md5 of doc_id) — inclusion
+    probability rises with w.  Returns (doc_id, w, priority)."""
+    u = _keyed_u32(key)
+    pr = u.cast("double") / F.col("w")
+    return (
+        docs_with_weight.filter(F.col("w") > 0)
+        .select("doc_id", "w", pr.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
+def pipeline_weighted_sample_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count-weighted document sample: w = whitespace token count
+    from the shared quality frame (one text scan).  r14 registration
+    candidate; sql_weighted_sample() is the ready oracle builder."""
+    from thesis_iceberg_spark.queries.text import quality_frame
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    q = quality_frame(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("w")
+    )
+    return weighted_sample_df(q, WS_K)
+
+
+def sql_weighted_sample(k: int = WS_K, key: str = "wsample:") -> str:
+    """DuckDB twin of pipeline_weighted_sample_df: same keyed draw, same
+    single-division priority, same (priority, doc_id) bottom-k.  The
+    weight CTE reuses the registered text_token_stats oracle so the two
+    engines count tokens through ONE fragment."""
+    toks = REGISTRY["text_token_stats"].oracle
+    return f"""
+WITH t AS ({toks}),
+w AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS w FROM t WHERE n_tokens > 0),
+p AS (SELECT doc_id, w,
+             CAST(CAST('0x' || substr(md5('{key}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS DOUBLE) / w AS priority
+      FROM w)
+SELECT doc_id, w, priority
+FROM p ORDER BY priority, doc_id LIMIT {k}
+"""
