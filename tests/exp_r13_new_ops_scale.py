@@ -83,6 +83,21 @@ def main() -> None:
         print(f"  hll_distinct_df(user_id): steady_min={t}s")
         t = timeit(lambda: time_hopping_window_rollup_df(ev).count())
         print(f"  time_hopping_window_rollup_df: steady_min={t}s")
+        from thesis_iceberg_spark.queries.datacard import corpus_datacard_df
+        from thesis_iceberg_spark.queries.graph import pagerank_near_dup_df
+        from thesis_iceberg_spark.queries.pipeline_q import (
+            pipeline_weighted_sample_df,
+        )
+        from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+        t = timeit(lambda: pagerank_near_dup_df(spark, d).collect())
+        print(f"  pagerank_near_dup_df: steady_min={t}s")
+        t = timeit(lambda: quantile_sampled_df(ev, "value", "event_id").collect())
+        print(f"  quantile_sampled_df: steady_min={t}s")
+        t = timeit(lambda: pipeline_weighted_sample_df(spark, d).collect())
+        print(f"  pipeline_weighted_sample_df: steady_min={t}s")
+        t = timeit(lambda: corpus_datacard_df(spark, d).count())
+        print(f"  corpus_datacard_df: steady_min={t}s")
 
 
 if __name__ == "__main__":
