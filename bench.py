@@ -389,14 +389,13 @@ def main() -> None:
         }
         line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:
-        # intermediate step (r13: the 31-series line sits 7 B under the
-        # cap, so a slow-host round could cross it): degrade steady to
-        # 1 decimal before amputating the whole series dict
-        record["queries_steady"] = {
-            k: round(v, 1) for k, v in record["queries_steady"].items()
-        }
-        line = json.dumps(record, separators=(",", ":"))
-    if len(line) > 1900:
+        # (r13 margin note: the 31-series v4 line sits ~7 B under the
+        # cap, but the step above recovers ~30 B by taking steady to 1
+        # decimal — a slow-host round that crosses the cap lands
+        # comfortably back under it, so this amputation stays the
+        # never-reached backstop.  An earlier r13 draft added a second
+        # "round steady to 1 decimal" step here; review #4 caught it as
+        # a byte-identical no-op.)
         record.pop("queries_steady")
         line = json.dumps(record, separators=(",", ":"))
     assert len(line) <= 1900, (

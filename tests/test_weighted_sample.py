@@ -64,3 +64,21 @@ def test_plan_is_take_ordered_no_global_sort(spark, sf_dir):
     plan = formatted_plan(pipeline_weighted_sample_df(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_null_doc_id_never_sampled_and_quote_key_escapes(spark):
+    # review r13 #4: a NULL key draws a NULL priority (Spark sorts it
+    # FIRST, DuckDB LAST) — excluded outright in both twins; and a key
+    # containing a quote must produce parseable oracle SQL
+    rows = [(None, 1000), (1, 5), (2, 3)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, w BIGINT")
+    ids = {r.doc_id for r in weighted_sample_df(df, k=10).collect()}
+    assert ids == {1, 2}
+    sql = sql_weighted_sample(key="o'key:")
+    assert "md5('o''key:'" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'a b' AS text, "
+        "'en' AS lang, 'web' AS source, 3 AS n_chars"
+    )
+    con.sql(sql).fetchall()  # must parse and run

@@ -1475,8 +1475,14 @@ def weighted_sample_df(
     probability rises with w.  Returns (doc_id, w, priority)."""
     u = _keyed_u32(key)
     pr = u.cast("double") / F.col("w")
+    # doc_id IS NOT NULL: a NULL key draws a NULL priority, which Spark's
+    # ascending sort puts FIRST while DuckDB puts LAST — excluding
+    # NULL-keyed rows keeps the twins identical AND the sample
+    # meaningful (review r13 #4)
     return (
-        docs_with_weight.filter(F.col("w") > 0)
+        docs_with_weight.filter(
+            (F.col("w") > 0) & F.col("doc_id").isNotNull()
+        )
         .select("doc_id", "w", pr.alias("priority"))
         .orderBy("priority", "doc_id")
         .limit(k)
@@ -1500,13 +1506,17 @@ def sql_weighted_sample(k: int = WS_K, key: str = "wsample:") -> str:
     """DuckDB twin of pipeline_weighted_sample_df: same keyed draw, same
     single-division priority, same (priority, doc_id) bottom-k.  The
     weight CTE reuses the registered text_token_stats oracle so the two
-    engines count tokens through ONE fragment."""
+    engines count tokens through ONE fragment.  The key is embedded as a
+    SQL literal, so quotes are doubled (the bpe._enc_sql escaping rule;
+    review r13 #4)."""
+    key_sql = key.replace("'", "''")
     toks = REGISTRY["text_token_stats"].oracle
     return f"""
 WITH t AS ({toks}),
-w AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS w FROM t WHERE n_tokens > 0),
+w AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS w FROM t
+      WHERE n_tokens > 0 AND doc_id IS NOT NULL),
 p AS (SELECT doc_id, w,
-             CAST(CAST('0x' || substr(md5('{key}' || CAST(doc_id AS VARCHAR)), 1, 8)
+             CAST(CAST('0x' || substr(md5('{key_sql}' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) AS DOUBLE) / w AS priority
       FROM w)
 SELECT doc_id, w, priority
