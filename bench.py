@@ -379,11 +379,10 @@ def main() -> None:
     _rewrite_perf_lead(record, total, round(sum(steady.values()), 2))
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:
-        # degradation ladder (review r12: with 30 series the 2-decimal
-        # line has only ~25 B headroom, and a slow-host round that pushes
-        # several medians past 10 s adds a char per value) — lose one
-        # decimal of precision BEFORE losing the whole steady series
-        record["queries"] = {k: round(v, 1) for k, v in record["queries"].items()}
+        # degradation ladder (review r12; re-audited r13 #5): the cold
+        # dict is ALREADY 1-decimal under v4, so the recoverable bytes
+        # live in the steady dict — take it to 1 decimal (~30 B) before
+        # the amputation backstop below
         record["queries_steady"] = {
             k: round(v, 1) for k, v in record["queries_steady"].items()
         }

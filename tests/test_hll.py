@@ -21,8 +21,6 @@ from thesis_iceberg_spark.sources.registry import load_table
 
 
 def _parity(spark, sf_dir, col="user_id"):
-    import os
-
     got = canonical_rows(
         hll_distinct_df(load_table(spark, sf_dir, "events"), col).toPandas()
     )

@@ -22,8 +22,6 @@ from thesis_iceberg_spark.sources.registry import load_table
 
 
 def _parity(spark, d, width=HOP_WIDTH_SEC, slide=HOP_SLIDE_SEC):
-    import os
-
     got = canonical_rows(
         time_hopping_window_rollup_df(
             load_table(spark, d, "events"), width, slide

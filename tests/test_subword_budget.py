@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import duckdb
 
-from thesis_iceberg_spark.oracle import canonical_rows
+from thesis_iceberg_spark.oracle import canonical_rows, duckdb_table_view
 from thesis_iceberg_spark.queries import REGISTRY, queries
 from thesis_iceberg_spark.queries.bpe import _bpe_oracle
 from thesis_iceberg_spark.queries.pipeline_q import (
@@ -34,10 +34,7 @@ def test_parity_on_driver_corpus(spark, sf_dir):
         token_budget_select_subword_df(spark, sf_dir).toPandas()
     )
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
-    )
+    duckdb_table_view(con, sf_dir, "documents")
     want = canonical_rows(con.sql(_oracle()).df())
     assert got == want
     assert got, "budget kept nothing at driver scale"

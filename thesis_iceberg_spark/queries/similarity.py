@@ -784,17 +784,19 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
 
     from thesis_iceberg_spark.tablefmt.table import VersionedTable
 
+    # normalize ONCE and key everything (cache dict AND on-disk tag) on
+    # the abspath: a relative sf_dir that means different corpora under
+    # different cwds must never alias, and two spellings of one dir must
+    # never double-build (reviews r13 #1 and #5)
+    sf_dir = os.path.abspath(sf_dir)
     if sf_dir in _QUANT_BUILT:
         return VersionedTable(spark, _QUANT_BUILT[sf_dir])
     import hashlib
 
-    # the on-disk key hashes the FULL sf_dir (review r13: a basename-only
-    # key lets two corpora named sf0.01 silently serve each other's
-    # table — the cache dict keys by full path, so the location must too)
     tag = (
         os.path.basename(os.path.normpath(sf_dir))
         + "_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
     loc = os.path.join("/tmp/tisw_checks", tag, "emb_int8_vt")
     shutil.rmtree(loc, ignore_errors=True)

@@ -263,11 +263,18 @@ def quantile_sampled_df(
     # path layers range partitioning / histogram refinement (see module
     # comment) — the SAMPLE is what gets sorted at 100 TB, not the data
     w = Window.orderBy("v", "k")
+    # n rides the SAME window pass as row_number (count over the
+    # unbounded frame) — one scan per frame, mirroring the twin's
+    # COUNT(*) OVER (); review r13 #5: the crossJoin(count) form scanned
+    # the input twice per frame
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     def ranked(frame):
         return frame.select(
-            "v", F.row_number().over(w).alias("rn")
-        ).crossJoin(F.broadcast(frame.agg(F.count("*").alias("n"))))
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
 
     qframe = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in QS_QUANTILES])).alias("q_pct")
