@@ -98,3 +98,19 @@ def test_pair_generation_runs_once_not_per_iteration(spark, sf_dir):
     assert "ExistingRDD" in plan or "LocalTableScan" in plan  # checkpoint read
     assert "documents.parquet" not in plan
     assert "jaccard" not in plan.lower()
+
+
+def test_iteration_plan_is_o1_not_growing(spark):
+    # per-iteration rank checkpoint (VERDICT r13 #5, the Pregel
+    # discipline): iteration k's plan must read the k-1 materialization,
+    # not embed all prior join+agg subtrees — so the FINAL plan's size
+    # and join count stay constant as K grows.  Without the checkpoint,
+    # K=8 carries 8 nested join+agg rounds and this assert fails.
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(pairs, "doc_a BIGINT, doc_b BIGINT")
+    p1 = formatted_plan(pagerank_pairs_df(df, iters=1))
+    p8 = formatted_plan(pagerank_pairs_df(df, iters=8))
+    assert p8.count("Join") == p1.count("Join")
+    assert len(p8) < 1.5 * len(p1)

@@ -51,14 +51,17 @@ def _load_all() -> None:
     from thesis_iceberg_spark.queries import (  # noqa: F401
         bpe,
         classify,
+        datacard,
         dedup,
         extended,
         functions_q,
+        graph,
         multimodal_q,
         pipeline_q,
         relational,
         search,
         similarity,
+        sketch,
         sql_shapes,
         streaming_q,
         tablefmt_checks,
@@ -100,27 +103,21 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round 13 block: queries whose CODE changed this round only.
-    # the composition gained the hashed-classifier gate arm (VERDICT
-    # r12 #2 — scoring rides the pass-A staged norm_text)
+    # Round 14 block: queries whose CODE or ORACLE changed this round.
+    # the composition's token budget / mixture / packing now spend BPE
+    # SUBWORD counts (VERDICT r13 #2 — a deliberate oracle
+    # re-registration: n_tokens := n_subwords end to end post-gate)
     "pipeline_pretrain_corpus",
-    # oracle regenerated by _funnel_oracle (same semantics, shared shape
-    # with the new 4-step registration — re-verified anyway)
-    "events_funnel_conversion",
-    # per-partition Bloom OR-merge moved off the driver onto a
-    # treeAggregate + loud filter-bytes budget guard (VERDICT r12 #3;
+    # the stored-table builder's /tmp artifact became marker-gated
+    # reuse + atomic publish instead of rmtree+rebuild (ADVICE r13 #1;
     # results identical by construction, re-verified anyway)
-    "dedup_incremental_bloom",
-    # oracle text regenerated through the shared sql_token_budget_select
-    # builder (review r13 — same prefix rule, re-verified at sf0.01)
-    "pipeline_token_budget_select",
-    # replay boilerplate extracted to _replay_to_memory (identical
-    # behavior, re-verified at sf0.01)
-    "streaming_windowed_event_stats",
-    # NOT listed: the four r13 registrations (events_cohort_retention,
-    # events_funnel_4step, text_bpe_encode, ann_int8_range_search_stored
-    # — the cap-held r12 surfaces, VERDICT r12 #1/#4/#7) enter the
-    # window via the never-checked-first fallback.
+    "ann_int8_range_search_stored",
+    # import-time assert -> ValueError on the SQL twin's preconditions
+    # (ADVICE r13 #2; no semantic change, re-verified anyway)
+    "text_bpe_encode",
+    # NOT listed: the four r14 registrations (hll_distinct,
+    # quantile_sampled, pagerank_near_dup, corpus_datacard — VERDICT
+    # r13 #1) enter the window via the never-checked-first fallback.
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

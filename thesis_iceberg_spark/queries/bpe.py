@@ -214,16 +214,27 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 # excluded from the frozen list by the assert below, and the pytest
 # property check compares the SQL twin against bpe_encode_word on
 # adversarial repeat words.
-assert all(a != b for a, b in BPE_MERGES), (
-    "self-pair merges are excluded: the SQL twin's two-pass replace "
-    "diverges from greedy BPE on odd same-symbol runs (see comment)"
-)
+# These two invariants are the SQL twin's correctness PRECONDITION, so
+# they raise ValueError, not assert: asserts are stripped under
+# `python -O`, and a future retrained BPE_MERGES containing a self-pair
+# would then silently ship a WRONG oracle instead of failing at import
+# (ADVICE r13 — the pytest pin covers CI; this is the last line of
+# defense in production runs).
+if any(a == b for a, b in BPE_MERGES):
+    raise ValueError(
+        "self-pair merges are excluded: the SQL twin's two-pass replace "
+        "diverges from greedy BPE on odd same-symbol runs (see comment)"
+    )
 # a retrained list on an apostrophe-bearing corpus can legitimately learn
 # a symbol containing a quote; _enc_sql escapes them, but \x1f inside a
 # symbol would alias the separator and MUST stay impossible (it is, by
-# the fold contract — assert so a tokenizer change cannot silently
+# the fold contract — raise so a tokenizer change cannot silently
 # break it; review r13)
-assert all("\x1f" not in a + b for a, b in BPE_MERGES)
+if any("\x1f" in a + b for a, b in BPE_MERGES):
+    raise ValueError(
+        "\\x1f inside a merge symbol would alias the SQL twin's symbol "
+        "separator — the fold contract forbids it; retrain or re-fold"
+    )
 
 # symbol separator for the SQL twin: \x1f can never appear inside a
 # symbol — the textnorm fold maps \x1c-\x1f to a space BEFORE

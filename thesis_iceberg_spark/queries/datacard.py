@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from thesis_iceberg_spark.queries import register
+
 QDEC = "decimal(28,10)"
 
 
@@ -110,3 +112,23 @@ SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
 FROM per_doc
 GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """
+
+
+@register(
+    "corpus_datacard",
+    oracle=sql_corpus_datacard(),
+    doc="Corpus datacard (registered r14, VERDICT r13 #1): the release-"
+    "profile table every dataset ships (Gebru et al. datasheets; Pile/"
+    "ROOTS release docs) — document counts, token mass, decimal-exact "
+    "mean quality, and exact-dup fraction by (lang x source) plus "
+    "GROUPING SETS rollups, with gid disambiguating rollup rows from "
+    "genuine NULL slice keys. ONE fused documents scan (the pass-A "
+    "discipline) + ONE grouping-sets aggregation: Catalyst's Expand "
+    "partial-aggregates before the exchange, so the slice count — not "
+    "the corpus — bounds what crosses the wire. The oracle composes the "
+    "registered quality/fingerprint fragments under the same GROUPING "
+    "SETS (one fragment source, drift-impossible); all columns carry "
+    "the FULL value oracle via the house decimal-sum-to-double trick.",
+)
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_datacard_df(spark, sf_dir)

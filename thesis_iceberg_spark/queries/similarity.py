@@ -775,12 +775,27 @@ _QUANT_BUILT: dict[str, str] = {}  # sf_dir -> table location in THIS process
 
 
 def _quantized_table(spark: SparkSession, sf_dir: str):
-    """Build-once-per-(process, sf_dir) quantized embeddings table under
+    """Build-once-per-(corpus STATE) quantized embeddings table under
     /tmp — the tablefmt_checks._BUILT pattern: the registered stored
     reader needs a write-time artifact, and rebuilding the CTAS per call
-    would re-pay the quantization pass for identical state."""
+    would re-pay the quantization pass for identical state.
+
+    Concurrency + reuse contract (ADVICE r13): the shared location is
+    NEVER rmtree'd — a completed artifact (signalled by a _COMPLETE
+    marker written only after the CTAS finishes) is detected and REUSED,
+    so a second process on the same corpus neither deletes the table the
+    first is mid-scan on nor re-pays the build.  A fresh build happens
+    in a private per-(pid, uuid) directory and is PUBLISHED by one
+    atomic os.rename (table metadata stores location-relative paths, so
+    a renamed table reads correctly); the rename loser keeps its private
+    copy — correct either way, never a torn read.  Staleness is handled
+    by keying the tag on the embeddings parquet's (size, mtime) — if the
+    driver regenerates the corpus in place, the tag changes and the old
+    artifact is simply never matched again."""
+    import hashlib
     import os
     import shutil
+    import uuid
 
     from thesis_iceberg_spark.tablefmt.table import VersionedTable
 
@@ -791,20 +806,49 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     sf_dir = os.path.abspath(sf_dir)
     if sf_dir in _QUANT_BUILT:
         return VersionedTable(spark, _QUANT_BUILT[sf_dir])
-    import hashlib
-
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        state = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        state = "nostat"  # non-file layouts: fall back to path-only key
     tag = (
         os.path.basename(os.path.normpath(sf_dir))
         + "_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + hashlib.md5(f"{sf_dir}|{state}".encode()).hexdigest()[:12]
     )
-    loc = os.path.join("/tmp/tisw_checks", tag, "emb_int8_vt")
-    shutil.rmtree(loc, ignore_errors=True)
-    os.makedirs(os.path.dirname(loc), exist_ok=True)
-    raw = load_table(spark, sf_dir, "embeddings")
-    table, _scale = quantize_embeddings_table(spark, raw, loc)
+    shared = os.path.join("/tmp/tisw_checks", tag)
+    loc = os.path.join(shared, "emb_int8_vt")
+    marker = os.path.join(shared, "_COMPLETE")
+
+    def _finished(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_COMPLETE")) and (
+            VersionedTable.exists(os.path.join(d, "emb_int8_vt"))
+        )
+
+    if not _finished(shared):
+        # build privately, then publish atomically (rename fails if the
+        # shared dir appeared meanwhile — the loser keeps its copy)
+        priv = os.path.join(
+            "/tmp/tisw_checks",
+            f"{tag}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+        )
+        os.makedirs(priv, exist_ok=True)
+        raw = load_table(spark, sf_dir, "embeddings")
+        quantize_embeddings_table(
+            spark, raw, os.path.join(priv, "emb_int8_vt")
+        )
+        with open(os.path.join(priv, "_COMPLETE"), "w") as f:
+            f.write(state)
+        try:
+            os.rename(priv, shared)
+        except OSError:
+            if _finished(shared):  # lost the publish race: reuse theirs
+                shutil.rmtree(priv, ignore_errors=True)
+            else:  # stale partial dir squats the shared path: keep ours
+                loc = os.path.join(priv, "emb_int8_vt")
     _QUANT_BUILT[sf_dir] = loc
-    return table
+    return VersionedTable(spark, loc)
 
 
 @register(
