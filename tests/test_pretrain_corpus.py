@@ -118,6 +118,36 @@ def test_composition_output_shape(spark, sf_dir):
         assert packs == list(range(len(packs))), (src, packs)
 
 
+def test_budget_is_subword_denominated(spark, sf_dir):
+    """r14 (VERDICT r13 #2): the composition's n_tokens — the budget,
+    mixture, and pack denomination — must equal the BPE subword count of
+    the scrubbed text under the frozen merges, NOT the whitespace word
+    count, and the delta must be non-vacuous (some kept doc's subword
+    count differs from its word count, so the swap genuinely moves
+    token mass)."""
+    from thesis_iceberg_spark.queries.bpe import BPE_MERGES, bpe_encode_df
+    from thesis_iceberg_spark.queries.pipeline_q import _EMAIL_RE, _PHONE_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    enc = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_encode_df(
+            docs.select("doc_id", scrub.alias("text")), list(BPE_MERGES)
+        ).collect()
+    }
+    final = REGISTRY["pipeline_pretrain_corpus"].fn(spark, sf_dir).collect()
+    assert final
+    for r in final:
+        assert r.n_tokens == enc[r.doc_id][1], (r.doc_id, r.n_tokens, enc[r.doc_id])
+    assert any(enc[r.doc_id][0] != enc[r.doc_id][1] for r in final), (
+        "word count == subword count for every kept doc: the "
+        "re-denomination is vacuous on this corpus"
+    )
+
+
 def test_every_stage_actually_gates(spark, sf_dir):
     """Per-stage non-vacuity (review r11: `0 < final < all` alone lets any
     single stage silently no-op).  Each ACTIVE stage is shown to have real

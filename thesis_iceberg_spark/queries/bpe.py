@@ -141,19 +141,45 @@ def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
-    """(doc_id, n_words, n_subwords, subwords): encode every document
-    with the learned merges — an Arrow mapInPandas kernel (per-token
-    bounded state, zero shuffle; the merges list rides the closure,
-    which is the broadcast-small-model pattern every tokenizer
+def bpe_encode_df(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *keep_cols, n_words, n_subwords, subwords): encode every
+    document with the learned merges — an Arrow mapInPandas kernel
+    (per-token bounded state, zero shuffle; the merges list rides the
+    closure, which is the broadcast-small-model pattern every tokenizer
     deployment uses).  A per-task word->subwords memo turns the
     per-OCCURRENCE merge loop into a per-TYPE one (Zipf: a few hundred
     types cover most tokens — r12 review #3).  Tokenization mirrors
     _lm_ftoks via fold_py + certify_py so the Python twin tokenizes
-    exactly like the JVM word-count side."""
+    exactly like the JVM word-count side.  ``keep_cols`` pass through
+    untouched with their input types (the quality_frame idiom) so a
+    composition can encode a staged projection without a doc_id
+    re-join re-executing the upstream lineage (r14)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     from thesis_iceberg_spark.queries.textnorm import certify_py, fold_py
 
     merges_local = list(merges)
+    keep = tuple(keep_cols)
+    in_fields = {f.name: f for f in docs.schema.fields}
+    out_schema = StructType(
+        [in_fields["doc_id"]]
+        + [in_fields[c] for c in keep]
+        + [
+            StructField("n_words", IntegerType()),
+            StructField("n_subwords", IntegerType()),
+            StructField("subwords", ArrayType(StringType())),
+        ]
+    )
 
     def encode(batches):
         import pandas as pd
@@ -168,21 +194,23 @@ def bpe_encode_df(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, *keeps, text in zip(
+                pdf["doc_id"], *(pdf[c] for c in keep), pdf["text"]
+            ):
                 t = fold_py(text if isinstance(text, str) else "")
                 certify_py(t)
                 words = [w for w in t.strip(" ").lower().split() if w]
                 subs: list[str] = []
                 for w in words:
                     subs.extend(enc(w))
-                rows.append((doc_id, len(words), len(subs), subs))
+                rows.append((doc_id, *keeps, len(words), len(subs), subs))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_words", "n_subwords", "subwords"]
+                rows,
+                columns=["doc_id", *keep, "n_words", "n_subwords", "subwords"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        encode,
-        "doc_id bigint, n_words int, n_subwords int, subwords array<string>",
+    return docs.select("doc_id", *keep, "text").mapInPandas(
+        encode, out_schema
     )
 
 

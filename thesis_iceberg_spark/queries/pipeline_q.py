@@ -1098,11 +1098,10 @@ def _pretrain_oracle() -> str:
     # `import pipeline_q` (tests do this) must not depend on _load_all
     # having imported classify first (r13 — the fragment dependencies on
     # text.py were already covered by the direct imports below)
-    from thesis_iceberg_spark.queries import classify  # noqa: F401
+    from thesis_iceberg_spark.queries import bpe, classify  # noqa: F401
     from thesis_iceberg_spark.queries.text import (
         GOPHER_MIN_ALPHA_WORD_FRAC,
         GOPHER_MAX_SYMBOL_WORD_RATIO,
-        _sql_toks,
         sql_garbage_flags,
     )
 
@@ -1119,7 +1118,8 @@ hc AS ({REGISTRY["text_hashed_classifier"].oracle}),
 fp AS ({REGISTRY["text_fingerprint"].oracle}),
 ev AS ({REGISTRY["dedup_edit_verified_pairs"].oracle}),
 dec AS ({REGISTRY["pipeline_decontaminate"].oracle}),
-toks AS (SELECT doc_id, len({_sql_toks()}) AS n_tokens FROM documents),
+toks AS (SELECT doc_id, n_subwords AS n_tokens
+         FROM ({REGISTRY["text_bpe_encode"].oracle})),
 canon AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical
           FROM fp),
 gated AS (
@@ -1191,20 +1191,28 @@ FROM mixed
     "canonical) -> fuzzy dedup = n-gram-Jaccard candidates VERIFIED by "
     "banded byte-Levenshtein (r12 — order-blind set overlap alone no "
     "longer drops a doc) -> shingle-containment decontamination -> 50% "
-    "token-budget selection by quality -> DoReMi mixture resampling -> "
-    "512-token sequence packing; one row per surviving document with its "
-    "pack assignment. Every stage is an individually driver-oracled "
-    "operator and the oracle is composed from their oracle fragments "
-    "over a PII-scrubbed shadow CTE, so composition drift is impossible. "
-    "Scale shape: raw text scanned exactly twice (fused per-doc feature "
-    "projection carrying the garbage flags and the staged normalized "
-    "text; shared 16-byte-hashed shingle explode feeding dedup AND "
-    "decontamination), everything after runs on checkpointed "
-    "projections.",
+    "token-budget selection by quality, DENOMINATED IN BPE SUBWORD "
+    "TOKENS (r14, VERDICT r13 #2 — the budget, the DoReMi mixture "
+    "shares, and the 512-token pack boundaries all spend the tokens a "
+    "model actually trains on: n_tokens := n_subwords under the frozen "
+    "merge list, the registered text_bpe_encode fragment slotting into "
+    "the composed oracle verbatim) -> mixture resampling -> sequence "
+    "packing; one row per surviving document with its pack assignment. "
+    "Every stage is an individually driver-oracled operator and the "
+    "oracle is composed from their oracle fragments over a PII-scrubbed "
+    "shadow CTE, so composition drift is impossible. Scale shape: raw "
+    "text scanned exactly twice (fused per-doc feature projection "
+    "carrying the garbage flags and the staged normalized text; shared "
+    "16-byte-hashed shingle explode feeding dedup AND decontamination); "
+    "the subword encode reads the survivors' staged norm_text from the "
+    "pass-A checkpoint (never the parquet) and fuses BEFORE the gated "
+    "checkpoint, so the expensive candidate-pair joins still execute "
+    "exactly once.",
 )
 def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from thesis_iceberg_spark.queries.bpe import BPE_MERGES, bpe_encode_df
     from thesis_iceberg_spark.queries.classify import (
         hashed_classifier_score_expr,
         hashed_classifier_weights,
@@ -1358,7 +1366,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc_w = hashed_classifier_weights(feats, toks_col=hc_toks)
     # ---- gates + dedup + decontamination (all narrow from here on) -----
     canon = F.min("doc_id").over(Window.partitionBy("fingerprint"))
-    gated = (
+    gated_txt = (
         feats.crossJoin(F.broadcast(hc_w))
         .withColumn("canonical", canon)
         .filter(
@@ -1373,7 +1381,32 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(fuzzy_victims, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "source", "quality_score", "n_tokens")
+        # the survivors' staged norm_text rides into the encode below —
+        # NOT a raw text scan (it reads the pass-A checkpoint), the same
+        # move as the classifier gate
+        .select("doc_id", "source", "quality_score", F.col("norm_text").alias("text"))
+    )
+    # ---- subword re-denomination (r14, VERDICT r13 #2) ------------------
+    # everything the pipeline spends from here on — the token budget, the
+    # mixture shares, the pack boundaries — is denominated in BPE SUBWORD
+    # tokens (what a model actually trains on), not whitespace words:
+    # n_tokens := n_subwords under the frozen merge list.  Encoding
+    # norm_text equals encoding the scrubbed raw text (the BPE tokenizer
+    # folds/lowers/splits first, and norm IS that fold — the classifier-
+    # gate equivalence), so the registered text_bpe_encode oracle
+    # fragment slots into the composed oracle verbatim.  The encode is
+    # fused BEFORE the checkpoint, so the expensive gate lineage (Jaccard
+    # self-join, containment join) still executes exactly once.
+    gated = (
+        bpe_encode_df(
+            gated_txt, list(BPE_MERGES), keep_cols=("source", "quality_score")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.col("n_subwords").cast("bigint").alias("n_tokens"),
+        )
         # checkpoint: the gated lineage embeds the two expensive joins
         # (Jaccard shingle self-join, decontamination containment join) —
         # without this they re-execute for token_budget's internal
