@@ -1535,6 +1535,107 @@ def pipeline_weighted_sample_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_df(q, WS_K)
 
 
+# --- deterministic shard shuffle (r14, df-level) ----------------------------
+#
+# The LAST step of every training-data pipeline: shuffle the corpus and
+# write it as K shards whose within-shard order is fixed, so any
+# dataloader replays the identical sequence.  RNG-shuffled writers are
+# engine- and run-private; this form is a pure function of doc_id — the
+# keyed md5 draw gives shard_id = draw % K and the within-shard order
+# (draw, doc_id) — so two engines (and two runs) produce the IDENTICAL
+# shard layout, and the whole operator carries a full value oracle.
+#
+# Scale shape: the oracle's naive form is one row_number window per
+# shard = one task per shard = corpus/K rows in a single task — the
+# n/64-straggler shape the quantile registration just had to shed.  The
+# Spark side therefore computes the DENSE position two-phase: bucket
+# each row by the draw's high bits (monotone in the sort order, so
+# buckets are order-contiguous), count (shard x bucket) cells in one
+# map-side-combined aggregate (<= K*B rows), turn counts into bucket
+# START OFFSETS with a window over that tiny frame, broadcast-join the
+# offsets back, and row_number only within (shard, bucket) — each
+# window task owns corpus/(K*B) rows, and B scales with the corpus (or
+# nests, token_budget-style) where K is fixed by the output layout.
+
+SHARD_N = 8  # driver-scale shard count; production picks
+# corpus_bytes / target_shard_bytes — K is an OUTPUT layout choice
+SHARD_POS_BUCKETS = 64  # per-shard order-contiguous position buckets
+
+
+def shard_shuffle_df(
+    docs: DataFrame,
+    n_shards: int = SHARD_N,
+    key: str = "shard:",
+    n_buckets: int = SHARD_POS_BUCKETS,
+) -> DataFrame:
+    """(doc_id, shard_id, shard_pos): deterministic shuffle-shard
+    assignment with a DENSE 1-based within-shard position (see module
+    comment for the two-phase construction that keeps every window task
+    at corpus/(K*B) rows)."""
+    from pyspark.sql.window import Window
+
+    u = _keyed_u32(key)
+    shift = 2**32 // n_buckets  # draw in [0, 2^32): bucket = draw div shift
+    # bucket = draw div shift: monotone in draw, so buckets are
+    # contiguous runs of the (draw, doc_id) sort order and equal draws
+    # always share a bucket — the dense positions compose exactly
+    d = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        u.alias("draw"),
+        (u % n_shards).alias("shard_id"),
+        F.floor(u / F.lit(shift)).cast("bigint").alias("bucket"),
+    )
+    counts = d.groupBy("shard_id", "bucket").agg(F.count("*").alias("c"))
+    w_off = (
+        Window.partitionBy("shard_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard_id",
+        "bucket",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_pos = Window.partitionBy("shard_id", "bucket").orderBy("draw", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), ["shard_id", "bucket"])
+        .select(
+            "doc_id",
+            "shard_id",
+            (F.col("off") + F.row_number().over(w_pos))
+            .cast("bigint")
+            .alias("shard_pos"),
+        )
+    )
+
+
+def pipeline_shard_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard shuffle over the documents corpus — r15 registration
+    candidate; sql_shard_shuffle() is the ready oracle builder."""
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    return shard_shuffle_df(load_table(spark, sf_dir, "documents"))
+
+
+def sql_shard_shuffle(n_shards: int = SHARD_N, key: str = "shard:") -> str:
+    """DuckDB twin of pipeline_shard_shuffle_df: the NAIVE one-window-
+    per-shard form — the driver check proves the two-phase bucketed
+    construction selects the identical dense positions.  Key embedded as
+    a SQL literal (quotes doubled, the _enc_sql rule)."""
+    key_sql = key.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{key_sql}' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS draw
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT doc_id, draw % {n_shards} AS shard_id,
+       CAST(row_number() OVER (PARTITION BY draw % {n_shards}
+                               ORDER BY draw, doc_id) AS BIGINT) AS shard_pos
+FROM d
+"""
+
+
 def sql_weighted_sample(k: int = WS_K, key: str = "wsample:") -> str:
     """DuckDB twin of pipeline_weighted_sample_df: same keyed draw, same
     single-division priority, same (priority, doc_id) bottom-k.  The

@@ -487,6 +487,94 @@ GROUP BY 1, 2
 """
 
 
+SESSION_GAP_SEC = 1800  # 30-minute inactivity gap — the classic default,
+# and the same constant the gaps-and-islands sessionize_events uses
+
+
+def session_window_stats_df(
+    events: DataFrame, gap_sec: int = SESSION_GAP_SEC
+) -> DataFrame:
+    """Per-user session stats via Spark's NATIVE F.session_window —
+    (user_id, session_start_s, session_end_s, n_events, total_value)
+    with a session extending while consecutive events are <= gap apart
+    (an event EXACTLY gap seconds after its predecessor still MERGES:
+    Spark closes the window at ts+gap INCLUSIVE — measured, and pinned
+    against the crafted boundary corpus in
+    tests/test_session_window.py; the same `>`-splits rule as
+    sessionize_events' gaps-and-islands oracle) and session_end = last
+    event ts + gap (the window's close, Spark's convention).
+
+    The dynamic-gap sibling of the F.window tumbling/hopping rollups:
+    sessionize_events builds sessions from a gaps-and-islands window
+    composition (two passes over one user_id ordering); this form hands
+    the merge loop to the engine's native session operator — ONE
+    groupBy whose state is (user, open session), the same aggregation
+    Structured Streaming runs incrementally (streaming twin:
+    streaming/events.session_event_stats, the SAME spec under a
+    watermarked availableNow replay).  One user_id-keyed shuffle; the
+    per-key merge state is bounded by a user's concurrent open
+    sessions, not the corpus.  df-level in r14 (the +4 registration cap
+    is met); r15 registration candidate — sql_session_stats() is the
+    ready oracle builder."""
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.session_window(
+                F.col("ts").cast("timestamp"), f"{gap_sec} seconds"
+            ).alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start_s"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end_s"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sql_session_stats(gap_sec: int = SESSION_GAP_SEC) -> str:
+    """DuckDB twin of session_window_stats_df: gaps-and-islands with the
+    session_window boundary rule — a new session only when the gap is
+    STRICTLY > gap seconds (the native operator's window closes at
+    ts+gap INCLUSIVE, so exactly-gap-apart events merge — measured and
+    pinned by the crafted boundary test; the same split rule as
+    sessionize_events), and session_end = last ts + gap."""
+    return f"""
+WITH e AS (SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {gap_sec} SECOND THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+       strftime(MAX(ts) + INTERVAL {gap_sec} SECOND, '%Y-%m-%d %H:%M:%S')
+           AS session_end_s,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def cohort_retention_df(events: DataFrame) -> DataFrame:
     """Cohort retention matrix over any (user_id, ts) frame: users are
     cohorted by the calendar week of their FIRST event; each row is

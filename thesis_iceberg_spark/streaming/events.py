@@ -156,3 +156,45 @@ def hopping_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+def session_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION (dynamic-gap) event-time windows on the stream: per-user
+    sessions closing after 30 minutes of inactivity, with a watermark —
+    the streaming twin of queries/timeseries_q.session_window_stats_df
+    (r14; the batch side carries the gaps-and-islands DuckDB oracle,
+    this side proves the SAME F.session_window spec runs under
+    watermarked streaming semantics, where the state store holds one
+    open session per active user and the watermark closes it — the one
+    windowed shape the family lacked after tumbling and hopping:
+    windows whose extent is DATA-dependent, so the engine must MERGE
+    state rather than assign from a grid).  Replayed to completion with
+    availableNow into a memory sink; same formatted-string output as
+    the batch twin."""
+    from thesis_iceberg_spark.queries.timeseries_q import SESSION_GAP_SEC
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return _replay_to_memory(spark, agg, "events_session").select(
+        "user_id",
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start_s"
+        ),
+        F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end_s"),
+        "n_events",
+        "total_value",
+    )
