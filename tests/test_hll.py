@@ -165,3 +165,30 @@ def test_quantile_exact_side_is_percentile_disc(spark):
         for r in quantile_sampled_df(df, "value", "event_id").collect()
     }
     assert rows == {25: 3.0, 50: 5.0, 75: 8.0, 95: 10.0}
+
+
+def test_heavy_equal_value_run_larger_than_sort_cap(spark):
+    # r14 review #1: a bin narrowing to a SINGLE-VALUE run larger than
+    # QS_SELECT_CAP must resolve as that value through the vmin==vmax
+    # short-circuit (no sort of the run) — the heavy-hitter shape
+    # (millions of identical 0.0s) real value columns carry.  All four
+    # quantiles land inside the 3*cap-row 7.0 run here, so every
+    # resolution exercises the short-circuit branch.
+    from thesis_iceberg_spark.queries.sketch import (
+        QS_SELECT_CAP,
+        quantile_sampled_df,
+    )
+
+    n = QS_SELECT_CAP * 3
+    df = spark.range(n).selectExpr(
+        "id AS event_id",
+        "CAST(CASE WHEN id < 100 THEN 1.0 ELSE 7.0 END AS DOUBLE) AS value",
+    )
+    rows = {
+        r.q_pct: r for r in quantile_sampled_df(df, "value", "event_id").collect()
+    }
+    assert set(rows) == {25, 50, 75, 95}
+    for q, r in rows.items():
+        assert r.exact_q == 7.0, (q, r)
+        assert r.sample_q == 7.0, (q, r)
+        assert r.n_total == n

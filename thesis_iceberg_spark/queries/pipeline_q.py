@@ -721,6 +721,7 @@ def token_budget_select_df(
     diagnostics only (review r10 ADVICE)."""
     from pyspark.sql.window import Window
 
+    from thesis_iceberg_spark.queries.binning import range_bin
     from thesis_iceberg_spark.queries.text import quality_frame
 
     # ONE documents scan: quality_frame carries score AND n_tokens (no
@@ -819,30 +820,25 @@ def token_budget_select_df(
         if m["cnt"] <= boundary_sort_cap:
             break
         if m["smin"] < m["smax"]:
-            # range-scaled score bins: monotone nondecreasing in score,
-            # equal scores share a bin — (bin DESC, score DESC, doc_id)
-            # remains the global order within the subset
-            span = m["smax"] - m["smin"]
-            sub = F.least(
-                F.greatest(
-                    F.floor(
-                        (F.col("quality_score") - m["smin"]) * NB_QBUCKETS / span
-                    ),
-                    F.lit(0).cast("bigint"),
-                ),
-                F.lit(NB_QBUCKETS - 1).cast("bigint"),
+            # range-scaled score bins (canonical clamped map + its
+            # monotonicity contract: binning.range_bin): equal scores
+            # share a bin — (bin DESC, score DESC, doc_id) remains the
+            # global order within the subset
+            sub = range_bin(
+                F.col("quality_score"),
+                m["smin"],
+                m["smax"] - m["smin"],
+                NB_QBUCKETS,
             )
         elif m["imin"] < m["imax"]:
             # one equal-score run: the residual order is doc_id ASC, so
             # id-range bins INVERTED (lower id -> higher bin) keep the
             # high-bin-first accumulation convention
-            span = m["imax"] - m["imin"]
-            sub = F.lit(NB_QBUCKETS - 1).cast("bigint") - F.least(
-                F.greatest(
-                    F.floor((F.col("doc_id") - m["imin"]) * NB_QBUCKETS / span),
-                    F.lit(0).cast("bigint"),
-                ),
-                F.lit(NB_QBUCKETS - 1).cast("bigint"),
+            sub = F.lit(NB_QBUCKETS - 1).cast("bigint") - range_bin(
+                F.col("doc_id"),
+                m["imin"],
+                m["imax"] - m["imin"],
+                NB_QBUCKETS,
             )
         else:  # cnt == 1 can't exceed any cap >= 1; defensive
             break
@@ -1578,12 +1574,19 @@ def shard_shuffle_df(
     shift = 2**32 // n_buckets  # draw in [0, 2^32): bucket = draw div shift
     # bucket = draw div shift: monotone in draw, so buckets are
     # contiguous runs of the (draw, doc_id) sort order and equal draws
-    # always share a bucket — the dense positions compose exactly
-    d = docs.filter(F.col("doc_id").isNotNull()).select(
-        "doc_id",
-        u.alias("draw"),
-        (u % n_shards).alias("shard_id"),
-        F.floor(u / F.lit(shift)).cast("bigint").alias("bucket"),
+    # always share a bucket — the dense positions compose exactly.
+    # Checkpointed (r14 review #2): counts/offsets AND the join probe
+    # side both read d — unstaged, the corpus scan + md5 pass would
+    # execute twice.
+    d = (
+        docs.filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            u.alias("draw"),
+            (u % n_shards).alias("shard_id"),
+            F.floor(u / F.lit(shift)).cast("bigint").alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
     )
     counts = d.groupBy("shard_id", "bucket").agg(F.count("*").alias("c"))
     w_off = (

@@ -807,11 +807,30 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     if sf_dir in _QUANT_BUILT:
         return VersionedTable(spark, _QUANT_BUILT[sf_dir])
     src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        state = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        state = "nostat"  # non-file layouts: fall back to path-only key
+
+    def _src_state(path: str) -> str:
+        """Content fingerprint of the embeddings source.  For a
+        directory-shaped parquet (Spark-written part files) the PARENT
+        dir's size/mtime does not track in-place part rewrites that keep
+        the same names (r14 review #4) — hash the (name, size, mtime)
+        listing instead; a plain file uses its own stat."""
+        try:
+            if os.path.isdir(path):
+                h = hashlib.md5()
+                for name in sorted(os.listdir(path)):
+                    sp = os.stat(os.path.join(path, name))
+                    h.update(
+                        f"{name}:{sp.st_size}:{sp.st_mtime_ns};".encode()
+                    )
+                return h.hexdigest()
+            st = os.stat(path)
+            return f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            return "nostat"  # unreadable layout: path-only key (each
+            # process still builds consistently; never serves a WRONG
+            # corpus because the tag still includes the abspath)
+
+    state = _src_state(src)
     tag = (
         os.path.basename(os.path.normpath(sf_dir))
         + "_"
@@ -819,7 +838,6 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     )
     shared = os.path.join("/tmp/tisw_checks", tag)
     loc = os.path.join(shared, "emb_int8_vt")
-    marker = os.path.join(shared, "_COMPLETE")
 
     def _finished(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_COMPLETE")) and (
@@ -828,7 +846,7 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
 
     if not _finished(shared):
         # build privately, then publish atomically (rename fails if the
-        # shared dir appeared meanwhile — the loser keeps its copy)
+        # shared dir appeared meanwhile — the loser reuses the winner's)
         priv = os.path.join(
             "/tmp/tisw_checks",
             f"{tag}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}",
@@ -843,9 +861,26 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
         try:
             os.rename(priv, shared)
         except OSError:
-            if _finished(shared):  # lost the publish race: reuse theirs
-                shutil.rmtree(priv, ignore_errors=True)
-            else:  # stale partial dir squats the shared path: keep ours
+            if not _finished(shared):
+                # a PARTIAL dir (marker-less: a process killed mid-CTAS)
+                # squats the shared path — left alone it would disable
+                # reuse forever and strand one private build per process
+                # (r14 review #5): move the squatter aside atomically and
+                # retry the publish once; the trash name keeps us from
+                # ever deleting a directory another process might still
+                # be scanning
+                try:
+                    os.rename(
+                        shared,
+                        f"{shared}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+                    )
+                    os.rename(priv, shared)
+                except OSError:
+                    pass
+            if _finished(shared):
+                if os.path.exists(priv):  # lost a race: reuse the winner's
+                    shutil.rmtree(priv, ignore_errors=True)
+            else:  # still squatted: keep our private copy (correct, un-shared)
                 loc = os.path.join(priv, "emb_int8_vt")
     _QUANT_BUILT[sf_dir] = loc
     return VersionedTable(spark, loc)
