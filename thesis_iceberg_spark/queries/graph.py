@@ -155,6 +155,139 @@ def sql_pagerank_near_dup(pairs_sql: str, iters: int = PR_ITERS) -> str:
     )
 
 
+# --- triangle counting / local clustering coefficient (r14, df-level) -------
+#
+# The third graph signal a curation pipeline wants after membership
+# (connected components) and centrality (PageRank): DENSITY.  A node
+# whose neighborhood closes into triangles sits in a near-dup CLIQUE
+# (one template stamped many times — the classic boilerplate cluster),
+# where a high-PageRank node with zero triangles is a hub linking
+# otherwise-unrelated docs.  The local clustering coefficient
+# 2T/(d(d-1)) separates the two.
+#
+# Scale shape: the Suri–Vassilvitskii degree orientation — every edge
+# points from its (degree, id)-smaller endpoint to the larger, so each
+# node's OUT-degree is O(sqrt(m)) and the wedge join generates at most
+# m^1.5 candidates total with no hub blow-up (the naive neighbor-pair
+# join squares the hub degree).  One wedge equi-join on src + one
+# closing-edge equi-join on (v, w); each triangle found exactly once
+# from its order-smallest vertex.  Determinism: counts are exact
+# bigints and the coefficient is ONE exactly-rounded IEEE division of
+# exact-integer-valued doubles — full value oracle.
+
+
+def triangle_stats_df(pairs: DataFrame) -> DataFrame:
+    """(doc_id, degree, n_triangles, clustering_coeff) over ANY undirected
+    (doc_a, doc_b) pair frame — every node of the graph appears, zero
+    triangles included (so the registered output is non-vacuous even on
+    a triangle-free corpus)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    e = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    src_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge + the DEST's order key (degree, id), needed to order
+    # wedge endpoints so the closing edge is probed in its stored
+    # orientation exactly once
+    oriented = ed.select(
+        F.when(src_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(src_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(src_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("dd").alias("dw")
+    )
+    wedge_lt = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = o1.join(o2, "u").filter(wedge_lt).select("u", "v", "w")
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"])
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                (F.coalesce(F.col("t"), F.lit(0)) * 2).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+def triangle_near_dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle stats over the near-dup Jaccard graph — r15 registration
+    candidate; sql_triangle_near_dup() is the ready oracle builder."""
+    from thesis_iceberg_spark.queries.dedup import dedup_ngram_jaccard_pairs
+
+    return triangle_stats_df(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def sql_triangle_near_dup(pairs_sql: str) -> str:
+    """DuckDB twin of triangle_near_dup_df: the NAIVE ordered triple join
+    (x < y < z, all three edges present) — an INDEPENDENT formulation of
+    the count, so the driver check also proves the degree-oriented wedge
+    construction equals the textbook definition.  MATERIALIZED: the
+    fragment is multi-referenced (the pagerank lesson, r14)."""
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+e AS MATERIALIZED (
+  SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+  FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2),
+deg AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (
+  SELECT n, COUNT(*) AS t
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY n)
+SELECT deg.n AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(pn.t, 0) AS DOUBLE)
+                 / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN pn ON pn.n = deg.n
+"""
+
+
 def _pagerank_oracle() -> str:
     # imported for its registration side effect (the _pretrain_oracle
     # pattern): the composed oracle reads the registered Jaccard-pairs
