@@ -479,3 +479,98 @@ def quantile_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sampled_df(
         load_table(spark, sf_dir, "events"), "value", "event_id"
     )
+
+
+# --- AMS F2 / self-join-size sketch (sketch family #4, r14 df-level) ---------
+#
+# Count-min answers point frequency, HLL answers distinct, quantiles
+# answer order statistics; the fourth classic is the SECOND FREQUENCY
+# MOMENT F2 = sum_v f_v^2 — the SELF-JOIN SIZE of an equality join on
+# the column, i.e. exactly the number a dedup/join planner wants BEFORE
+# running a candidate-pair join (dedup_exact_hash's output size, the
+# skew mass of a groupBy key).  The AMS estimator (Alon-Matias-Szegedy
+# 1996): per estimator j, a +-1 sign s_j(v) from the md5-portable draw;
+# Z_j = sum over ROWS of s_j(v) (one narrow pass, order-free bigint
+# sum); E[Z_j^2] = F2, so est = avg_j Z_j^2.  EVERYTHING is exact
+# integers until the one final division — full value oracle, the same
+# certify-the-sketch-cells move as count-min/HLL.  The exact F2 rides
+# alongside as the verification harness (the countmin exact_n framing);
+# at 100 TB the sketch is the product — its scale shape is ONE
+# projection with AMS_K sign expressions and a single all-combine
+# aggregate: zero keyed shuffle, <= 1 row per task crosses the wire.
+
+AMS_K = 16  # estimators: relative std of the mean-of-squares ~
+# sqrt(2/K) ~ 35% — the demo-scale choice; production doubles K per
+# halving of error, same single-aggregate plan
+
+
+def ams_f2_df(df: DataFrame, col: str) -> DataFrame:
+    """One-row (n_rows, f2_exact, n_estimators, sum_z2, est_f2) AMS
+    second-moment sketch over ``df[col]`` (NULLs excluded).  sum_z2 =
+    sum_j Z_j^2 is an exact bigint; est_f2 = sum_z2 / AMS_K is the one
+    IEEE division.  Accepts the md5-portable cast types only (the
+    _require_portable_cast contract shared by every sketch)."""
+    _require_portable_cast(df, col, "ams_f2_df")
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def sign(j: int) -> Column:
+        # the low bit of an independent keyed draw -> {-1, +1}
+        return 1 - 2 * (md5_u32(F.concat(F.lit(f"ams{j}:"), F.col("v"))) % 2)
+
+    zrow = vals.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.coalesce(F.sum(sign(j)), F.lit(0)).cast("bigint").alias(f"z{j}")
+            for j in range(AMS_K)
+        ],
+    )
+    exact = (
+        vals.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+            .cast("bigint")
+            .alias("f2_exact")
+        )
+    )
+    sum_z2 = F.expr(" + ".join(f"z{j} * z{j}" for j in range(AMS_K)))
+    return (
+        zrow.crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            "f2_exact",
+            F.lit(AMS_K).cast("bigint").alias("n_estimators"),
+            sum_z2.cast("bigint").alias("sum_z2"),
+            (sum_z2.cast("double") / F.lit(float(AMS_K))).alias("est_f2"),
+        )
+    )
+
+
+def sql_ams_f2(table: str, col: str) -> str:
+    """DuckDB twin of ams_f2_df — same keyed sign draws, same exact
+    bigint Z sums, same one-division estimate.  The r15 registration's
+    ready oracle builder."""
+    u32 = "CAST('0x' || substr(md5('ams{j}:' || v), 1, 8) AS BIGINT)"
+    zs = ",\n         ".join(
+        f"CAST(COALESCE(SUM(1 - 2 * (({u32.format(j=j)}) % 2)), 0) AS BIGINT) AS z{j}"
+        for j in range(AMS_K)
+    )
+    sum_z2 = " + ".join(f"z{j} * z{j}" for j in range(AMS_K))
+    return f"""
+WITH vals AS (SELECT CAST({col} AS VARCHAR) AS v FROM {table}
+              WHERE {col} IS NOT NULL),
+zrow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {zs}
+  FROM vals),
+exact AS (
+  SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS f2_exact
+  FROM (SELECT COUNT(*) AS c FROM vals GROUP BY v))
+SELECT n_rows, f2_exact,
+       CAST({AMS_K} AS BIGINT) AS n_estimators,
+       CAST({sum_z2} AS BIGINT) AS sum_z2,
+       CAST({sum_z2} AS DOUBLE) / CAST({AMS_K} AS DOUBLE) AS est_f2
+FROM zrow, exact
+"""
