@@ -1,0 +1,92 @@
+"""Perceptual-hash (dHash) image near-dup (r14, df-level; r15
+registration candidate): the 64-bit difference hash computed from REAL
+encoded bytes (encode_ppm -> parse_ppm -> integer luma ->
+nearest-neighbor resample -> bit build) must equal the DuckDB twin's
+closed-form derivation — the full image pipeline proven end to end —
+plus the hash's own semantics (identical pixels hash equal, a one-pixel
+perceptual flip moves exactly the affected bits, BMP and PPM encodings
+of the same pixels hash identically).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from thesis_iceberg_spark.oracle import canonical_rows, duckdb_table_view
+from thesis_iceberg_spark.operators.multimodal import (
+    dhash_from_pixels,
+    encode_bmp,
+    encode_ppm,
+    image_dhash,
+)
+from thesis_iceberg_spark.queries.multimodal_q import (
+    multimodal_dhash_clusters_df,
+    sql_multimodal_dhash,
+)
+
+
+def _gradient(key: int):
+    w, h = 9 + key % 5, 8 + key % 3
+    y, x = np.mgrid[0:h, 0:w]
+    return ((key * 31 + x * 53 + y * 97) % 256).astype(np.uint8)
+
+
+def test_driver_corpus_parity(spark, sf_dir):
+    got = canonical_rows(multimodal_dhash_clusters_df(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    duckdb_table_view(con, sf_dir, "documents")
+    want = canonical_rows(con.sql(sql_multimodal_dhash()).df())
+    assert got == want
+    assert got
+
+
+def test_clusters_are_exactly_the_key_classes(spark, sf_dir):
+    # the 24 gradient keys are pairwise dHash-distinct (measured at the
+    # chosen multipliers), so canonical groups == doc_id % 24 classes
+    rows = multimodal_dhash_clusters_df(spark, sf_dir).collect()
+    by_canon: dict[int, set] = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical_id, set()).add(r.doc_id % 24)
+    for canon, keys in by_canon.items():
+        assert keys == {canon % 24}, (canon, keys)
+    assert len(by_canon) == min(24, len({r.doc_id for r in rows}))
+
+
+def test_same_pixels_same_hash_across_formats():
+    # BMP and PPM encodings of identical RGB pixels must hash equal —
+    # the hash is a function of pixels, not container bytes
+    key = 5
+    g = _gradient(key)
+    rgb = np.stack([g, g, g], axis=2)
+    px_rows = [[tuple(int(c) for c in rgb[y, x]) for x in range(rgb.shape[1])] for y in range(rgb.shape[0])]
+    from thesis_iceberg_spark.operators.multimodal import decode_image_payload
+
+    bmp = decode_image_payload(encode_bmp(rgb.shape[1], rgb.shape[0], px_rows))
+    ppm = decode_image_payload(encode_ppm(rgb.shape[1], rgb.shape[0], px_rows))
+    assert dhash_from_pixels(bmp["pixels"]) == dhash_from_pixels(ppm["pixels"])
+    # and the equal-weight gray (77+150+29 = 256 >> 8 = value) equals the
+    # single-channel hash of the same gradient
+    assert dhash_from_pixels(bmp["pixels"]) == dhash_from_pixels(g)
+
+
+def test_undecodable_payload_hashes_null(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"NOTANIMAGE")), (2, "audio", bytearray(b"x"))],
+        "media_id BIGINT, kind STRING, payload BINARY",
+    )
+    rows = image_dhash(media).collect()
+    assert len(rows) == 1  # kind filter drops the audio row
+    assert rows[0].media_id == 1 and rows[0].dhash_hex is None
+
+
+def test_hash_is_64_bit_hex_and_msb_reachable():
+    # a left>right flip in the top-left cell must set the MSB — pins the
+    # bit order the oracle assumes (i*8+j from 63 downward)
+    base = np.zeros((8, 9), dtype=np.uint8)
+    img = base.copy()
+    img[0, 0] = 255  # left of the first diff > right
+    h = dhash_from_pixels(img)
+    assert len(h) == 16
+    assert int(h, 16) & (1 << 63)
+    assert dhash_from_pixels(base) == "0" * 16

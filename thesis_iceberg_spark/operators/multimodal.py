@@ -581,3 +581,129 @@ def documents_as_image_media(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id").mapInPandas(craft, schema)
+
+
+# --- perceptual hash (dHash) image near-dup (r14, df-level) ------------------
+#
+# The image-side sibling of the text dedup family: a 64-bit DIFFERENCE
+# hash (Krawetz dHash) — grayscale, resample to a 9x8 grid, bit =
+# left-pixel > right-pixel — groups perceptually identical images under
+# one key, exactly how web-scale image dedup buckets before pairwise
+# verification.  Every step is INTEGER arithmetic chosen for
+# determinism: luma = (77R + 150G + 29B) >> 8 (the integer ITU-R 601
+# weights — no float rounding to diverge between engines), resample =
+# nearest-neighbor at index floor(i*h/H) (exact integer division, no
+# interpolation), hash emitted as a 16-hex-char string (unsigned 64-bit
+# safe in every engine).  The whole encode -> decode -> resample ->
+# hash pipeline is value-oracle-able over crafted GRADIENT images whose
+# pixels are closed-form arithmetic on doc_id — the oracle derives the
+# hash from the formula while Spark derives it from the actual bytes,
+# so a driver match proves the full image path end to end.
+
+DHASH_GRID_W, DHASH_GRID_H = 9, 8  # 9 columns -> 8 diffs x 8 rows = 64 bits
+
+
+def dhash_from_pixels(px) -> str:
+    """16-hex-char 64-bit dHash of a (h, w[, channels]) uint8 array.
+    Integer-only: ITU-R 601 luma via (77R+150G+29B)>>8, nearest-neighbor
+    grid at floor(i*h/H) / floor(j*w/W), row-major bits MSB-first."""
+    import numpy as np
+
+    a = np.asarray(px)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            gray = (
+                77 * a[:, :, 0].astype(np.int64)
+                + 150 * a[:, :, 1].astype(np.int64)
+                + 29 * a[:, :, 2].astype(np.int64)
+            ) >> 8
+        else:
+            gray = a[:, :, 0].astype(np.int64)
+    else:
+        gray = a.astype(np.int64)
+    h, w = gray.shape
+    ys = [(i * h) // DHASH_GRID_H for i in range(DHASH_GRID_H)]
+    xs = [(j * w) // DHASH_GRID_W for j in range(DHASH_GRID_W)]
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash_hex", StringType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash_hex) for every image payload; undecodable payloads
+    hash to NULL (the decode_media corrupt-row convention).  Narrow Arrow
+    map — payload bytes never leave the executor."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_image_payload(payload)
+                rows.append(
+                    (
+                        media_id,
+                        dhash_from_pixels(d["pixels"])
+                        if d is not None and d.get("pixels") is not None
+                        else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "dhash_hex"])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(hash_batch, DHASH_SCHEMA)
+    )
+
+
+def documents_as_gradient_media(docs: DataFrame) -> DataFrame:
+    """Crafted GRADIENT image corpus for the perceptual-hash path: each
+    document becomes a binary PGM (P5 grayscale) whose pixel (y, x) is
+    the closed form (key*31 + x*53 + y*97) % 256 with key = doc_id % 24,
+    w = 9 + key % 5, h = 8 + key % 3 — so (a) the dHash is predictable
+    by pure arithmetic (the SQL oracle derives it from the formula, no
+    image decoding), (b) non-divisible dims exercise the resample, (c)
+    documents sharing a key are pixel-identical -> genuine
+    perceptual-dup clusters for the grouping stage, and (d) the
+    multipliers (53, 97) make the 24 key-images pairwise dHash-DISTINCT
+    (measured; gentler gradients like (7, 13) collapse 10 keys into the
+    all-zero hash — dHash is honestly lossy on monotone gradients)."""
+
+    def craft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                key = int(i) % 24
+                w, h = 9 + key % 5, 8 + key % 3
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((key * 31 + x * 53 + y * 97) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(w, h, px[:, :, None], gray=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(craft, schema)

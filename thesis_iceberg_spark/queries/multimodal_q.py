@@ -111,3 +111,71 @@ FROM documents
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_image_media(load_table(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+def multimodal_dhash_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash_hex, canonical_id): 64-bit perceptual difference
+    hash of every crafted gradient image, with canonical_id = the
+    smallest doc_id sharing the hash — image near-dup clustering by
+    perceptual key, the image-side sibling of dedup_exact_hash's
+    fingerprint canonicalization (r14, df-level; r15 registration
+    candidate — sql_multimodal_dhash() is the ready oracle builder).
+
+    The oracle derives every hash from the gradient's CLOSED FORM while
+    this side derives it from the actual encoded bytes (encode_ppm ->
+    parse_ppm -> integer-luma/nearest-neighbor resample -> bit build),
+    so a driver match proves the full image pipeline end to end.  Scale
+    shape: one narrow Arrow map per payload (bytes never leave the
+    executor) + one hash-keyed window min — the exact-dedup canonical
+    pattern; at 100 TB the dHash column is write-time (hash at ingest),
+    and Hamming-near grouping adds band-bucketing exactly like SimHash.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from thesis_iceberg_spark.operators.multimodal import (
+        documents_as_gradient_media,
+        image_dhash,
+    )
+
+    media = documents_as_gradient_media(load_table(spark, sf_dir, "documents"))
+    hashed = image_dhash(media).select(
+        F.col("media_id").alias("doc_id"), "dhash_hex"
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("dhash_hex"))
+    return hashed.select(
+        "doc_id", "dhash_hex", canon.cast("bigint").alias("canonical_id")
+    )
+
+
+def sql_multimodal_dhash() -> str:
+    """DuckDB twin of multimodal_dhash_clusters_df: the dHash of each
+    crafted gradient image computed from the pixel formula alone —
+    sample grid floor(i*h/8) x floor(j*w/9), bit = left > right, value
+    assembled MSB-first into an unsigned 64-bit hex string (hex() via
+    UBIGINT: printf('%x') rejects unsigned and BIGINT cannot hold the
+    i=0,j=0 bit)."""
+    return """
+WITH g AS (
+  SELECT doc_id, CAST(doc_id % 24 AS BIGINT) AS key,
+         9 + (doc_id % 24) % 5 AS w, 8 + (doc_id % 24) % 3 AS h
+  FROM documents),
+bits AS (
+  SELECT g.doc_id, i.i, j.j,
+         (key*31 + ((j.j * w) // 9) * 53 + ((i.i * h) // 8) * 97) % 256 AS gl,
+         (key*31 + (((j.j+1) * w) // 9) * 53 + ((i.i * h) // 8) * 97) % 256 AS gr
+  FROM g, range(8) i(i), range(8) j(j)),
+v AS (
+  SELECT doc_id,
+         SUM(CASE WHEN gl > gr
+             THEN CAST(CAST(1 AS UBIGINT) << CAST(63 - (i*8 + j) AS INT) AS HUGEINT)
+             ELSE 0 END) AS hv
+  FROM bits GROUP BY doc_id),
+hx AS (
+  SELECT doc_id,
+         lpad(lower(hex(CAST(hv AS UBIGINT))), 16, '0') AS dhash_hex
+  FROM v)
+SELECT doc_id, dhash_hex,
+       CAST(MIN(doc_id) OVER (PARTITION BY dhash_hex) AS BIGINT) AS canonical_id
+FROM hx
+"""
