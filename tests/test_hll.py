@@ -217,7 +217,9 @@ def test_ams_f2_single_value_is_exact(spark):
     df = spark.range(1000).selectExpr("'x' AS k")
     row = ams_f2_df(df, "k").first()
     assert row.n_rows == 1000
-    assert row.f2_exact == 1000 * 1000
+    # exact integers ride as DECIMAL STRINGS (overflow headroom past
+    # 2^63, r14 review #1)
+    assert row.f2_exact == "1000000"
     assert row.est_f2 == float(row.f2_exact)
 
 
@@ -231,8 +233,9 @@ def test_ams_f2_estimate_tracks_exact(spark, sf_dir):
     row = ams_f2_df(
         load_table(spark, sf_dir, "events"), "event_type"
     ).first()
-    assert row.f2_exact > 0
-    rel = abs(row.est_f2 - row.f2_exact) / row.f2_exact
+    f2 = float(row.f2_exact)
+    assert f2 > 0
+    rel = abs(row.est_f2 - f2) / f2
     assert rel < 1.4, (row.est_f2, row.f2_exact, rel)
 
 
@@ -241,7 +244,7 @@ def test_ams_f2_empty_and_null_only(spark):
 
     df = spark.createDataFrame([(None,), (None,)], "k STRING")
     row = ams_f2_df(df, "k").first()
-    assert (row.n_rows, row.f2_exact, row.sum_z2) == (0, 0, 0)
+    assert (row.n_rows, row.f2_exact, row.sum_z2) == (0, "0", "0")
     assert row.est_f2 == 0.0
 
 
@@ -256,3 +259,9 @@ def test_ams_f2_plan_has_no_keyed_shuffle_on_sketch_arm(spark, sf_dir):
         ams_f2_df(load_table(spark, sf_dir, "events"), "event_type")
     )
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # exactly ONE keyed exchange in the whole operator — the exact arm's
+    # groupBy(v); the sketch arm must contribute only all-combine
+    # (SinglePartition) aggregation (r14 review #3: the name promised
+    # this, the assert didn't check it)
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "partial" in plan.lower()

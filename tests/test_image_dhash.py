@@ -90,3 +90,18 @@ def test_hash_is_64_bit_hex_and_msb_reachable():
     assert len(h) == 16
     assert int(h, 16) & (1 << 63)
     assert dhash_from_pixels(base) == "0" * 16
+
+
+def test_null_hash_is_nobodys_duplicate(spark):
+    # r14 review #2: two decode FAILURES must not form a "dup cluster" —
+    # NULL hashes pass through with NULL canonical_id while real hashes
+    # canonicalize normally
+    from thesis_iceberg_spark.queries.multimodal_q import dhash_clusters
+
+    hashed = spark.createDataFrame(
+        [(1, "00aa"), (2, "00aa"), (3, None), (4, None)],
+        "doc_id BIGINT, dhash_hex STRING",
+    )
+    rows = {r.doc_id: r.canonical_id for r in dhash_clusters(hashed).collect()}
+    assert rows[1] == 1 and rows[2] == 1
+    assert rows[3] is None and rows[4] is None

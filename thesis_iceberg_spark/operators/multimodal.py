@@ -60,6 +60,17 @@ MEDIA_SCHEMA = StructType(
 
 KINDS = ("image", "audio", "video")
 
+# the meta-less media shape both crafted-corpus producers emit (r14
+# review #5: the literal existed verbatim in documents_as_image_media
+# AND documents_as_gradient_media — one constant, no silent divergence)
+RAW_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
 # Real magic-byte sniffing — works on genuine media bytes; returns 'unknown'
 # for anything else (including the text-derived fake payloads in tests).
 _MAGIC = (
@@ -573,14 +584,7 @@ def documents_as_image_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("kind", StringType()),
-            StructField("payload", BinaryType()),
-        ]
-    )
-    return docs.select("doc_id").mapInPandas(craft, schema)
+    return docs.select("doc_id").mapInPandas(craft, RAW_MEDIA_SCHEMA)
 
 
 # --- perceptual hash (dHash) image near-dup (r14, df-level) ------------------
@@ -699,11 +703,4 @@ def documents_as_gradient_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("kind", StringType()),
-            StructField("payload", BinaryType()),
-        ]
-    )
-    return docs.select("doc_id").mapInPandas(craft, schema)
+    return docs.select("doc_id").mapInPandas(craft, RAW_MEDIA_SCHEMA)

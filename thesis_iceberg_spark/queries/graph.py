@@ -181,7 +181,13 @@ def triangle_stats_df(pairs: DataFrame) -> DataFrame:
     (doc_a, doc_b) pair frame — every node of the graph appears, zero
     triangles included (so the registered output is non-vacuous even on
     a triangle-free corpus)."""
-    pairs = pairs.localCheckpoint(eager=True)
+    # checkpoint the CANONICAL EDGE SET, not the raw pairs (r14 review
+    # #4): e is what every downstream piece reads — deg, the orientation
+    # join, and the final output plan — so materializing it runs the
+    # expensive pair generation once AND pins the least/greatest+distinct
+    # shuffle, where a pairs checkpoint left that shuffle re-running per
+    # consumer.  deg is likewise multi-referenced (both orientation-join
+    # sides and the final join) — tiny, pin it too.
     e = (
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
@@ -189,12 +195,14 @@ def triangle_stats_df(pairs: DataFrame) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .union(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
     )
     ed = e.join(
         deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"

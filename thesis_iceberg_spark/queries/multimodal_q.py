@@ -142,7 +142,24 @@ def multimodal_dhash_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = image_dhash(media).select(
         F.col("media_id").alias("doc_id"), "dhash_hex"
     )
-    canon = F.min("doc_id").over(Window.partitionBy("dhash_hex"))
+    return dhash_clusters(hashed)
+
+
+def dhash_clusters(hashed: DataFrame) -> DataFrame:
+    """Canonicalize any (doc_id, dhash_hex) frame: canonical_id = the
+    smallest doc_id sharing the hash.  A NULL hash is a decode FAILURE,
+    which is nobody's duplicate — without the guard the window groups
+    every corrupt payload into one "dup cluster" and a downstream dedup
+    would drop all but one corrupt doc (r14 review #2; unreachable on
+    the always-decodable gradient corpus, load-bearing for any real
+    media table — rule pinned in tests/test_image_dhash.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    canon = F.when(
+        F.col("dhash_hex").isNotNull(),
+        F.min("doc_id").over(Window.partitionBy("dhash_hex")),
+    )
     return hashed.select(
         "doc_id", "dhash_hex", canon.cast("bigint").alias("canonical_id")
     )
@@ -176,6 +193,8 @@ hx AS (
          lpad(lower(hex(CAST(hv AS UBIGINT))), 16, '0') AS dhash_hex
   FROM v)
 SELECT doc_id, dhash_hex,
-       CAST(MIN(doc_id) OVER (PARTITION BY dhash_hex) AS BIGINT) AS canonical_id
+       CASE WHEN dhash_hex IS NULL THEN NULL
+            ELSE CAST(MIN(doc_id) OVER (PARTITION BY dhash_hex) AS BIGINT)
+            END AS canonical_id
 FROM hx
 """

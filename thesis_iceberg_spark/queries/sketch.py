@@ -506,10 +506,17 @@ AMS_K = 16  # estimators: relative std of the mean-of-squares ~
 
 def ams_f2_df(df: DataFrame, col: str) -> DataFrame:
     """One-row (n_rows, f2_exact, n_estimators, sum_z2, est_f2) AMS
-    second-moment sketch over ``df[col]`` (NULLs excluded).  sum_z2 =
-    sum_j Z_j^2 is an exact bigint; est_f2 = sum_z2 / AMS_K is the one
-    IEEE division.  Accepts the md5-portable cast types only (the
-    _require_portable_cast contract shared by every sketch)."""
+    second-moment sketch over ``df[col]`` (NULLs excluded).
+
+    Overflow headroom (r14 review #1): Z_j is a bigint row sum, but
+    Z_j^2 exceeds bigint once ONE value's frequency passes ~3e9 — easy
+    at the target scale — so the squares accumulate in DECIMAL(38,0)
+    here and HUGEINT in the twin (headroom to f ~ 2.4e18), and both
+    f2_exact and sum_z2 are emitted as exact DECIMAL STRINGS (the
+    cross-engine-safe carrier for >2^63 integers).  est_f2 = sum_z2 /
+    AMS_K via the house string-cast double, the one division.  Accepts
+    the md5-portable cast types only (the _require_portable_cast
+    contract shared by every sketch)."""
     _require_portable_cast(df, col, "ams_f2_df")
     vals = df.select(F.col(col).cast("string").alias("v")).filter(
         F.col("v").isNotNull()
@@ -530,20 +537,30 @@ def ams_f2_df(df: DataFrame, col: str) -> DataFrame:
         vals.groupBy("v")
         .agg(F.count("*").alias("c"))
         .agg(
-            F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
-            .cast("bigint")
+            F.coalesce(
+                F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
             .alias("f2_exact")
         )
     )
-    sum_z2 = F.expr(" + ".join(f"z{j} * z{j}" for j in range(AMS_K)))
+    sum_z2 = F.expr(
+        " + ".join(
+            f"CAST(z{j} AS DECIMAL(38,0)) * z{j}" for j in range(AMS_K)
+        )
+    ).cast("decimal(38,0)")
     return (
         zrow.crossJoin(F.broadcast(exact))
         .select(
             "n_rows",
             "f2_exact",
             F.lit(AMS_K).cast("bigint").alias("n_estimators"),
-            sum_z2.cast("bigint").alias("sum_z2"),
-            (sum_z2.cast("double") / F.lit(float(AMS_K))).alias("est_f2"),
+            sum_z2.cast("string").alias("sum_z2"),
+            (
+                sum_z2.cast("string").cast("double") / F.lit(float(AMS_K))
+            ).alias("est_f2"),
         )
     )
 
@@ -557,7 +574,11 @@ def sql_ams_f2(table: str, col: str) -> str:
         f"CAST(COALESCE(SUM(1 - 2 * (({u32.format(j=j)}) % 2)), 0) AS BIGINT) AS z{j}"
         for j in range(AMS_K)
     )
-    sum_z2 = " + ".join(f"z{j} * z{j}" for j in range(AMS_K))
+    # squares in HUGEINT (the twin of the Spark side's DECIMAL(38,0)):
+    # z*z overflows BIGINT once a hot value's frequency passes ~3e9
+    sum_z2 = " + ".join(
+        f"CAST(z{j} AS HUGEINT) * z{j}" for j in range(AMS_K)
+    )
     return f"""
 WITH vals AS (SELECT CAST({col} AS VARCHAR) AS v FROM {table}
               WHERE {col} IS NOT NULL),
@@ -566,11 +587,13 @@ zrow AS (
          {zs}
   FROM vals),
 exact AS (
-  SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS f2_exact
+  SELECT CAST(CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS HUGEINT)
+              AS VARCHAR) AS f2_exact
   FROM (SELECT COUNT(*) AS c FROM vals GROUP BY v))
 SELECT n_rows, f2_exact,
        CAST({AMS_K} AS BIGINT) AS n_estimators,
-       CAST({sum_z2} AS BIGINT) AS sum_z2,
-       CAST({sum_z2} AS DOUBLE) / CAST({AMS_K} AS DOUBLE) AS est_f2
+       CAST(CAST({sum_z2} AS HUGEINT) AS VARCHAR) AS sum_z2,
+       CAST(CAST(CAST({sum_z2} AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           / CAST({AMS_K} AS DOUBLE) AS est_f2
 FROM zrow, exact
 """
