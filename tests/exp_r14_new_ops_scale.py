@@ -86,6 +86,19 @@ def main() -> None:
             lambda: REGISTRY["pipeline_pretrain_corpus"].fn(spark, d).count()
         )
         print(f"  pipeline_pretrain_corpus: steady_min={t}s")
+        # second r14 batch (r15/r16 queue): triangles, AMS F2, image dHash
+        from thesis_iceberg_spark.queries.graph import triangle_near_dup_df
+        from thesis_iceberg_spark.queries.multimodal_q import (
+            multimodal_dhash_clusters_df,
+        )
+        from thesis_iceberg_spark.queries.sketch import ams_f2_df
+
+        t = timeit(lambda: triangle_near_dup_df(spark, d).count())
+        print(f"  triangle_near_dup_df: steady_min={t}s")
+        t = timeit(lambda: ams_f2_df(ev, "event_type").collect())
+        print(f"  ams_f2_df(event_type): steady_min={t}s")
+        t = timeit(lambda: multimodal_dhash_clusters_df(spark, d).count())
+        print(f"  multimodal_dhash_clusters_df: steady_min={t}s")
 
 
 if __name__ == "__main__":

@@ -197,3 +197,103 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
 )
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_df(spark, _docs(spark, sf_dir))
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 + ANN (r14) ------------
+#
+# A retrieval stack at scale runs BOTH a lexical and a vector retriever
+# and FUSES their rankings; reciprocal rank fusion (Cormack/Clarke/
+# Buettcher 2009) is the standard zero-training fuser: score(d) =
+# sum over arms of 1/(C + rank_arm(d)), C = 60.  Determinism: each term
+# is ONE exactly-rounded IEEE division and the two-term sum is one
+# exactly-rounded addition, so identical ranks give identical scores in
+# every engine — the fusion is fully value-oracle-able, with ties broken
+# by doc_id.  Scale shape: both arms end in top-k (TakeOrdered), so the
+# fusion is a full-outer join + window over two <= k-row frames — free
+# at any corpus size; the arms' own scale arguments carry the operator.
+
+RRF_C = 60  # the published constant; dampens the head so a consistent
+# mid-ranker beats a single lucky #1
+
+
+def hybrid_rrf_topk_df(
+    spark: SparkSession, sf_dir: str, k: int = BM25_TOP_K
+) -> DataFrame:
+    """(rank, doc_id, bm25_rank, ann_rank, rrf_score): RRF fusion of the
+    registered BM25 lexical top-k and the brute-force cosine top-k (the
+    embeddings table's vec_id aligns with documents.doc_id in this
+    corpus).  A doc missing from one arm contributes only the other
+    arm's term — the standard convention.  r15/r16 registration
+    candidate; sql_hybrid_rrf() is the ready oracle builder."""
+    from pyspark.sql.window import Window as W
+
+    from thesis_iceberg_spark.queries.similarity import ann_cosine_topk
+
+    bm = bm25_topk_df(spark, _docs(spark, sf_dir), k=k).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    # re-rank the <= k-row ANN result (a window over a tiny frame; the
+    # registered query's own (cosine DESC, vec_id) order)
+    ann = ann_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+        .cast("long")
+        .alias("ann_rank"),
+    )
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(RRF_C)) + r.cast("double")), F.lit(0.0)
+    )
+    fused = (
+        bm.join(ann, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "ann_rank",
+            (term(F.col("bm25_rank")) + term(F.col("ann_rank"))).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(k)
+    )
+    rank = F.row_number().over(
+        W.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    )
+    return fused.select(
+        rank.cast("long").alias("rank"),
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        "rrf_score",
+    )
+
+
+def sql_hybrid_rrf(k: int = BM25_TOP_K) -> str:
+    """DuckDB twin of hybrid_rrf_topk_df, composed from the two arms'
+    REGISTERED oracle fragments (the composed-oracle discipline): the
+    ANN arm re-derives its rank from its own output ordering, the RRF
+    terms are the identical two divisions + one addition."""
+    from thesis_iceberg_spark.queries import REGISTRY
+
+    bm = REGISTRY["search_bm25_topk"].oracle
+    ann = REGISTRY["ann_cosine_topk"].oracle
+    return f"""
+WITH bm AS ({bm}),
+ann0 AS ({ann}),
+ann AS (SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                    AS BIGINT) AS ann_rank
+        FROM ann0),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+         bm.rank AS bm25_rank, ann.ann_rank,
+         COALESCE(1.0 / ({RRF_C} + CAST(bm.rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / ({RRF_C} + CAST(ann.ann_rank AS DOUBLE)), 0.0)
+             AS rrf_score
+  FROM bm FULL OUTER JOIN ann ON ann.doc_id = bm.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, bm25_rank, ann_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""
