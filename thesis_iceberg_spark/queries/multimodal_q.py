@@ -131,7 +131,6 @@ def multimodal_dhash_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Hamming-near grouping adds band-bucketing exactly like SimHash.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from thesis_iceberg_spark.operators.multimodal import (
         documents_as_gradient_media,

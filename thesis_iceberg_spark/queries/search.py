@@ -216,20 +216,23 @@ RRF_C = 60  # the published constant; dampens the head so a consistent
 # mid-ranker beats a single lucky #1
 
 
-def hybrid_rrf_topk_df(
-    spark: SparkSession, sf_dir: str, k: int = BM25_TOP_K
-) -> DataFrame:
+def hybrid_rrf_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rank, doc_id, bm25_rank, ann_rank, rrf_score): RRF fusion of the
     registered BM25 lexical top-k and the brute-force cosine top-k (the
     embeddings table's vec_id aligns with documents.doc_id in this
     corpus).  A doc missing from one arm contributes only the other
-    arm's term — the standard convention.  r15/r16 registration
-    candidate; sql_hybrid_rrf() is the ready oracle builder."""
+    arm's term — the standard convention.  The fused depth is pinned at
+    the ARMS' registered ks (both 10): a k parameter existed in the
+    first draft but only half-reached the twin (the composed BM25
+    fragment is frozen at its registered LIMIT and the ANN arm at
+    TOP_K on both sides), so it was dropped rather than shipped broken
+    (r14 review pass 3 #2).  r15/r16 registration candidate;
+    sql_hybrid_rrf() is the ready oracle builder."""
     from pyspark.sql.window import Window as W
 
     from thesis_iceberg_spark.queries.similarity import ann_cosine_topk
 
-    bm = bm25_topk_df(spark, _docs(spark, sf_dir), k=k).select(
+    bm = bm25_topk_df(spark, _docs(spark, sf_dir), k=BM25_TOP_K).select(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
     # re-rank the <= k-row ANN result (a window over a tiny frame; the
@@ -255,7 +258,7 @@ def hybrid_rrf_topk_df(
             ),
         )
         .orderBy(F.col("rrf_score").desc(), "doc_id")
-        .limit(k)
+        .limit(BM25_TOP_K)
     )
     rank = F.row_number().over(
         W.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
@@ -269,12 +272,17 @@ def hybrid_rrf_topk_df(
     )
 
 
-def sql_hybrid_rrf(k: int = BM25_TOP_K) -> str:
+def sql_hybrid_rrf() -> str:
     """DuckDB twin of hybrid_rrf_topk_df, composed from the two arms'
     REGISTERED oracle fragments (the composed-oracle discipline): the
     ANN arm re-derives its rank from its own output ordering, the RRF
-    terms are the identical two divisions + one addition."""
-    from thesis_iceberg_spark.queries import REGISTRY
+    terms are the identical two divisions + one addition.  Fused depth
+    pinned at the arms' registered ks (see hybrid_rrf_topk_df)."""
+    # imported for the registration side effect (_pagerank_oracle
+    # pattern): a standalone consumer of this builder must not depend on
+    # _load_all having imported similarity first (r14 review pass 3 #1 —
+    # reproduced as a KeyError)
+    from thesis_iceberg_spark.queries import REGISTRY, similarity  # noqa: F401
 
     bm = REGISTRY["search_bm25_topk"].oracle
     ann = REGISTRY["ann_cosine_topk"].oracle
@@ -295,5 +303,5 @@ fused AS (
 SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
            AS rank,
        doc_id, bm25_rank, ann_rank, rrf_score
-FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {BM25_TOP_K}
 """
