@@ -196,3 +196,40 @@ def test_registered_encode_output_shape(spark, sf_dir):
     ]
     plan = formatted_plan(df)
     assert "Exchange" not in plan  # zero-shuffle Arrow encode
+
+
+def test_fertility_by_lang_parity_and_semantics(spark, sf_dir):
+    # r14: per-language tokenizer fertility under the frozen merges —
+    # DuckDB parity via the composed text_bpe_encode fragment, plus the
+    # two invariants a fertility table must satisfy: fertility >= 1
+    # (the leading-space marker guarantees >= 1 subword per word) and
+    # doc/word mass conservation vs the encode output
+    import duckdb
+
+    from thesis_iceberg_spark.oracle import canonical_rows, duckdb_table_view
+    from thesis_iceberg_spark.queries.bpe import (
+        BPE_MERGES,
+        bpe_encode_df,
+        bpe_fertility_by_lang_df,
+        sql_bpe_fertility_by_lang,
+    )
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    got_df = bpe_fertility_by_lang_df(spark, sf_dir)
+    got = canonical_rows(got_df.toPandas())
+    con = duckdb.connect()
+    duckdb_table_view(con, sf_dir, "documents")
+    want = canonical_rows(con.sql(sql_bpe_fertility_by_lang()).df())
+    assert got == want
+    rows = got_df.collect()
+    assert rows
+    for r in rows:
+        if r.n_words > 0:
+            assert r.fertility >= 1.0, r
+            assert r.n_subwords >= r.n_words, r
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_df(docs, list(BPE_MERGES))
+    total = enc.groupBy().sum("n_words", "n_subwords").first()
+    assert sum(r.n_words for r in rows) == total[0]
+    assert sum(r.n_subwords for r in rows) == total[1]
+    assert sum(r.n_docs for r in rows) == docs.count()

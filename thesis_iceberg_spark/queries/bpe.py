@@ -339,3 +339,61 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_subwords").cast("bigint").alias("n_subwords"),
         F.array_join("subwords", BPE_SEP).alias("subwords_s"),
     )
+
+
+def bpe_fertility_by_lang_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_words, n_subwords, fertility): per-language
+    tokenizer FERTILITY (subwords per word) under the frozen merge list
+    — the table every multilingual vocab decision reads (a tokenizer
+    trained on one language mix over-segments the others; fertility per
+    language is the standard measure, e.g. the XLM-R/NLLB tokenizer
+    analyses).  Exactness: both sums are order-free bigints and
+    fertility is ONE IEEE division of exact-integer-valued doubles —
+    full value oracle, composed from the registered text_bpe_encode
+    fragment (sql_bpe_fertility_by_lang).  Scale shape: the zero-shuffle
+    Arrow encode + ONE map-side-combined groupBy over the bounded lang
+    key set; at 100 TB the encode output is the write-time tokenization
+    column, making this a pure metadata aggregate.  r14 df-level;
+    r15/r16 registration candidate."""
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_df(docs, list(BPE_MERGES), keep_cols=("lang",))
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_words").cast("bigint")).alias("n_words"),
+            F.sum(F.col("n_subwords").cast("bigint")).alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+            ).alias("fertility"),
+        )
+    )
+
+
+def sql_bpe_fertility_by_lang() -> str:
+    """DuckDB twin of bpe_fertility_by_lang_df, composed from the
+    registered text_bpe_encode fragment (one encode definition, the
+    composed-oracle discipline)."""
+    return f"""
+WITH b AS ({_bpe_oracle()})
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(b.n_subwords) AS BIGINT) AS n_subwords,
+       CASE WHEN SUM(b.n_words) > 0
+            THEN CAST(SUM(b.n_subwords) AS DOUBLE)
+                 / CAST(SUM(b.n_words) AS DOUBLE)
+            END AS fertility
+FROM documents d JOIN b ON b.doc_id = d.doc_id
+GROUP BY d.lang
+"""
