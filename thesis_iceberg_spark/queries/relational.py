@@ -641,3 +641,87 @@ def orderby_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_nationkey").asc(), F.col("s_acctbal").desc(), F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     )
+
+
+# --- ANALYZE-style column statistics (r14, df-level) -------------------------
+#
+# The stats-collection face every engine ships (Spark's ANALYZE TABLE
+# ... FOR COLUMNS, DuckDB/Postgres ANALYZE, Iceberg's per-file column
+# metrics): per-column null count, distinct count, min/max — the inputs
+# a cost-based planner feeds join reordering and a data engineer reads
+# before trusting a table.  ONE pass: all columns' aggregates ride a
+# single Aggregate (the multiple COUNT(DISTINCT)s expand via Catalyst's
+# Expand — rows x columns before partial aggregation, the same
+# bounded-output trade ANALYZE itself makes; at 100 TB the exact
+# distinct arm swaps for the registry's HLL sketch, hll_distinct_df,
+# exactly like Spark's own ANALYZE uses HLL++), then the one-row result
+# unpivots via stack() into one row per column.  min/max are emitted as
+# CAST-to-string of md5-portable types only — the sketches' cross-engine
+# cast contract.
+
+PROFILE_PORTABLE = ("string", "long", "integer", "short", "byte", "boolean", "date")
+
+
+def table_profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """(column_name, n_rows, n_nulls, n_distinct, min_s, max_s) — one row
+    per profiled column, computed in ONE aggregate pass."""
+    for c in cols:
+        kind = df.schema[c].dataType.typeName()
+        if kind not in PROFILE_PORTABLE:
+            raise ValueError(
+                f"table_profile_df over a {kind} column ({c}): min/max "
+                "cast-to-string diverges cross-engine for float/timestamp/"
+                "decimal — profile a pre-formatted canonical column instead"
+            )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    stack = (
+        f"stack({len(cols)}, {parts}) AS "
+        "(column_name, n_nulls, n_distinct, min_s, max_s)"
+    )
+    return one.select("n_rows", F.expr(stack)).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s"
+    )
+
+
+PROFILE_EVENT_COLS = ("event_id", "user_id", "event_type")
+
+
+def relational_table_profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics over events(event_id, user_id, event_type) —
+    r15/r16 registration candidate; sql_table_profile() is the ready
+    oracle builder."""
+    return table_profile_df(
+        load_table(spark, sf_dir, "events"), PROFILE_EVENT_COLS
+    )
+
+
+def sql_table_profile(
+    table: str = "events", cols: tuple[str, ...] = PROFILE_EVENT_COLS
+) -> str:
+    """DuckDB twin of table_profile_df: the same single aggregate,
+    unpivoted by a UNION ALL over the column literals."""
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c in cols:
+        aggs += [
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}",
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}",
+            f"CAST(MIN({c}) AS VARCHAR) AS mn_{c}",
+            f"CAST(MAX({c}) AS VARCHAR) AS mx_{c}",
+        ]
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s FROM a"
+        for c in cols
+    )
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM {table})\n{arms}"
