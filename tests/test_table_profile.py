@@ -57,5 +57,24 @@ def test_one_scan_plan(spark, sf_dir):
 
 
 def test_unportable_column_raises(spark, sf_dir):
-    with pytest.raises(ValueError, match="canonical column"):
+    with pytest.raises(ValueError, match="canonical string"):
         table_profile_df(load_table(spark, sf_dir, "events"), ("value",))
+
+
+def test_empty_table_and_weird_column_names(spark):
+    # pass 4 #1: the null count of an empty column is 0, not NULL;
+    # pass 4 #2: legal-but-awkward column names (space, quote) profile
+    # safely through the index-aliased/escaped construction
+    empty = spark.createDataFrame([], "k BIGINT")
+    r = table_profile_df(empty, ("k",)).first()
+    assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+    assert r.min_s is None and r.max_s is None
+    import duckdb
+
+    weird = spark.createDataFrame([(1,), (2,)], ["my col"])
+    rows = table_profile_df(weird, ("my col",)).collect()
+    assert rows[0].column_name == "my col" and rows[0].n_distinct == 2
+    con = duckdb.connect()
+    con.execute('CREATE VIEW t AS SELECT unnest([1, 2]) AS "my col"')
+    got = con.sql(sql_table_profile("t", ("my col",))).fetchall()
+    assert got[0][0] == "my col" and got[0][3] == 2

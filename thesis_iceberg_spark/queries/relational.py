@@ -659,38 +659,45 @@ def orderby_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CAST-to-string of md5-portable types only — the sketches' cross-engine
 # cast contract.
 
-PROFILE_PORTABLE = ("string", "long", "integer", "short", "byte", "boolean", "date")
-
-
 def table_profile_df(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """(column_name, n_rows, n_nulls, n_distinct, min_s, max_s) — one row
-    per profiled column, computed in ONE aggregate pass."""
+    per profiled column, computed in ONE aggregate pass.  Internal
+    aliases are INDEX-based and the name literal rides F.lit, so any
+    legal Spark column name (spaces, quotes) profiles safely (r14 review
+    pass 4 #2); the portable-type guard is the sketches' own
+    _require_portable_cast — ONE cross-engine cast contract, not a copy
+    (pass 4 #3)."""
+    from thesis_iceberg_spark.queries.sketch import _require_portable_cast
+
     for c in cols:
-        kind = df.schema[c].dataType.typeName()
-        if kind not in PROFILE_PORTABLE:
-            raise ValueError(
-                f"table_profile_df over a {kind} column ({c}): min/max "
-                "cast-to-string diverges cross-engine for float/timestamp/"
-                "decimal — profile a pre-formatted canonical column instead"
-            )
+        _require_portable_cast(df, c, "table_profile_df")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
+            # count(when(..)) not sum(flag): SUM over zero rows is NULL,
+            # and the null count of an empty column is 0 (pass 4 #1)
+            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"nn_{i}"),
+            F.countDistinct(c).alias(f"nd_{i}"),
+            F.min(c).cast("string").alias(f"mn_{i}"),
+            F.max(c).cast("string").alias(f"mx_{i}"),
         ]
     one = df.agg(*aggs)
-    parts = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
-    )
-    stack = (
-        f"stack({len(cols)}, {parts}) AS "
-        "(column_name, n_nulls, n_distinct, min_s, max_s)"
-    )
-    return one.select("n_rows", F.expr(stack)).select(
-        "column_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s"
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"nn_{i}").alias("n_nulls"),
+            F.col(f"nd_{i}").alias("n_distinct"),
+            F.col(f"mn_{i}").alias("min_s"),
+            F.col(f"mx_{i}").alias("max_s"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return (
+        one.select("n_rows", F.explode(F.array(*rows)).alias("p"))
+        .select(
+            "p.column_name", "n_rows", "p.n_nulls", "p.n_distinct",
+            "p.min_s", "p.max_s",
+        )
     )
 
 
@@ -712,16 +719,21 @@ def sql_table_profile(
     """DuckDB twin of table_profile_df: the same single aggregate,
     unpivoted by a UNION ALL over the column literals."""
     aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
-    for c in cols:
+    for i, c in enumerate(cols):
+        q = '"' + c.replace('"', '""') + '"'  # identifier-quoted name
         aggs += [
-            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}",
-            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}",
-            f"CAST(MIN({c}) AS VARCHAR) AS mn_{c}",
-            f"CAST(MAX({c}) AS VARCHAR) AS mx_{c}",
+            # COUNT(CASE...) not SUM: the null count of an empty column
+            # is 0, and SUM over zero rows is NULL (pass 4 #1 — both
+            # twins fixed together so the parity stays honest)
+            f"CAST(COUNT(CASE WHEN {q} IS NULL THEN 1 END) AS BIGINT) AS nn_{i}",
+            f"CAST(COUNT(DISTINCT {q}) AS BIGINT) AS nd_{i}",
+            f"CAST(MIN({q}) AS VARCHAR) AS mn_{i}",
+            f"CAST(MAX({q}) AS VARCHAR) AS mx_{i}",
         ]
     arms = "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls, "
-        f"nd_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s FROM a"
-        for c in cols
+        "SELECT '" + c.replace("'", "''") + f"' AS column_name, n_rows, "
+        f"nn_{i} AS n_nulls, nd_{i} AS n_distinct, mn_{i} AS min_s, "
+        f"mx_{i} AS max_s FROM a"
+        for i, c in enumerate(cols)
     )
     return f"WITH a AS (SELECT {', '.join(aggs)} FROM {table})\n{arms}"
