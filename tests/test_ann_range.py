@@ -120,6 +120,45 @@ def test_stored_range_search_identical_and_pruned(spark, sf_dir, tmp_path_factor
     assert any("q:" in s and "embedding" not in s for s in schemas)
 
 
+def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
+    # ADVICE r14 #2: every corpus (size, mtime) change mints a new
+    # /tmp/tisw_checks tag dir, and squatter-evicted '*.stale-*' plus
+    # race-losing '*.build-*' dirs persisted forever.  On entry the
+    # store must prune siblings older than 1 day — and ONLY those: a
+    # young build dir (a live process's private build) and the current
+    # tag must survive.
+    import os
+    import time
+
+    from thesis_iceberg_spark.queries import similarity
+
+    root = "/tmp/tisw_checks"
+    os.makedirs(root, exist_ok=True)
+    old_age = time.time() - 2 * 86400
+    victims = [
+        os.path.join(root, "sfX_deadbeef0000"),  # stale-corpus tag
+        os.path.join(root, "sfX_deadbeef0000.stale-1-aa"),
+        os.path.join(root, "sfX_deadbeef0000.build-1-bb"),
+    ]
+    for d in victims:
+        os.makedirs(d, exist_ok=True)
+        os.utime(d, (old_age, old_age))
+    young = os.path.join(root, "sfY_cafecafe0000.build-2-cc")
+    os.makedirs(young, exist_ok=True)
+
+    # bypass the per-process memo so the GC-on-entry path actually runs
+    similarity._QUANT_BUILT.pop(os.path.abspath(sf_dir), None)
+    vt = similarity._quantized_table(spark, sf_dir)
+    try:
+        for d in victims:
+            assert not os.path.exists(d), d
+        assert os.path.exists(young)
+        # the current artifact itself still reads fine after the sweep
+        assert vt.read().count() > 0
+    finally:
+        os.rmdir(young)
+
+
 def test_pruned_range_search_identical_on_driver_corpus(spark, sf_dir):
     # correctness never depends on pruning power: on the isotropic
     # synthetic corpus the ball bound prunes ~nothing (measured), but

@@ -194,6 +194,44 @@ def test_heavy_equal_value_run_larger_than_sort_cap(spark):
         assert r.n_total == n
 
 
+def test_quantile_integral_value_column(spark):
+    # ADVICE r14 #1: the output schema pins exact_q/sample_q DOUBLE but
+    # an integral value column collects Python ints — createDataFrame
+    # used to raise TypeError at runtime.  Widening an order statistic
+    # int -> double is exact, so a bigint column must just work.
+    from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+    df = spark.range(1, 101).selectExpr(
+        "id AS event_id", "CAST(id AS BIGINT) AS value"
+    )
+    rows = {
+        r.q_pct: r for r in quantile_sampled_df(df, "value", "event_id").collect()
+    }
+    assert set(rows) == {25, 50, 75, 95}
+    # percentile_disc over 1..100: index ceil(q) exactly
+    for q, r in rows.items():
+        assert r.exact_q == float(q), (q, r.exact_q)
+        assert isinstance(r.exact_q, float)
+        assert isinstance(r.sample_q, float)
+
+
+def test_quantile_releases_checkpoint_storage(spark, sf_dir):
+    # ADVICE r14 #3: _rank_values / quantile_sampled_df localCheckpoint
+    # staging + per-bin frames must not accumulate block-manager storage
+    # across invocations in a long-lived session.  Invariant: the
+    # persistent-RDD census returns to its pre-call level afterwards.
+    from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    quantile_sampled_df(
+        load_table(spark, sf_dir, "events"), "value", "event_id"
+    ).collect()
+    assert n_persistent() == before
+
+
 # --- AMS F2 / self-join-size sketch (sketch family #4, same module) ----------
 
 

@@ -81,21 +81,23 @@ def _load_all() -> None:
 #     never-driver-checked queries first, then oldest green, from the
 #     driver's own CORRECTNESS_r*.json records.
 #   * Names not (yet) registered are skipped harmlessly.
-# Round 11 block: queries whose code changed this round — the unicode
-# tokenizer fold (textnorm.py replaces the r10 \x0B-only fold in every
-# twin; identical results on the ASCII driver corpus EXCEPT
-# text_token_stats, whose avg_token_len numerator now counts non-space
-# chars over the FOLDED text — a real cross-engine fix), the kmeans
-# floor/probe re-choice (KMEANS_MIN_K 128->256, p=3 tier removed — the
-# registered self-check's recall/ratio both move), and the extended.py
-# Python twins that now fold invisible chars.  The fold touches ~30
-# queries' oracle text; the cap holds the 16 most material — the
-# md5-portable shingle/fingerprint family (certify contract changed),
-# the two semantics changes, and the Python-twin extended queries —
-# while the symmetric-fold-only rest rides the stalest-first fallback;
-# ALL are value-oracle-verified locally at sf0.001
-# (tests/test_correctness.py) and sf0.01 (gate sim), plus the crafted
-# unicode corpus (tests/test_unicode_corpus_parity.py).
+#
+# REGISTRY-SIZE / STALENESS POLICY (decided r15, VERDICT r14 #4 asked
+# for the decision before r17): with N registered names, a 50-name
+# driver window, and stalest-first fill, every name is re-checked
+# every ceil(N/50) rounds (minus priority-block overlap).  The ledger
+# target is therefore STALENESS <= ceil(N/50) - 1 ROUNDS: <=2 rounds
+# while N <= 150, <=3 rounds once N crosses 150.  Registration cadence
+# stays capped at +4/round while the r14 pre-certified queue drains
+# (through ~r17, landing N ~= 146 — still inside the <=2-round
+# regime); after the queue, net-new registrations require a NEW
+# capability family (not a variant of a registered one), so N should
+# sit at ~146-150 long-term and the <=2-round ledger holds.  If a new
+# family ever pushes N past 150, the 3-round bound becomes the
+# documented invariant (the math above), and near-duplicate
+# registrations (e.g. the two funnel forms) are the consolidation
+# candidates.  tests/test_window_policy.py pins the cap; the ledger is
+# recomputed from CORRECTNESS_r*.json by _last_green_rounds below.
 _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # comfortably above the worst-case stale backlog (the registry grows ~2-4
 # queries/round, so <=20 queries can age past the 2-round line between
@@ -103,21 +105,25 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round 14 block: queries whose CODE or ORACLE changed this round.
-    # the composition's token budget / mixture / packing now spend BPE
-    # SUBWORD counts (VERDICT r13 #2 — a deliberate oracle
-    # re-registration: n_tokens := n_subwords end to end post-gate)
-    "pipeline_pretrain_corpus",
-    # the stored-table builder's /tmp artifact became marker-gated
-    # reuse + atomic publish instead of rmtree+rebuild (ADVICE r13 #1;
-    # results identical by construction, re-verified anyway)
+    # Round 15 block: queries whose CODE changed this round.
+    # quantile refinement now (a) accepts integral value columns (the
+    # collected refinement values are coerced with float() before the
+    # driver-side row assembly — ADVICE r14 #1) and (b) unpersists its
+    # per-level localCheckpoint frames once their ranks resolve
+    # (ADVICE r14 #3); results identical by construction, re-verified.
+    "quantile_sampled",
+    # hll_distinct's quantile sibling shares _rank_values' checkpoint
+    # lifecycle only via sketch.py module edits — listed while the
+    # module changed this round (cheap re-verify).
+    "hll_distinct",
+    # the /tmp quantized-table artifact store now opportunistically
+    # prunes stale tag/build dirs older than 1 day on entry
+    # (ADVICE r14 #2; reuse semantics unchanged, re-verified anyway)
     "ann_int8_range_search_stored",
-    # import-time assert -> ValueError on the SQL twin's preconditions
-    # (ADVICE r13 #2; no semantic change, re-verified anyway)
-    "text_bpe_encode",
-    # NOT listed: the four r14 registrations (hll_distinct,
-    # quantile_sampled, pagerank_near_dup, corpus_datacard — VERDICT
-    # r13 #1) enter the window via the never-checked-first fallback.
+    # NOT listed: the four r15 registrations (events_session_stats,
+    # pipeline_shard_shuffle, triangle_near_dup,
+    # multimodal_dhash_clusters — VERDICT r14 #1) enter the window via
+    # the never-checked-first fallback.
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

@@ -296,6 +296,36 @@ FROM deg LEFT JOIN pn ON pn.n = deg.n
 """
 
 
+def _triangle_oracle() -> str:
+    # same composed-oracle discipline as _pagerank_oracle below: import
+    # dedup for its registration side effect so a standalone
+    # `import graph` doesn't depend on _load_all's import order
+    from thesis_iceberg_spark.queries import REGISTRY, dedup  # noqa: F401
+
+    return sql_triangle_near_dup(REGISTRY["dedup_ngram_jaccard_pairs"].oracle)
+
+
+@register(
+    "triangle_near_dup",
+    oracle=_triangle_oracle(),
+    doc="Triangle counting + local clustering coefficient over the "
+    "undirected near-dup Jaccard graph (registered r15 from the r14 "
+    "queue, VERDICT r14 #1): the DENSITY signal beside components' "
+    "membership and PageRank's centrality — a high-coefficient node "
+    "sits in a near-dup CLIQUE (one template stamped many times) where "
+    "a zero-triangle hub links unrelated docs. Scale shape: "
+    "Suri-Vassilvitskii degree orientation (every edge points "
+    "(degree, id)-upward, out-degree O(sqrt m), wedge candidates "
+    "<= m^1.5 — the one shape that survives hubs); exact-bigint counts "
+    "and a one-IEEE-division coefficient give a FULL value oracle; the "
+    "DuckDB twin is the INDEPENDENT naive ordered-triple join, so the "
+    "driver check proves the oriented construction equals the textbook "
+    "definition.",
+)
+def triangle_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_near_dup_df(spark, sf_dir)
+
+
 def _pagerank_oracle() -> str:
     # imported for its registration side effect (the _pretrain_oracle
     # pattern): the composed oracle reads the registered Jaccard-pairs

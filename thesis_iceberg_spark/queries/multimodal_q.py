@@ -197,3 +197,23 @@ SELECT doc_id, dhash_hex,
             END AS canonical_id
 FROM hx
 """
+
+
+@register(
+    "multimodal_dhash_clusters",
+    oracle=sql_multimodal_dhash(),
+    doc="64-bit perceptual dHash image near-dup clustering (registered "
+    "r15 from the r14 queue, VERDICT r14 #1): every step INTEGER "
+    "arithmetic (ITU-R 601 luma (77R+150G+29B)>>8, floor-division "
+    "sample grid, left>right bits MSB-first into a 16-hex string), so "
+    "the crafted-gradient corpus gives a FULL value oracle — the twin "
+    "derives each hash from the pixel CLOSED FORM while Spark derives "
+    "it from actual encoded bytes, so a driver match proves "
+    "encode -> decode -> resample -> hash end to end. NULL hash = "
+    "decode failure = nobody's duplicate. Scale shape: one narrow "
+    "Arrow map per payload (bytes never leave the executor) + one "
+    "hash-keyed window min, the exact-dedup canonical pattern; "
+    "Hamming-near grouping band-buckets like SimHash.",
+)
+def multimodal_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal_dhash_clusters_df(spark, sf_dir)

@@ -1639,6 +1639,24 @@ FROM d
 """
 
 
+@register(
+    "pipeline_shard_shuffle",
+    oracle=sql_shard_shuffle(),
+    doc="Deterministic training-shard shuffle (registered r15 from the "
+    "r14 queue, VERDICT r14 #1): (doc_id, shard_id, shard_pos) with a "
+    "DENSE 1-based replayable within-shard order — shard and order are "
+    "pure functions of doc_id via the keyed md5 draw, so two engines/"
+    "runs produce the IDENTICAL layout where RNG-shuffled writers never "
+    "do. Scale shape: dense positions built TWO-PHASE (order-contiguous "
+    "draw buckets -> one <=K*B-row count agg -> offsets window over the "
+    "tiny frame -> row_number only within (shard, bucket)) so no task "
+    "owns corpus/K rows; the naive one-window-per-shard form is the "
+    "ORACLE, not the plan.",
+)
+def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline_shard_shuffle_df(spark, sf_dir)
+
+
 def sql_weighted_sample(k: int = WS_K, key: str = "wsample:") -> str:
     """DuckDB twin of pipeline_weighted_sample_df: same keyed draw, same
     single-division priority, same (priority, doc_id) bottom-k.  The

@@ -839,6 +839,36 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     shared = os.path.join("/tmp/tisw_checks", tag)
     loc = os.path.join(shared, "emb_int8_vt")
 
+    # Opportunistic GC (ADVICE r14 #2): every corpus (size, mtime)
+    # change mints a fresh tag dir, and squatter-evicted '*.stale-*' /
+    # race-losing '*.build-*' dirs would otherwise persist forever —
+    # unbounded /tmp growth across regenerating drivers.  Prune sibling
+    # entries older than 1 day on entry; the CURRENT tag is never
+    # touched (reuse stays intact), and a day-old mtime on anything
+    # else means no live process is mid-scan on it in this
+    # short-lived-driver environment.  Runs once per (process, sf_dir)
+    # thanks to the _QUANT_BUILT memo above.
+    def _gc_store(root: str, keep: str, max_age_sec: int = 86400) -> None:
+        import time
+
+        now = time.time()
+        try:
+            names = os.listdir(root)
+        except OSError:
+            return
+        for name in names:
+            if name == keep:
+                continue
+            p = os.path.join(root, name)
+            try:
+                if now - os.stat(p).st_mtime < max_age_sec:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+
+    _gc_store("/tmp/tisw_checks", tag)
+
     def _finished(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_COMPLETE")) and (
             VersionedTable.exists(os.path.join(d, "emb_int8_vt"))

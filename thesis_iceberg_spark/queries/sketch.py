@@ -51,6 +51,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from thesis_iceberg_spark.queries import register
+from thesis_iceberg_spark.queries.ckpt import free_local_checkpoint
 from thesis_iceberg_spark.queries.hashkit import md5_u32
 
 HLL_BUCKETS = 64  # m = 2^6: small enough that driver corpora fill a
@@ -286,7 +287,14 @@ def _rank_values(cur: DataFrame, idxs: list[int]) -> dict[int, float]:
     through one window task) or when it fits QS_SELECT_CAP (bounded
     multi-rank window pick).  The value at a rank is tie-break-
     independent, so ordering by v alone matches the (v, k)
-    percentile_disc oracle exactly."""
+    percentile_disc oracle exactly.
+
+    Checkpoint lifecycle (ADVICE r14 #3): every per-bin localCheckpoint
+    this function creates is freed (ckpt.free_local_checkpoint) as soon
+    as its level finishes consuming it — a parent's blocks are dead once
+    its children are eagerly materialized — so a long-lived session no
+    longer accumulates block-manager storage per invocation.  The
+    caller-owned ``cur`` is never touched."""
     from pyspark.sql.window import Window
 
     from thesis_iceberg_spark.queries.binning import range_bin
@@ -310,6 +318,15 @@ def _rank_values(cur: DataFrame, idxs: list[int]) -> dict[int, float]:
 
     # work items: (subset frame, rows strictly below it, ranks inside it)
     work: list[tuple[DataFrame, int, list[int]]] = [(cur, 0, sorted(idxs))]
+
+    def retire(level: list[tuple[DataFrame, int, list[int]]]) -> None:
+        # a level's frames are fully consumed once processed (resolved,
+        # single-value, or split into EAGERLY materialized children) —
+        # free their checkpoint blocks; cur belongs to the caller
+        for frame, _, _ in level:
+            if frame is not cur:
+                free_local_checkpoint(frame)
+
     for _ in range(QS_MAX_REFINE_DEPTH):
         if not work:
             return out
@@ -356,11 +373,13 @@ def _rank_values(cur: DataFrame, idxs: list[int]) -> dict[int, float]:
                         lst,
                     )
                 )
+        retire(work)
         work = next_work
     # depth-cap fallback: sort whatever remains (correct, just slower —
     # the token_budget_select convention for pathological distributions)
     for frame, lo, ids in work:
         resolve_sorted(frame, lo, ids)
+    retire(work)
     return out
 
 
@@ -420,8 +439,17 @@ def quantile_sampled_df(
     # aggregate + histogram (r14 review #3)
     ev = _rank_values(base, list(idx_t.values()))
     sv = _rank_values(samp, list(idx_s.values()))
+    # the two staging checkpoints are dead once both descents resolve
+    # (ADVICE r14 #3: don't accumulate block-manager storage per call)
+    free_local_checkpoint(samp)
+    free_local_checkpoint(base)
+    # float(): the output schema pins exact_q/sample_q as DOUBLE, but an
+    # integral value column (long/int — allowed by the portable-cast
+    # conventions) collects Python ints, which createDataFrame rejects
+    # against a double field (ADVICE r14 #1); an order statistic is a
+    # stored input value, so widening int -> double is exact
     rows = [
-        (q, n_total, n_sample, ev[idx_t[q]], sv[idx_s[q]])
+        (q, n_total, n_sample, float(ev[idx_t[q]]), float(sv[idx_s[q]]))
         for q in QS_QUANTILES
     ]
     return spark.createDataFrame(rows, schema)

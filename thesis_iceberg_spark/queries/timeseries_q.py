@@ -575,6 +575,28 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+@register(
+    "events_session_stats",
+    oracle=sql_session_stats(),
+    doc="Per-user dynamic-gap session stats via Spark's NATIVE "
+    "F.session_window (registered r15 from the r14 queue, VERDICT r14 "
+    "#1): the windowed shape where extents are DATA-dependent so the "
+    "engine MERGES state instead of assigning from a grid — the third "
+    "member beside the tumbling/hopping F.window rollups, and the SAME "
+    "spec Structured Streaming runs incrementally (twin: "
+    "streaming/events.session_event_stats, stream == batch pinned in "
+    "tests/test_session_window.py, so this registration also certifies "
+    "the streaming twin's semantics). Boundary rule MEASURED: "
+    "exactly-gap-apart events merge (window closes at ts+gap "
+    "INCLUSIVE); the oracle is the independent gaps-and-islands "
+    "formulation with the same `>`-splits rule. One user_id-keyed "
+    "shuffle; per-key merge state bounded by a user's concurrent open "
+    "sessions, not the corpus.",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_stats_df(load_table(spark, sf_dir, "events"))
+
+
 def cohort_retention_df(events: DataFrame) -> DataFrame:
     """Cohort retention matrix over any (user_id, ts) frame: users are
     cohorted by the calendar week of their FIRST event; each row is
