@@ -355,3 +355,158 @@ def _pagerank_oracle() -> str:
 )
 def pagerank_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_near_dup_df(spark, sf_dir)
+
+
+# --- k-core decomposition (r15, df-level) ------------------------------------
+#
+# The fourth graph signal: COHESION.  The K-core is the maximal subgraph
+# where every node keeps degree >= K — the classic "peel away the fringe"
+# decomposition (Seidman 1983).  On the near-dup graph it separates a
+# genuinely dense duplication cluster (survives peeling: every member is
+# near-dup to >= K others INSIDE the cluster) from chains and stars that
+# components and even PageRank score highly but that one removal
+# unravels.  Triangles measure local density; the core measures density
+# that SURVIVES deletion — a different, complementary signal.
+#
+# Scale shape: synchronous peeling — per round ONE map-side-combined
+# degree groupBy over the surviving edge frame + one semi-join keeping
+# edges whose BOTH endpoints survive; the edge frame only ever shrinks,
+# each round's result is localCheckpoint-pinned (the Pregel/pagerank
+# discipline — every round's plan is O(1)) and the PREVIOUS round's
+# checkpoint is freed as soon as its successor materializes
+# (ckpt.free_local_checkpoint — the ADVICE r14 #3 lifecycle, applied
+# from birth here).  Rounds to fixpoint are bounded by the graph's
+# degeneracy ordering depth; a chain of length L needs ~L/2 rounds, so
+# KCORE_ROUNDS caps the loop and the function raises LOUDLY if the peel
+# hasn't converged — the unrolled oracle computes exactly KCORE_ROUNDS
+# rounds, and a silent early return would be a wrong answer, not a slow
+# one.
+#
+# Determinism: the peel is a pure set fixpoint — no ordering, no floats
+# anywhere — so the FULL value oracle is the same peel unrolled in SQL.
+
+KCORE_K = 2  # the registered choice: the 2-core (nodes on cycles) is
+# the smallest K that separates tree-like fringe from closed structure;
+# at sf0.01 the near-dup 2-core is one triangle (non-degenerate, reaches
+# fixpoint in 2 rounds)
+KCORE_ROUNDS = 6  # oracle-unrolled round count; the Spark side raises
+# if the peel hasn't reached fixpoint by then (driver corpus: 2)
+
+
+def kcore_pairs_df(
+    pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """(doc_id, core_degree) for every node of the K-core of ANY
+    undirected (doc_a, doc_b) pair frame: synchronous peel until
+    fixpoint, core_degree = the node's degree WITHIN the surviving
+    subgraph.  Raises if ``rounds`` rounds don't reach the fixpoint
+    (the unrolled oracle's round budget — loud > silently wrong)."""
+    from thesis_iceberg_spark.queries.ckpt import free_local_checkpoint
+
+    pairs = pairs.localCheckpoint(eager=True)
+    # canonical undirected edge set (dedupe + drop self-loops), then
+    # both directions so degree = COUNT(*) per src
+    canon = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(canon.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(pairs)
+    n_edges = edges.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        alive = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        nxt = (
+            edges.join(alive, "src", "semi")
+            .join(
+                alive.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        free_local_checkpoint(edges)
+        edges, converged = nxt, (n_next == n_edges)
+        n_edges = n_next
+        if converged:
+            break
+    else:
+        free_local_checkpoint(edges)
+        raise RuntimeError(
+            f"kcore_pairs_df: no fixpoint after {rounds} rounds — raise "
+            "KCORE_ROUNDS (and regenerate the unrolled oracle to match)"
+        )
+    out = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(
+            F.col("src").alias("doc_id"), F.col("core_degree").cast("bigint")
+        )
+        # pin the RESULT (one row per core node — the pagerank final-rank
+        # shape) so the big edge frame's blocks can be released NOW; the
+        # one small result checkpoint is what backs the returned frame
+        .localCheckpoint(eager=True)
+    )
+    free_local_checkpoint(edges)
+    return out
+
+
+def kcore_near_dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup Jaccard graph — registration candidate
+    (graph family #4); sql_kcore_near_dup() is the ready oracle
+    builder."""
+    from thesis_iceberg_spark.queries.dedup import dedup_ngram_jaccard_pairs
+
+    return kcore_pairs_df(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+def sql_kcore_near_dup(
+    pairs_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """DuckDB twin builder: the same synchronous peel unrolled
+    ``rounds`` times (the pagerank K-round-unroll discipline; extra
+    rounds past the fixpoint are no-ops on an unchanged edge set, so
+    Spark's early exit and the fixed unroll agree exactly).  Every e_i
+    is MATERIALIZED: each is referenced three times by round i+1, so
+    inlining would re-evaluate the peel tree exponentially (the
+    pagerank MATERIALIZED lesson, r14)."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        "canon AS MATERIALIZED ("
+        " SELECT DISTINCT LEAST(doc_a, doc_b) AS a,"
+        " GREATEST(doc_a, doc_b) AS b FROM pairs WHERE doc_a <> doc_b)",
+        "e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon"
+        " UNION ALL SELECT b, a FROM canon)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT src FROM e{i - 1}"
+            f" GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED ("
+            f" SELECT e.src, e.dst FROM e{i - 1} e"
+            f" JOIN a{i} s ON e.src = s.src"
+            f" JOIN a{i} t ON e.dst = t.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f"\nFROM e{rounds} GROUP BY src"
+    )

@@ -625,3 +625,345 @@ SELECT n_rows, f2_exact,
            / CAST({AMS_K} AS DOUBLE) AS est_f2
 FROM zrow, exact
 """
+
+
+# --- sketch ALGEBRA (r15, df-level): merge + inner product -------------------
+#
+# Point sketches answer questions about ONE stream; what makes the
+# family work on a 1000-executor cluster is their ALGEBRA — HLL cells
+# combine by bucket-wise MAX (so partition sketches merge into the
+# global sketch without rescanning: the property that lets every
+# executor sketch its split independently), and AMS sign-sum vectors
+# combine by INNER PRODUCT (E[Z_A . Z_B] = sum_v fA(v)*fB(v) — the
+# EQUI-JOIN SIZE between two streams, the number a join planner wants
+# before committing a shuffle strategy; AMS 1996, Thm 2.2).  Both are
+# exact-integer until one final division, so both carry FULL value
+# oracles — the merged cells and the sign sums are certified
+# bit-for-bit, which is precisely the distributivity contract.
+
+HLLM_SEG_A, HLLM_SEG_B = "O", "F"  # orders.o_orderstatus segments: at
+# sf0.01 the two custkey sets overlap ~95% but not fully (1451/1429
+# distinct, 1383 shared, 1497 union) — every output is non-degenerate
+
+
+def hll_merge_segments_df(
+    df: DataFrame, col: str, seg_col: str, seg_a: str, seg_b: str
+) -> DataFrame:
+    """One-row HLL set algebra over ``df[col]`` split by ``seg_col`` in
+    (seg_a, seg_b): per-segment sketch denominators, the MERGED union
+    sketch (bucket-wise max — the distributive combine), raw estimates
+    for A/B/union, and the inclusion-exclusion intersection estimate
+    est_a + est_b - est_union.  n_exact_{a,b,union,inter} ride alongside
+    as the verification harness (countmin's exact_n framing).
+
+    Scale shape: ONE corpus scan feeding a <= HLL_BUCKETS-key groupBy
+    with two conditional MAX aggregates (map-side combine: <= m rows per
+    task cross the wire), a spine fill over the 64-row frame, and one
+    final all-combine agg computing all three denominators in a single
+    pass; the exact arm is one more scan + distinct-key groupBy.  All
+    estimates are one IEEE division over exact integers and the shared
+    HLL_NUMER repr literal; the inclusion-exclusion sum/difference of
+    exactly-rounded doubles is itself exactly rounded — full value
+    oracle end to end."""
+    spark = df.sparkSession
+    _require_portable_cast(df, col, "hll_merge_segments_df")
+    vals = (
+        df.filter(F.col(seg_col).isin(seg_a, seg_b))
+        .select(
+            F.col(seg_col).cast("string").alias("seg"),
+            F.col(col).cast("string").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    is_a = F.col("seg") == seg_a
+    pb = (
+        vals.select(
+            "seg",
+            _hll_bucket(F.col("v")).alias("b"),
+            _hll_rank(F.col("v")).alias("r"),
+        )
+        .groupBy("b")
+        .agg(
+            F.coalesce(F.max(F.when(is_a, F.col("r"))), F.lit(0)).alias("ma"),
+            F.coalesce(F.max(F.when(~is_a, F.col("r"))), F.lit(0)).alias("mb"),
+        )
+    )
+    spine = spark.range(HLL_BUCKETS).select(F.col("id").alias("b"))
+    fb = spine.join(pb, "b", "left").select(
+        "b",
+        F.coalesce("ma", F.lit(0)).alias("ma"),
+        F.coalesce("mb", F.lit(0)).alias("mb"),
+    )
+    denoms = fb.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - ma)"))
+        .cast("bigint")
+        .alias("denom_a"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - mb)"))
+        .cast("bigint")
+        .alias("denom_b"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - greatest(ma, mb))"
+            )
+        )
+        .cast("bigint")
+        .alias("denom_union"),
+    )
+    flags = vals.groupBy("v").agg(
+        F.max(F.when(is_a, 1).otherwise(0)).alias("fa"),
+        F.max(F.when(~is_a, 1).otherwise(0)).alias("fb"),
+    )
+    exact = flags.agg(
+        F.coalesce(F.sum("fa"), F.lit(0)).cast("bigint").alias("n_exact_a"),
+        F.coalesce(F.sum("fb"), F.lit(0)).cast("bigint").alias("n_exact_b"),
+        F.count("*").cast("bigint").alias("n_exact_union"),
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_inter"),
+    )
+    est = lambda c: F.lit(HLL_NUMER) / F.col(c).cast("double")  # noqa: E731
+    return (
+        denoms.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_union",
+            "n_exact_inter",
+            "denom_a",
+            "denom_b",
+            "denom_union",
+            est("denom_a").alias("est_a"),
+            est("denom_b").alias("est_b"),
+            est("denom_union").alias("est_union"),
+        )
+        .withColumn(
+            # inclusion-exclusion, parenthesized identically in the twin
+            "est_inter",
+            (F.col("est_a") + F.col("est_b")) - F.col("est_union"),
+        )
+    )
+
+
+def sql_hll_merge_segments(
+    table: str, col: str, seg_col: str, seg_a: str, seg_b: str
+) -> str:
+    """DuckDB twin of hll_merge_segments_df — same draws, same pivoted
+    per-bucket conditional maxes, same merged denominator, same
+    estimate arithmetic.  Ready oracle builder for a future
+    registration (sketch-algebra family)."""
+    a_sql = seg_a.replace("'", "''")
+    b_sql = seg_b.replace("'", "''")
+    u32 = "CAST('0x' || substr(md5('{k}' || v), 1, 8) AS BIGINT)"
+    bucket = f"({u32.format(k='hllb:')}) % {HLL_BUCKETS}"
+    draw = u32.format(k="hllr:")
+    return f"""
+WITH vals AS (
+  SELECT CAST({seg_col} AS VARCHAR) AS seg, CAST({col} AS VARCHAR) AS v
+  FROM {table}
+  WHERE {seg_col} IN ('{a_sql}', '{b_sql}') AND {col} IS NOT NULL),
+ranked AS (
+  SELECT seg, {bucket} AS b,
+         CASE WHEN {draw} = 0 THEN {HLL_RMAX}
+              ELSE {HLL_RMAX} - length(bin({draw})) END AS r
+  FROM (SELECT DISTINCT seg, v FROM vals)),
+pb AS (
+  SELECT b,
+         COALESCE(MAX(CASE WHEN seg = '{a_sql}' THEN r END), 0) AS ma,
+         COALESCE(MAX(CASE WHEN seg <> '{a_sql}' THEN r END), 0) AS mb
+  FROM ranked GROUP BY b),
+fb AS (
+  SELECT s.b, COALESCE(ma, 0) AS ma, COALESCE(mb, 0) AS mb
+  FROM range({HLL_BUCKETS}) s(b) LEFT JOIN pb USING (b)),
+denoms AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RMAX} - ma)) AS BIGINT) AS denom_a,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RMAX} - mb)) AS BIGINT) AS denom_b,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RMAX} - greatest(ma, mb)))
+              AS BIGINT) AS denom_union
+  FROM fb),
+flags AS (
+  SELECT v, MAX(CASE WHEN seg = '{a_sql}' THEN 1 ELSE 0 END) AS fa,
+         MAX(CASE WHEN seg <> '{a_sql}' THEN 1 ELSE 0 END) AS fb
+  FROM vals GROUP BY v),
+exact AS (
+  SELECT CAST(COALESCE(SUM(fa), 0) AS BIGINT) AS n_exact_a,
+         CAST(COALESCE(SUM(fb), 0) AS BIGINT) AS n_exact_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact_union,
+         CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT) AS n_exact_inter
+  FROM flags)
+SELECT n_exact_a, n_exact_b, n_exact_union, n_exact_inter,
+       denom_a, denom_b, denom_union, est_a, est_b, est_union,
+       (est_a + est_b) - est_union AS est_inter
+FROM (
+  SELECT *,
+         CAST({HLL_NUMER!r} AS DOUBLE) / CAST(denom_a AS DOUBLE) AS est_a,
+         CAST({HLL_NUMER!r} AS DOUBLE) / CAST(denom_b AS DOUBLE) AS est_b,
+         CAST({HLL_NUMER!r} AS DOUBLE) / CAST(denom_union AS DOUBLE) AS est_union
+  FROM denoms, exact)
+"""
+
+
+def hll_merge_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over orders.o_custkey split by o_orderstatus —
+    registration candidate (sketch-algebra family);
+    sql_hll_merge_segments() is the ready oracle builder."""
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    return hll_merge_segments_df(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderstatus",
+        HLLM_SEG_A,
+        HLLM_SEG_B,
+    )
+
+
+AMSJ_SEG_A, AMSJ_SEG_B = "click", "view"  # events segments: join size
+# on user_id between them is 26512 at sf0.01 — non-degenerate
+
+
+def ams_join_size_df(
+    df: DataFrame, col: str, seg_col: str, seg_a: str, seg_b: str
+) -> DataFrame:
+    """One-row (n_rows_a, n_rows_b, join_exact, n_estimators, sum_zz,
+    est_join) AMS inner-product JOIN-SIZE estimate between the two
+    ``seg_col`` segments of ``df`` joined on ``df[col]``: per estimator
+    j, Z^A_j and Z^B_j are the segments' sign sums under the SAME
+    md5-keyed +-1 draw, E[Z^A_j * Z^B_j] = sum_v fA(v)*fB(v) = the
+    equi-join row count — what a join planner wants before committing a
+    shuffle strategy.  est_join = (sum_j Z^A_j * Z^B_j) / K, the one
+    division; everything upstream is exact integers (products in
+    DECIMAL(38,0) / HUGEINT — a Z pair can each be ~3e9 at 100 TB, so
+    bigint would overflow exactly like ams_f2's squares), so the sketch
+    carries a FULL value oracle.  The exact join size rides alongside
+    as the verification harness.
+
+    Scale shape: the sketch arm is ONE narrow (seg, v) projection and a
+    single all-combine aggregate with 2K conditional sign sums — zero
+    keyed shuffle, <= 1 row per task; the exact arm is one
+    map-side-combined groupBy (the harness, not the product)."""
+    _require_portable_cast(df, col, "ams_join_size_df")
+    vals = (
+        df.filter(F.col(seg_col).isin(seg_a, seg_b))
+        .select(
+            F.col(seg_col).cast("string").alias("seg"),
+            F.col(col).cast("string").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    is_a = F.col("seg") == seg_a
+
+    def sign(j: int) -> Column:
+        return 1 - 2 * (md5_u32(F.concat(F.lit(f"ams{j}:"), F.col("v"))) % 2)
+
+    zrow = vals.agg(
+        F.coalesce(F.sum(F.when(is_a, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_a"),
+        F.coalesce(F.sum(F.when(~is_a, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_b"),
+        *[
+            c
+            for j in range(AMS_K)
+            for c in (
+                F.coalesce(F.sum(F.when(is_a, sign(j))), F.lit(0))
+                .cast("bigint")
+                .alias(f"za{j}"),
+                F.coalesce(F.sum(F.when(~is_a, sign(j))), F.lit(0))
+                .cast("bigint")
+                .alias(f"zb{j}"),
+            )
+        ],
+    )
+    exact = (
+        vals.groupBy("v")
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).alias("cb"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("join_exact")
+        )
+    )
+    sum_zz = F.expr(
+        " + ".join(
+            f"CAST(za{j} AS DECIMAL(38,0)) * zb{j}" for j in range(AMS_K)
+        )
+    ).cast("decimal(38,0)")
+    return zrow.crossJoin(F.broadcast(exact)).select(
+        "n_rows_a",
+        "n_rows_b",
+        "join_exact",
+        F.lit(AMS_K).cast("bigint").alias("n_estimators"),
+        sum_zz.cast("string").alias("sum_zz"),
+        (sum_zz.cast("string").cast("double") / F.lit(float(AMS_K))).alias(
+            "est_join"
+        ),
+    )
+
+
+def sql_ams_join_size(
+    table: str, col: str, seg_col: str, seg_a: str, seg_b: str
+) -> str:
+    """DuckDB twin of ams_join_size_df — same keyed draws, same exact
+    sign sums, same HUGEINT products, same one division.  Ready oracle
+    builder for a future registration (sketch-algebra family)."""
+    a_sql = seg_a.replace("'", "''")
+    b_sql = seg_b.replace("'", "''")
+    u32 = "CAST('0x' || substr(md5('ams{j}:' || v), 1, 8) AS BIGINT)"
+    zs = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN seg = '{a_sql}' THEN"
+        f" 1 - 2 * (({u32.format(j=j)}) % 2) END), 0) AS BIGINT) AS za{j},\n"
+        f"         CAST(COALESCE(SUM(CASE WHEN seg <> '{a_sql}' THEN"
+        f" 1 - 2 * (({u32.format(j=j)}) % 2) END), 0) AS BIGINT) AS zb{j}"
+        for j in range(AMS_K)
+    )
+    sum_zz = " + ".join(
+        f"CAST(za{j} AS HUGEINT) * zb{j}" for j in range(AMS_K)
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST({seg_col} AS VARCHAR) AS seg, CAST({col} AS VARCHAR) AS v
+  FROM {table}
+  WHERE {seg_col} IN ('{a_sql}', '{b_sql}') AND {col} IS NOT NULL),
+zrow AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN seg = '{a_sql}' THEN 1 END), 0)
+              AS BIGINT) AS n_rows_a,
+         CAST(COALESCE(SUM(CASE WHEN seg <> '{a_sql}' THEN 1 END), 0)
+              AS BIGINT) AS n_rows_b,
+         {zs}
+  FROM vals),
+exact AS (
+  SELECT CAST(CAST(COALESCE(SUM(CAST(ca AS HUGEINT) * cb), 0) AS HUGEINT)
+              AS VARCHAR) AS join_exact
+  FROM (SELECT SUM(CASE WHEN seg = '{a_sql}' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN seg <> '{a_sql}' THEN 1 ELSE 0 END) AS cb
+        FROM vals GROUP BY v))
+SELECT n_rows_a, n_rows_b, join_exact,
+       CAST({AMS_K} AS BIGINT) AS n_estimators,
+       CAST(CAST({sum_zz} AS HUGEINT) AS VARCHAR) AS sum_zz,
+       CAST(CAST(CAST({sum_zz} AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           / CAST({AMS_K} AS DOUBLE) AS est_join
+FROM zrow, exact
+"""
+
+
+def ams_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS join-size estimate between the click and view event streams
+    joined on user_id — registration candidate (sketch-algebra family);
+    sql_ams_join_size() is the ready oracle builder."""
+    from thesis_iceberg_spark.sources.registry import load_table
+
+    return ams_join_size_df(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        AMSJ_SEG_A,
+        AMSJ_SEG_B,
+    )
