@@ -32,9 +32,9 @@ undirected graph has in-degree >= 1, so the inner-join form drops
 nobody.
 
 ref: the reference engine has no graph surface; §2B extension beside
-dedup_cluster_canonical's connected components.  df-level in r13 (the
-+4 registration cap is met); r14 registration candidate —
-sql_pagerank_near_dup() is the ready oracle builder.
+dedup_cluster_canonical's connected components.  PageRank REGISTERED
+r14; triangles REGISTERED r15; the k-core decomposition below is the
+r15 df-level addition (graph family #4).
 """
 
 from __future__ import annotations
@@ -255,8 +255,8 @@ def triangle_stats_df(pairs: DataFrame) -> DataFrame:
 
 
 def triangle_near_dup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle stats over the near-dup Jaccard graph — r15 registration
-    candidate; sql_triangle_near_dup() is the ready oracle builder."""
+    """Triangle stats over the near-dup Jaccard graph — REGISTERED r15
+    as triangle_near_dup with the naive ordered-triple twin."""
     from thesis_iceberg_spark.queries.dedup import dedup_ngram_jaccard_pairs
 
     return triangle_stats_df(

@@ -118,8 +118,8 @@ def multimodal_dhash_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash of every crafted gradient image, with canonical_id = the
     smallest doc_id sharing the hash — image near-dup clustering by
     perceptual key, the image-side sibling of dedup_exact_hash's
-    fingerprint canonicalization (r14, df-level; r15 registration
-    candidate — sql_multimodal_dhash() is the ready oracle builder).
+    fingerprint canonicalization (r14, df-level; REGISTERED r15
+    as multimodal_dhash_clusters with the closed-form gradient twin).
 
     The oracle derives every hash from the gradient's CLOSED FORM while
     this side derives it from the actual encoded bytes (encode_ppm ->

@@ -1613,8 +1613,8 @@ def shard_shuffle_df(
 
 
 def pipeline_shard_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shard shuffle over the documents corpus — r15 registration
-    candidate; sql_shard_shuffle() is the ready oracle builder."""
+    """Shard shuffle over the documents corpus — REGISTERED r15 as
+    pipeline_shard_shuffle with the sql_shard_shuffle() naive twin."""
     from thesis_iceberg_spark.sources.registry import load_table
 
     return shard_shuffle_df(load_table(spark, sf_dir, "documents"))

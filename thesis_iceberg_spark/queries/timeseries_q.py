@@ -513,9 +513,8 @@ def session_window_stats_df(
     streaming/events.session_event_stats, the SAME spec under a
     watermarked availableNow replay).  One user_id-keyed shuffle; the
     per-key merge state is bounded by a user's concurrent open
-    sessions, not the corpus.  df-level in r14 (the +4 registration cap
-    is met); r15 registration candidate — sql_session_stats() is the
-    ready oracle builder."""
+    sessions, not the corpus.  REGISTERED r15 as events_session_stats
+    with the sql_session_stats() gaps-and-islands oracle."""
     return (
         events.filter(F.col("ts").isNotNull())
         .groupBy(
