@@ -137,8 +137,10 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
     old_age = time.time() - 2 * 86400
     victims = [
         os.path.join(root, "sfX_deadbeef0000"),  # stale-corpus tag
-        os.path.join(root, "sfX_deadbeef0000.stale-1-aa"),
-        os.path.join(root, "sfX_deadbeef0000.build-1-bb"),
+        # dead pids (far above any live one), so the live-pid guard
+        # does not protect these
+        os.path.join(root, "sfX_deadbeef0000.stale-4194001-aa"),
+        os.path.join(root, "sfX_deadbeef0000.build-4194002-bb"),
     ]
     for d in victims:
         os.makedirs(d, exist_ok=True)
@@ -146,17 +148,49 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
     young = os.path.join(root, "sfY_cafecafe0000.build-2-cc")
     os.makedirs(young, exist_ok=True)
 
+    # protected survivors (r15 review #2): a location another entry of
+    # THIS process memoized (reads never refresh mtime), and a build
+    # dir whose pid is still alive — age alone is not proof of death
+    memoized = os.path.join(root, "sfZ_feedf00d0000")
+    os.makedirs(os.path.join(memoized, "emb_int8_vt"), exist_ok=True)
+    os.utime(memoized, (old_age, old_age))
+    similarity._QUANT_BUILT["/fake/corpusZ"] = os.path.join(
+        memoized, "emb_int8_vt"
+    )
+    live_build = os.path.join(
+        root, f"sfW_0ddba1100000.build-{os.getpid()}-dd"
+    )
+    os.makedirs(live_build, exist_ok=True)
+    os.utime(live_build, (old_age, old_age))
+    dead_build = os.path.join(root, "sfW_0ddba1100000.build-4194000-ee")
+    os.makedirs(dead_build, exist_ok=True)
+    os.utime(dead_build, (old_age, old_age))
+
     # bypass the per-process memo so the GC-on-entry path actually runs
     similarity._QUANT_BUILT.pop(os.path.abspath(sf_dir), None)
-    vt = similarity._quantized_table(spark, sf_dir)
     try:
+        vt = similarity._quantized_table(spark, sf_dir)
         for d in victims:
             assert not os.path.exists(d), d
+        assert not os.path.exists(dead_build)
         assert os.path.exists(young)
-        # the current artifact itself still reads fine after the sweep
+        assert os.path.exists(memoized)
+        assert os.path.exists(live_build)
+        # the current artifact itself still reads fine after the sweep,
+        # and entry refreshed its mtime (the cross-process keep-alive)
         assert vt.read().count() > 0
+        import time as _t
+
+        cur = similarity._QUANT_BUILT[os.path.abspath(sf_dir)]
+        tag_dir = os.path.dirname(cur)
+        if os.path.basename(os.path.dirname(tag_dir)) == "tisw_checks":
+            assert _t.time() - os.stat(tag_dir).st_mtime < 3600
     finally:
-        os.rmdir(young)
+        similarity._QUANT_BUILT.pop("/fake/corpusZ", None)
+        for d in (young, live_build, memoized):
+            import shutil as _sh
+
+            _sh.rmtree(d, ignore_errors=True)
 
 
 def test_pruned_range_search_identical_on_driver_corpus(spark, sf_dir):

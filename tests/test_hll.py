@@ -215,6 +215,27 @@ def test_quantile_integral_value_column(spark):
         assert isinstance(r.sample_q, float)
 
 
+def test_quantile_wide_bigint_range_no_overflow(spark):
+    # r15 review #1: range_bin used to evaluate (x - lo) * n in BIGINT
+    # for integral columns, wrapping silently once the span approaches
+    # 2^63/64 — non-monotone bins, wrong quantiles, no error.  The
+    # double-domain map must return exact order statistics over a
+    # full-width span.  Values id * 2^50 (id < 2^13) are exactly
+    # double-representable, so the widened doubles are exact too.
+    from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+    n = 10_000
+    df = spark.range(n).selectExpr(
+        "id AS event_id", "CAST(id * 1125899906842624 AS BIGINT) AS value"
+    )  # span ~ 1.1e19 > 2^63/64 * 64
+    rows = {
+        r.q_pct: r for r in quantile_sampled_df(df, "value", "event_id").collect()
+    }
+    for q, r in rows.items():
+        idx = (q * n + 99) // 100  # percentile_disc index, 1-based
+        assert r.exact_q == float((idx - 1) * 1125899906842624), (q, r)
+
+
 def test_quantile_releases_checkpoint_storage(spark, sf_dir):
     # ADVICE r14 #3: _rank_values / quantile_sampled_df localCheckpoint
     # staging + per-bin frames must not accumulate block-manager storage

@@ -61,6 +61,15 @@ def test_two_rounds_needed(spark):
     assert _core(spark, g) == {1: 2, 2: 2, 3: 2}
 
 
+def test_empties_exactly_on_last_round_is_converged(spark):
+    # r15 review #3: a 13-node chain's 12 canonical edges peel
+    # 12 -> 10 -> 8 -> 6 -> 4 -> 2 -> 0, emptying EXACTLY on round 6 of
+    # the 6-round budget; an empty set is a proven fixpoint, so this
+    # must return the empty core, not raise
+    chain = [(i, i + 1) for i in range(1, 13)]
+    assert _core(spark, chain) == {}
+
+
 def test_nonconvergence_raises_loudly(spark):
     # a chain of 9 needs ~4 peel rounds; rounds=1 must raise, never
     # return the partially-peeled edge set as if it were the core

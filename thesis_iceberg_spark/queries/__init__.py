@@ -118,8 +118,17 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "hll_distinct",
     # the /tmp quantized-table artifact store now opportunistically
     # prunes stale tag/build dirs older than 1 day on entry
-    # (ADVICE r14 #2; reuse semantics unchanged, re-verified anyway)
+    # (ADVICE r14 #2; reuse semantics unchanged, re-verified anyway) —
+    # hardened by r15 review #2: memoized locations, live-pid build
+    # dirs, and the mtime-refreshed current tag are all protected
     "ann_int8_range_search_stored",
+    # binning.range_bin now maps in the DOUBLE domain (r15 review #1:
+    # bigint (x-lo)*n wrapped on wide integral columns -> non-monotone
+    # bins -> silently wrong order statistics).  Bins are refinement-
+    # internal so registered OUTPUTS are unchanged, but these two ride
+    # the bin map and re-verify after the re-cut:
+    "pipeline_token_budget_select",
+    "pipeline_pretrain_corpus",
     # NOT listed: the four r15 registrations (events_session_stats,
     # pipeline_shard_shuffle, triangle_near_dup,
     # multimodal_dhash_clusters — VERDICT r14 #1) enter the window via

@@ -439,7 +439,12 @@ def kcore_pairs_df(
         )
         n_next = nxt.count()
         free_local_checkpoint(edges)
-        edges, converged = nxt, (n_next == n_edges)
+        # an UNCHANGED set is a fixpoint, and so is an EMPTY one — the
+        # peel can empty the graph exactly on the last budgeted round,
+        # and without the emptiness arm the for/else would raise on a
+        # provably-final answer the unrolled oracle gets right (r15
+        # review #3: a 13-node chain empties on round 6 of 6)
+        edges, converged = nxt, (n_next == n_edges or n_next == 0)
         n_edges = n_next
         if converged:
             break

@@ -843,12 +843,21 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     # change mints a fresh tag dir, and squatter-evicted '*.stale-*' /
     # race-losing '*.build-*' dirs would otherwise persist forever —
     # unbounded /tmp growth across regenerating drivers.  Prune sibling
-    # entries older than 1 day on entry; the CURRENT tag is never
-    # touched (reuse stays intact), and a day-old mtime on anything
-    # else means no live process is mid-scan on it in this
-    # short-lived-driver environment.  Runs once per (process, sf_dir)
-    # thanks to the _QUANT_BUILT memo above.
+    # entries older than 1 day on entry, PROTECTING (r15 review #2 —
+    # age alone is not proof of death):
+    #   * the current tag (reuse stays intact), whose mtime is also
+    #     REFRESHED on every entry below, so any process that touches
+    #     its artifact at least daily keeps it young for every other
+    #     process's GC;
+    #   * every location this process memoized in _QUANT_BUILT — a
+    #     session alive past the age limit still reads those (reads
+    #     never update a dir's mtime);
+    #   * '*.build-<pid>-*' / '*.stale-<pid>-*' entries whose pid is
+    #     still alive (/proc check — a race-losing live process may be
+    #     scanning its kept private build; pid reuse only over-keeps).
+    # Runs once per (process, sf_dir) thanks to the _QUANT_BUILT memo.
     def _gc_store(root: str, keep: str, max_age_sec: int = 86400) -> None:
+        import re
         import time
 
         now = time.time()
@@ -856,8 +865,16 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             names = os.listdir(root)
         except OSError:
             return
+        protected = {keep}
+        for loc in _QUANT_BUILT.values():
+            rel = os.path.relpath(loc, root)
+            if not rel.startswith(".."):
+                protected.add(rel.split(os.sep, 1)[0])
         for name in names:
-            if name == keep:
+            if name in protected:
+                continue
+            m = re.search(r"\.(?:build|stale)-(\d+)-", name)
+            if m and os.path.exists(f"/proc/{m.group(1)}"):
                 continue
             p = os.path.join(root, name)
             try:
@@ -868,6 +885,11 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             shutil.rmtree(p, ignore_errors=True)
 
     _gc_store("/tmp/tisw_checks", tag)
+    if os.path.isdir(shared):
+        try:  # keep-alive: reads don't update mtime, entries do
+            os.utime(shared)
+        except OSError:
+            pass
 
     def _finished(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_COMPLETE")) and (
