@@ -91,6 +91,24 @@ def test_driver_corpus_duckdb_parity_and_nonvacuous(spark, sf_dir):
     assert got, "empty 2-core at driver scale — pick a denser corpus"
 
 
+def test_result_plan_is_o1_checkpoint_read(spark):
+    # the returned frame is pinned to the small RESULT checkpoint (the
+    # pagerank final-rank shape), so the consumer-visible plan is a
+    # constant-size materialization read — independent of how many peel
+    # rounds ran, with no join or corpus lineage embedded
+    from thesis_iceberg_spark.plans import formatted_plan
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    deep = tri + [(3, 4), (4, 5), (5, 6), (6, 7)]  # needs more rounds
+    df1 = spark.createDataFrame(tri, "doc_a BIGINT, doc_b BIGINT")
+    df2 = spark.createDataFrame(deep, "doc_a BIGINT, doc_b BIGINT")
+    p1 = formatted_plan(kcore_pairs_df(df1))
+    p2 = formatted_plan(kcore_pairs_df(df2))
+    assert "ExistingRDD" in p1 or "LocalTableScan" in p1
+    assert p2.count("Join") == p1.count("Join") == 0
+    assert len(p2) < 1.5 * len(p1)
+
+
 def test_checkpoint_storage_released(spark):
     # every per-round localCheckpoint (and the pairs/edges staging) must
     # be freed by the time the result materializes
