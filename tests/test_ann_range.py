@@ -165,6 +165,11 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
     dead_build = os.path.join(root, "sfW_0ddba1100000.build-4194000-ee")
     os.makedirs(dead_build, exist_ok=True)
     os.utime(dead_build, (old_age, old_age))
+    # a tablefmt_checks-style BARE corpus-basename dir shares this root
+    # but is NOT ours to sweep (r15 review pass 2 #2) — however old
+    foreign = os.path.join(root, "sfQ_foreign_tablefmt")
+    os.makedirs(foreign, exist_ok=True)
+    os.utime(foreign, (old_age, old_age))
 
     # bypass the per-process memo so the GC-on-entry path actually runs
     similarity._QUANT_BUILT.pop(os.path.abspath(sf_dir), None)
@@ -176,6 +181,7 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
         assert os.path.exists(young)
         assert os.path.exists(memoized)
         assert os.path.exists(live_build)
+        assert os.path.exists(foreign)
         # the current artifact itself still reads fine after the sweep,
         # and entry refreshed its mtime (the cross-process keep-alive)
         assert vt.read().count() > 0
@@ -187,7 +193,7 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
             assert _t.time() - os.stat(tag_dir).st_mtime < 3600
     finally:
         similarity._QUANT_BUILT.pop("/fake/corpusZ", None)
-        for d in (young, live_build, memoized):
+        for d in (young, live_build, memoized, foreign):
             import shutil as _sh
 
             _sh.rmtree(d, ignore_errors=True)

@@ -224,16 +224,67 @@ def test_quantile_wide_bigint_range_no_overflow(spark):
     # double-representable, so the widened doubles are exact too.
     from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
 
-    n = 10_000
+    n = 8_000  # id * 2^50 must itself stay inside int64: 7999 * 2^50
+    # ~ 9.0e18 < 2^63-1, while the span still breaks the OLD bigint bin
+    # map ((x - lo) * 64 needs x - lo < 2^57) — review r15 pass 2 #1
+    # caught the first cut of this test overflowing its own test data
     df = spark.range(n).selectExpr(
         "id AS event_id", "CAST(id * 1125899906842624 AS BIGINT) AS value"
-    )  # span ~ 1.1e19 > 2^63/64 * 64
+    )
     rows = {
         r.q_pct: r for r in quantile_sampled_df(df, "value", "event_id").collect()
     }
     for q, r in rows.items():
         idx = (q * n + 99) // 100  # percentile_disc index, 1-based
         assert r.exact_q == float((idx - 1) * 1125899906842624), (q, r)
+
+
+def test_quantile_integral_column_twin_parity(spark):
+    # r15 review pass 2 #5: over an integral column the twin used to
+    # emit BIGINT order statistics where the df side pins DOUBLE — the
+    # same selected value, hash-mismatching canonical form.  Full
+    # cross-engine parity over a crafted bigint column pins the CAST.
+    import pandas as pd
+
+    from thesis_iceberg_spark.queries.sketch import (
+        quantile_sampled_df,
+        sql_quantile_sampled,
+    )
+
+    pdf = pd.DataFrame(
+        {"event_id": range(1, 201), "value": [3 * x for x in range(1, 201)]}
+    )
+    got = canonical_rows(
+        quantile_sampled_df(
+            spark.createDataFrame(pdf), "value", "event_id"
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = canonical_rows(
+        con.sql(sql_quantile_sampled("t", "value", "event_id")).df()
+    )
+    assert got == want
+
+
+def test_quantile_empty_input_releases_checkpoints(spark):
+    # r15 review pass 2 #4: the empty-input early return used to leak
+    # the base/samp staging checkpoints the non-empty path frees
+    from thesis_iceberg_spark.queries.sketch import quantile_sampled_df
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    out = quantile_sampled_df(
+        spark.range(10).selectExpr(
+            "id AS event_id", "CAST(NULL AS DOUBLE) AS value"
+        ),
+        "value",
+        "event_id",
+    )
+    assert out.count() == 0
+    assert n_persistent() == before
 
 
 def test_quantile_releases_checkpoint_storage(spark, sf_dir):

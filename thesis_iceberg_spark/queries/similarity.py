@@ -805,7 +805,20 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     # never double-build (reviews r13 #1 and #5)
     sf_dir = os.path.abspath(sf_dir)
     if sf_dir in _QUANT_BUILT:
-        return VersionedTable(spark, _QUANT_BUILT[sf_dir])
+        loc = _QUANT_BUILT[sf_dir]
+        # keep-alive on EVERY hit, not just first entry (r15 review
+        # pass 2 #3): a >1-day session serves from this memo without
+        # ever re-entering the build path, and reads never refresh the
+        # artifact dir's mtime — so another process's age-based GC
+        # would sweep a table this process is actively scanning.  One
+        # utime per call is noise next to the query itself.
+        tag_dir = os.path.dirname(loc)
+        if os.path.dirname(tag_dir) == "/tmp/tisw_checks":
+            try:
+                os.utime(tag_dir)
+            except OSError:
+                pass
+        return VersionedTable(spark, loc)
     src = os.path.join(sf_dir, "embeddings.parquet")
 
     def _src_state(path: str) -> str:
@@ -856,10 +869,18 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     #     still alive (/proc check — a race-losing live process may be
     #     scanning its kept private build; pid reuse only over-keeps).
     # Runs once per (process, sf_dir) thanks to the _QUANT_BUILT memo.
+    # SCOPE (r15 review pass 2 #2): /tmp/tisw_checks is SHARED with
+    # tablefmt_checks, whose dirs are bare corpus basenames with their
+    # own per-process memo this module knows nothing about — so the
+    # sweep only ever considers names THIS function mints: the
+    # '<base>_<md5hex12>' tag plus its '.build-'/'.stale-' derivatives.
     def _gc_store(root: str, keep: str, max_age_sec: int = 86400) -> None:
         import re
         import time
 
+        minted = re.compile(
+            r"^.+_[0-9a-f]{12}(\.(?:build|stale)-(\d+)-[0-9a-f]+)?$"
+        )
         now = time.time()
         try:
             names = os.listdir(root)
@@ -871,10 +892,10 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             if not rel.startswith(".."):
                 protected.add(rel.split(os.sep, 1)[0])
         for name in names:
-            if name in protected:
+            m = minted.match(name)
+            if m is None or name in protected:
                 continue
-            m = re.search(r"\.(?:build|stale)-(\d+)-", name)
-            if m and os.path.exists(f"/proc/{m.group(1)}"):
+            if m.group(2) and os.path.exists(f"/proc/{m.group(2)}"):
                 continue
             p = os.path.join(root, name)
             try:

@@ -431,7 +431,12 @@ def quantile_sampled_df(
         "exact_q double, sample_q double"
     )
     if n_total == 0 or n_sample == 0:
-        # the twin's e JOIN s over an empty ranked frame yields no rows
+        # the twin's e JOIN s over an empty ranked frame yields no rows;
+        # free the staging checkpoints on THIS path too (r15 review
+        # pass 2 #4 — the empty early-return leaked exactly the storage
+        # the non-empty path learned to release)
+        free_local_checkpoint(samp)
+        free_local_checkpoint(base)
         return spark.createDataFrame([], schema)
     idx_t = {q: (q * n_total + 99) // 100 for q in QS_QUANTILES}
     idx_s = {q: (q * n_sample + 99) // 100 for q in QS_QUANTILES}
@@ -457,7 +462,11 @@ def quantile_sampled_df(
 
 def sql_quantile_sampled(table: str, value_col: str, key_col: str) -> str:
     """DuckDB twin of quantile_sampled_df — same sample membership, same
-    (value, key) order statistics, same integer index arithmetic."""
+    (value, key) order statistics, same integer index arithmetic.  The
+    selected values are CAST AS DOUBLE to mirror the df side's pinned
+    output schema (r15 review pass 2 #5: over an integral column the
+    twin otherwise emits BIGINT where Spark emits DOUBLE — same value,
+    hash-mismatching canonical form)."""
     # membership is decided over base's canonical k column (review: an
     # earlier draft referenced {key_col}, which base no longer carries)
     u32 = "CAST('0x' || substr(md5('qs:' || k), 1, 8) AS BIGINT)"
@@ -472,9 +481,9 @@ ranked_full AS (
 ranked_samp AS (
   SELECT v, row_number() OVER (ORDER BY v, k) AS rn, COUNT(*) OVER () AS n
   FROM base WHERE {u32} * {QS_RATE_DEN} < CAST({QS_RATE_NUM} * 4294967296 AS BIGINT)),
-e AS (SELECT q_pct, v AS exact_q, n AS n_total
+e AS (SELECT q_pct, CAST(v AS DOUBLE) AS exact_q, n AS n_total
       FROM ranked_full, qs WHERE rn = (q_pct * n + 99) // 100),
-s AS (SELECT q_pct, v AS sample_q, n AS n_sample
+s AS (SELECT q_pct, CAST(v AS DOUBLE) AS sample_q, n AS n_sample
       FROM ranked_samp, qs WHERE rn = (q_pct * n + 99) // 100)
 SELECT e.q_pct, CAST(n_total AS BIGINT) AS n_total,
        CAST(n_sample AS BIGINT) AS n_sample, exact_q, sample_q
