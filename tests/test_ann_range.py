@@ -132,7 +132,7 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
 
     from thesis_iceberg_spark.queries import similarity
 
-    root = "/tmp/tisw_checks"
+    root = similarity._QUANT_ROOT  # the module-owned store subdir
     os.makedirs(root, exist_ok=True)
     old_age = time.time() - 2 * 86400
     victims = [
@@ -165,9 +165,10 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
     dead_build = os.path.join(root, "sfW_0ddba1100000.build-4194000-ee")
     os.makedirs(dead_build, exist_ok=True)
     os.utime(dead_build, (old_age, old_age))
-    # a tablefmt_checks-style BARE corpus-basename dir shares this root
-    # but is NOT ours to sweep (r15 review pass 2 #2) — however old
-    foreign = os.path.join(root, "sfQ_foreign_tablefmt")
+    # a tablefmt_checks-style dir lives in the PARENT
+    # /tmp/tisw_checks, which the sweep must never list (r15 review
+    # pass 2 #2 / pass 3 #2: the store owns only its own subdir)
+    foreign = os.path.join(os.path.dirname(root), "sfQ_foreign_tablefmt")
     os.makedirs(foreign, exist_ok=True)
     os.utime(foreign, (old_age, old_age))
 
@@ -189,7 +190,7 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
 
         cur = similarity._QUANT_BUILT[os.path.abspath(sf_dir)]
         tag_dir = os.path.dirname(cur)
-        if os.path.basename(os.path.dirname(tag_dir)) == "tisw_checks":
+        if os.path.dirname(tag_dir) == similarity._QUANT_ROOT:
             assert _t.time() - os.stat(tag_dir).st_mtime < 3600
     finally:
         similarity._QUANT_BUILT.pop("/fake/corpusZ", None)
@@ -197,6 +198,30 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
             import shutil as _sh
 
             _sh.rmtree(d, ignore_errors=True)
+
+
+def test_memo_hit_on_swept_artifact_rebuilds(spark, sf_dir):
+    # r15 review pass 3 #1: if a peer's GC swept the artifact despite
+    # the defenses, a memo hit must NOT return a dangling location —
+    # the ENOENT on the keep-alive touch pops the memo and rebuilds
+    import os
+
+    from thesis_iceberg_spark.queries import similarity
+
+    key = os.path.abspath(sf_dir)
+    saved = similarity._QUANT_BUILT.pop(key, None)
+    gone = os.path.join(similarity._QUANT_ROOT, "sfG_gone00000000")
+    similarity._QUANT_BUILT[key] = os.path.join(gone, "emb_int8_vt")
+    try:
+        vt = similarity._quantized_table(spark, sf_dir)
+        assert similarity._QUANT_BUILT[key] != os.path.join(
+            gone, "emb_int8_vt"
+        )
+        assert vt.read().count() > 0
+    finally:
+        similarity._QUANT_BUILT.pop(key, None)
+        if saved is not None:
+            similarity._QUANT_BUILT[key] = saved
 
 
 def test_pruned_range_search_identical_on_driver_corpus(spark, sf_dir):

@@ -773,6 +773,29 @@ def ann_int8_range_search_stored(
 
 _QUANT_BUILT: dict[str, str] = {}  # sf_dir -> table location in THIS process
 
+# Dedicated artifact root (r15 review pass 3 #2): /tmp/tisw_checks itself
+# is shared with tablefmt_checks' bare-basename table dirs, and scoping a
+# sweep by NAME SHAPE still collides with a corpus dir that happens to
+# end in '_' + 12 hex chars — so everything this module mints lives in
+# its own subdir, which the GC alone owns end to end.
+_QUANT_ROOT = "/tmp/tisw_checks/quant"
+
+
+def _touch_artifact(d: str) -> bool:
+    """Best-effort keep-alive mtime refresh on an artifact dir.  Returns
+    False when the dir is GONE (a peer's age-based GC swept it) — the
+    caller's signal to drop its memo and rebuild rather than hand out a
+    dangling location (r15 review pass 3 #1)."""
+    import os
+
+    try:
+        os.utime(d)
+        return True
+    except FileNotFoundError:
+        return False
+    except OSError:
+        return True  # exists but not touchable (perms): still usable
+
 
 def _quantized_table(spark: SparkSession, sf_dir: str):
     """Build-once-per-(corpus STATE) quantized embeddings table under
@@ -811,14 +834,16 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
         # ever re-entering the build path, and reads never refresh the
         # artifact dir's mtime — so another process's age-based GC
         # would sweep a table this process is actively scanning.  One
-        # utime per call is noise next to the query itself.
+        # utime per call is noise next to the query itself.  A GONE dir
+        # (swept despite the defenses) pops the memo and falls through
+        # to the rebuild path instead of returning a dangling location
+        # (r15 review pass 3 #1).
         tag_dir = os.path.dirname(loc)
-        if os.path.dirname(tag_dir) == "/tmp/tisw_checks":
-            try:
-                os.utime(tag_dir)
-            except OSError:
-                pass
-        return VersionedTable(spark, loc)
+        if os.path.dirname(tag_dir) != _QUANT_ROOT or _touch_artifact(
+            tag_dir
+        ):
+            return VersionedTable(spark, loc)
+        del _QUANT_BUILT[sf_dir]
     src = os.path.join(sf_dir, "embeddings.parquet")
 
     def _src_state(path: str) -> str:
@@ -849,53 +874,48 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
         + "_"
         + hashlib.md5(f"{sf_dir}|{state}".encode()).hexdigest()[:12]
     )
-    shared = os.path.join("/tmp/tisw_checks", tag)
+    shared = os.path.join(_QUANT_ROOT, tag)
     loc = os.path.join(shared, "emb_int8_vt")
 
     # Opportunistic GC (ADVICE r14 #2): every corpus (size, mtime)
     # change mints a fresh tag dir, and squatter-evicted '*.stale-*' /
     # race-losing '*.build-*' dirs would otherwise persist forever —
-    # unbounded /tmp growth across regenerating drivers.  Prune sibling
-    # entries older than 1 day on entry, PROTECTING (r15 review #2 —
-    # age alone is not proof of death):
+    # unbounded /tmp growth across regenerating drivers.  The sweep
+    # owns _QUANT_ROOT outright (nothing else writes there — r15 review
+    # pass 3 #2 moved the store out of the shared /tmp/tisw_checks
+    # parent, where name-shape scoping could still collide with a
+    # tablefmt corpus dir ending in '_'+12hex).  Prune entries older
+    # than 1 day, PROTECTING (age alone is not proof of death):
     #   * the current tag (reuse stays intact), whose mtime is also
-    #     REFRESHED on every entry below, so any process that touches
-    #     its artifact at least daily keeps it young for every other
-    #     process's GC;
-    #   * every location this process memoized in _QUANT_BUILT — a
-    #     session alive past the age limit still reads those (reads
-    #     never update a dir's mtime);
+    #     REFRESHED on every entry AND every memo hit above, so a
+    #     process that queries at least daily keeps its artifact young
+    #     for every other process's GC;
+    #   * every location this process memoized in _QUANT_BUILT — reads
+    #     never update a dir's mtime;
     #   * '*.build-<pid>-*' / '*.stale-<pid>-*' entries whose pid is
     #     still alive (/proc check — a race-losing live process may be
     #     scanning its kept private build; pid reuse only over-keeps).
     # Runs once per (process, sf_dir) thanks to the _QUANT_BUILT memo.
-    # SCOPE (r15 review pass 2 #2): /tmp/tisw_checks is SHARED with
-    # tablefmt_checks, whose dirs are bare corpus basenames with their
-    # own per-process memo this module knows nothing about — so the
-    # sweep only ever considers names THIS function mints: the
-    # '<base>_<md5hex12>' tag plus its '.build-'/'.stale-' derivatives.
     def _gc_store(root: str, keep: str, max_age_sec: int = 86400) -> None:
         import re
         import time
 
-        minted = re.compile(
-            r"^.+_[0-9a-f]{12}(\.(?:build|stale)-(\d+)-[0-9a-f]+)?$"
-        )
+        pid_of = re.compile(r"\.(?:build|stale)-(\d+)-")
         now = time.time()
         try:
             names = os.listdir(root)
         except OSError:
             return
         protected = {keep}
-        for loc in _QUANT_BUILT.values():
-            rel = os.path.relpath(loc, root)
+        for mloc in _QUANT_BUILT.values():
+            rel = os.path.relpath(mloc, root)
             if not rel.startswith(".."):
                 protected.add(rel.split(os.sep, 1)[0])
         for name in names:
-            m = minted.match(name)
-            if m is None or name in protected:
+            if name in protected:
                 continue
-            if m.group(2) and os.path.exists(f"/proc/{m.group(2)}"):
+            m = pid_of.search(name)
+            if m and os.path.exists(f"/proc/{m.group(1)}"):
                 continue
             p = os.path.join(root, name)
             try:
@@ -905,12 +925,9 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
                 continue
             shutil.rmtree(p, ignore_errors=True)
 
-    _gc_store("/tmp/tisw_checks", tag)
+    _gc_store(_QUANT_ROOT, tag)
     if os.path.isdir(shared):
-        try:  # keep-alive: reads don't update mtime, entries do
-            os.utime(shared)
-        except OSError:
-            pass
+        _touch_artifact(shared)  # keep-alive: reads don't update mtime
 
     def _finished(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_COMPLETE")) and (
@@ -921,7 +938,7 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
         # build privately, then publish atomically (rename fails if the
         # shared dir appeared meanwhile — the loser reuses the winner's)
         priv = os.path.join(
-            "/tmp/tisw_checks",
+            _QUANT_ROOT,
             f"{tag}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}",
         )
         os.makedirs(priv, exist_ok=True)
