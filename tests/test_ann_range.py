@@ -165,12 +165,21 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
     dead_build = os.path.join(root, "sfW_0ddba1100000.build-4194000-ee")
     os.makedirs(dead_build, exist_ok=True)
     os.utime(dead_build, (old_age, old_age))
-    # a tablefmt_checks-style dir lives in the PARENT
-    # /tmp/tisw_checks, which the sweep must never list (r15 review
-    # pass 2 #2 / pass 3 #2: the store owns only its own subdir)
-    foreign = os.path.join(os.path.dirname(root), "sfQ_foreign_tablefmt")
+    # the LEGACY shared root (/tmp/tisw_checks): the one-time debris
+    # sweep there must only touch entries PROVABLY ours — a tablefmt-
+    # style bare dir survives however old, while our old-layout
+    # build-suffixed debris and an old tag containing emb_int8_vt go
+    legacy = similarity._LEGACY_ROOT
+    os.makedirs(legacy, exist_ok=True)
+    foreign = os.path.join(legacy, "sfQ_foreign_tablefmt")
     os.makedirs(foreign, exist_ok=True)
     os.utime(foreign, (old_age, old_age))
+    legacy_build = os.path.join(legacy, "sfV_ab12cd34ef56.build-4194003-ff")
+    os.makedirs(legacy_build, exist_ok=True)
+    os.utime(legacy_build, (old_age, old_age))
+    legacy_tag = os.path.join(legacy, "sfV_ab12cd34ef56")
+    os.makedirs(os.path.join(legacy_tag, "emb_int8_vt"), exist_ok=True)
+    os.utime(legacy_tag, (old_age, old_age))
 
     # bypass the per-process memo so the GC-on-entry path actually runs
     similarity._QUANT_BUILT.pop(os.path.abspath(sf_dir), None)
@@ -182,16 +191,22 @@ def test_artifact_store_gc_prunes_only_old_siblings(spark, sf_dir):
         assert os.path.exists(young)
         assert os.path.exists(memoized)
         assert os.path.exists(live_build)
+        # legacy root: only provably-ours debris swept
         assert os.path.exists(foreign)
+        assert not os.path.exists(legacy_build)
+        assert not os.path.exists(legacy_tag)
         # the current artifact itself still reads fine after the sweep,
-        # and entry refreshed its mtime (the cross-process keep-alive)
+        # and entry refreshed its mtime (the cross-process keep-alive).
+        # ASSERT the location shape rather than branching on it (pass 4
+        # #5: an always-true guard would skip the check silently if a
+        # regression memoized a location elsewhere)
         assert vt.read().count() > 0
         import time as _t
 
         cur = similarity._QUANT_BUILT[os.path.abspath(sf_dir)]
         tag_dir = os.path.dirname(cur)
-        if os.path.dirname(tag_dir) == similarity._QUANT_ROOT:
-            assert _t.time() - os.stat(tag_dir).st_mtime < 3600
+        assert os.path.dirname(tag_dir) == similarity._QUANT_ROOT, cur
+        assert _t.time() - os.stat(tag_dir).st_mtime < 3600
     finally:
         similarity._QUANT_BUILT.pop("/fake/corpusZ", None)
         for d in (young, live_build, memoized, foreign):

@@ -773,12 +773,15 @@ def ann_int8_range_search_stored(
 
 _QUANT_BUILT: dict[str, str] = {}  # sf_dir -> table location in THIS process
 
-# Dedicated artifact root (r15 review pass 3 #2): /tmp/tisw_checks itself
-# is shared with tablefmt_checks' bare-basename table dirs, and scoping a
-# sweep by NAME SHAPE still collides with a corpus dir that happens to
-# end in '_' + 12 hex chars — so everything this module mints lives in
-# its own subdir, which the GC alone owns end to end.
-_QUANT_ROOT = "/tmp/tisw_checks/quant"
+# Dedicated artifact root (r15 review passes 3-4): /tmp/tisw_checks is
+# shared with tablefmt_checks, whose dir names are BARE corpus basenames
+# — which can be anything, so neither name-shape scoping (pass 3 #2: a
+# basename ending '_'+12hex collides) nor a subdir (pass 4 #1: a corpus
+# literally named 'quant' collides) makes a sweep inside that tree safe.
+# A sibling root only this module writes removes the collision class.
+_QUANT_ROOT = "/tmp/tisw_quant"
+_LEGACY_ROOT = "/tmp/tisw_checks"  # pre-r15 store location; entry runs a
+# one-time precise sweep there for this module's own debris (pass 4 #2)
 
 
 def _touch_artifact(d: str) -> bool:
@@ -843,7 +846,8 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             tag_dir
         ):
             return VersionedTable(spark, loc)
-        del _QUANT_BUILT[sf_dir]
+        _QUANT_BUILT.pop(sf_dir, None)  # pop, not del: two concurrent
+        # callers can both observe the swept artifact (pass 4 #3)
     src = os.path.join(sf_dir, "embeddings.parquet")
 
     def _src_state(path: str) -> str:
@@ -896,11 +900,19 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
     #     still alive (/proc check — a race-losing live process may be
     #     scanning its kept private build; pid reuse only over-keeps).
     # Runs once per (process, sf_dir) thanks to the _QUANT_BUILT memo.
-    def _gc_store(root: str, keep: str, max_age_sec: int = 86400) -> None:
+    def _gc_store(
+        root: str,
+        keep: str,
+        max_age_sec: int = 86400,
+        mine_only: bool = False,
+    ) -> None:
         import re
         import time
 
-        pid_of = re.compile(r"\.(?:build|stale)-(\d+)-")
+        # ANCHORED (pass 4 #4): an unanchored search could extract a
+        # bogus always-alive "pid" out of a corpus basename like
+        # 'runs.build-1-x', permanently protecting its stale tags
+        pid_of = re.compile(r"\.(?:build|stale)-(\d+)-[0-9a-f]+$")
         now = time.time()
         try:
             names = os.listdir(root)
@@ -914,10 +926,18 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
         for name in names:
             if name in protected:
                 continue
+            p = os.path.join(root, name)
             m = pid_of.search(name)
+            if mine_only:
+                # legacy-root sweep: the root is SHARED, so only touch
+                # entries PROVABLY ours — a build/stale suffix (nothing
+                # else mints those) or a dir containing our table name
+                if not (
+                    m or os.path.isdir(os.path.join(p, "emb_int8_vt"))
+                ):
+                    continue
             if m and os.path.exists(f"/proc/{m.group(1)}"):
                 continue
-            p = os.path.join(root, name)
             try:
                 if now - os.stat(p).st_mtime < max_age_sec:
                     continue
@@ -926,6 +946,7 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             shutil.rmtree(p, ignore_errors=True)
 
     _gc_store(_QUANT_ROOT, tag)
+    _gc_store(_LEGACY_ROOT, keep=tag, mine_only=True)  # pre-r15 debris
     if os.path.isdir(shared):
         _touch_artifact(shared)  # keep-alive: reads don't update mtime
 
