@@ -780,8 +780,11 @@ _QUANT_BUILT: dict[str, str] = {}  # sf_dir -> table location in THIS process
 # literally named 'quant' collides) makes a sweep inside that tree safe.
 # A sibling root only this module writes removes the collision class.
 _QUANT_ROOT = "/tmp/tisw_quant"
-_LEGACY_ROOT = "/tmp/tisw_checks"  # pre-r15 store location; entry runs a
-# one-time precise sweep there for this module's own debris (pass 4 #2)
+_LEGACY_ROOT = "/tmp/tisw_checks"  # pre-r15 store location; the first
+# _quantized_table entry per process sweeps this module's own provable
+# debris there and under the short-lived pass-3 'quant' subdir (pass 4
+# #2, pass 5 #1/#3 — once per process, flagged below)
+_LEGACY_SWEPT = False
 
 
 def _touch_artifact(d: str) -> bool:
@@ -929,12 +932,12 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             p = os.path.join(root, name)
             m = pid_of.search(name)
             if mine_only:
-                # legacy-root sweep: the root is SHARED, so only touch
-                # entries PROVABLY ours — a build/stale suffix (nothing
-                # else mints those) or a dir containing our table name
-                if not (
-                    m or os.path.isdir(os.path.join(p, "emb_int8_vt"))
-                ):
+                # legacy-root sweep: the root is SHARED and tablefmt
+                # corpus basenames can be ANYTHING (even build/stale-
+                # shaped — pass 5 #2), so the ONLY acceptable proof of
+                # ownership is our table name as a direct child; both
+                # our tag dirs and our build dirs carry it
+                if not os.path.isdir(os.path.join(p, "emb_int8_vt")):
                     continue
             if m and os.path.exists(f"/proc/{m.group(1)}"):
                 continue
@@ -946,7 +949,16 @@ def _quantized_table(spark: SparkSession, sf_dir: str):
             shutil.rmtree(p, ignore_errors=True)
 
     _gc_store(_QUANT_ROOT, tag)
-    _gc_store(_LEGACY_ROOT, keep=tag, mine_only=True)  # pre-r15 debris
+    global _LEGACY_SWEPT
+    if not _LEGACY_SWEPT:  # once per process (pass 5 #3): the debris is
+        # historical, so later entries need not re-list the shared root
+        _LEGACY_SWEPT = True
+        _gc_store(_LEGACY_ROOT, keep=tag, mine_only=True)
+        # the pass-3 interim layout nested the store at <legacy>/quant
+        # (pass 5 #1); same provable-ownership sweep there
+        _gc_store(
+            os.path.join(_LEGACY_ROOT, "quant"), keep="", mine_only=True
+        )
     if os.path.isdir(shared):
         _touch_artifact(shared)  # keep-alive: reads don't update mtime
 
