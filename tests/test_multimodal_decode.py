@@ -10,6 +10,7 @@ import struct
 import numpy as np
 import pytest
 
+from thesis_iceberg_spark.operators.jpeg import encode_jpeg
 from thesis_iceberg_spark.operators.multimodal import (
     decode_image_payload,
     decode_media,
@@ -215,11 +216,18 @@ def test_decode_media_tolerates_garbage_rows(spark):
             (2, "image", bytearray(b"BMnot really a bitmap, just text")),
             (3, "image", None),
             (4, "audio", bytearray(b"skipped: not an image")),
+            (5, "image", bytearray(encode_jpeg(2, 2, [[(9, 9, 9)] * 2] * 2))),
+            (6, "image", bytearray(b"\xff\xd8\xff\xee" + b"\x00" * 16)),
         ],
         "media_id LONG, kind STRING, payload BINARY",
     )
     rows = {r.media_id: r for r in decode_media(media).collect()}
-    assert set(rows) == {1, 2, 3}  # kind filter drops the audio row
+    assert set(rows) == {1, 2, 3, 5, 6}  # kind filter drops the audio row
     assert rows[1].decoder == "bmp" and rows[1].px_mean == 9.0
     assert rows[2].decoder == "unsupported" and rows[2].width is None
     assert rows[3].decoder == "unsupported"
+    # compressed path: baseline JPEG decodes without PIL, garbled JPEG
+    # degrades to unsupported instead of failing the batch
+    assert rows[5].decoder == "jpeg" and (rows[5].width, rows[5].height) == (2, 2)
+    assert rows[5].px_mean == pytest.approx(9.0, abs=1.0)
+    assert rows[6].decoder == "unsupported"

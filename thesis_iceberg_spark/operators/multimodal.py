@@ -8,9 +8,11 @@ everything the engine does with them runs through Arrow-batched
 per-row overhead.
 
 This container has no image/audio libraries; ``decode_media`` decodes
-uncompressed BMP (24/32-bit BI_RGB) and PPM/PGM (P6/P5) with pure
-Python+numpy parsers, falls back to PIL when importable for everything
-else, and tags undecodable payloads ``decoder='unsupported'``.
+uncompressed BMP (24/32-bit BI_RGB), PPM/PGM (P6/P5), and baseline
+sequential JPEG (SOF0/SOF1 — operators/jpeg.py, from the public ITU-T
+T.81 spec) with pure Python+numpy parsers, falls back to PIL when
+importable for everything else, and tags undecodable payloads
+``decoder='unsupported'``.
 ``media_features`` computes a DETERMINISTIC FAKE feature vector (byte
 statistics) clearly marked as such.  The Spark-side plumbing — schemas,
 partitioning, UDF signatures, Arrow batch shapes — is real and tested.
@@ -470,11 +472,16 @@ def decode_image_payload(payload: bytes | None) -> dict | None:
             return {**parse_bmp(payload), "decoder": "bmp"}
         if payload[:2] in (b"P6", b"P5"):
             return {**parse_ppm(payload), "decoder": "ppm"}
+        if payload[:3] == b"\xff\xd8\xff":
+            from .jpeg import parse_jpeg
+
+            return {**parse_jpeg(payload), "decoder": "jpeg"}
     except ValueError:
-        # a BMP/PPM the pure-Python parsers reject (compressed, paletted,
-        # 16-bit, maxval > 255, truncated...) falls THROUGH to PIL, which
-        # decodes several of those variants — only if PIL also fails is
-        # the payload unsupported
+        # a payload the pure-Python parsers reject (compressed/paletted/
+        # 16-bit BMP, maxval > 255 PPM, progressive/arithmetic/12-bit/CMYK
+        # JPEG, truncated...) falls THROUGH to PIL, which decodes several
+        # of those variants — only if PIL also fails is the payload
+        # unsupported
         pass
     if not _pil_available():
         return None
