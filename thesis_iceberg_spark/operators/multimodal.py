@@ -476,6 +476,10 @@ def decode_image_payload(payload: bytes | None) -> dict | None:
             from .jpeg import parse_jpeg
 
             return {**parse_jpeg(payload), "decoder": "jpeg"}
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from .png import parse_png
+
+            return {**parse_png(payload), "decoder": "png"}
     except ValueError:
         # a payload the pure-Python parsers reject (compressed/paletted/
         # 16-bit BMP, maxval > 255 PPM, progressive/arithmetic/12-bit/CMYK
