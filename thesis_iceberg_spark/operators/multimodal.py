@@ -12,7 +12,8 @@ uncompressed BMP (24/32-bit BI_RGB), PPM/PGM (P6/P5), and baseline
 sequential JPEG (SOF0/SOF1 — operators/jpeg.py, from the public ITU-T
 T.81 spec) with pure Python+numpy parsers, falls back to PIL when
 importable for everything else, and tags undecodable payloads
-``decoder='unsupported'``.
+``decoder='unsupported'``.  ``decode_audio`` does the same for
+uncompressed RIFF/WAV PCM (operators/wav.py).
 ``media_features`` computes a DETERMINISTIC FAKE feature vector (byte
 statistics) clearly marked as such.  The Spark-side plumbing — schemas,
 partitioning, UDF signatures, Arrow batch shapes — is real and tested.
@@ -244,6 +245,80 @@ def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload", "meta")
         .mapInPandas(frames, FRAMES_SCHEMA)
+    )
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode audio payloads to (sample_rate, channels, bits, n_samples,
+    duration_ms, rms) — the audio twin of decode_media.
+
+    Executable WITHOUT audio libraries: uncompressed RIFF/WAV PCM
+    (integer 8/16/24/32-bit and IEEE float, incl. WAVE_FORMAT_EXTENSIBLE)
+    decodes in pure Python + numpy (operators/wav.py); payloads no decoder
+    accepts come back with NULL fields and decoder='unsupported' instead
+    of failing the batch.  ``rms`` is over the [-1, 1]-normalized samples.
+    Narrow Arrow map — payload bytes never leave the executor."""
+    from .wav import parse_wav
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = parse_wav(payload) if payload else None
+                except ValueError:
+                    d = None
+                if d is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "sample_rate": None,
+                            "channels": None,
+                            "bits": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "rms": None,
+                            "decoder": "unsupported",
+                        }
+                    )
+                else:
+                    s = d["samples"]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "sample_rate": d["sample_rate"],
+                            "channels": d["channels"],
+                            "bits": d["bits"],
+                            "n_samples": d["n_samples"],
+                            "duration_ms": d["duration_ms"],
+                            "rms": float(np.sqrt((s * s).mean())) if s.size else 0.0,
+                            "decoder": "wav",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_DECODE_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(decode, AUDIO_DECODE_SCHEMA)
     )
 
 
