@@ -165,3 +165,43 @@ def test_dhash_agrees_across_codecs():
     jpg = decode_image_payload(encode_jpeg(w, h, pix))
     assert bmp["decoder"] == "bmp" and jpg["decoder"] == "jpeg"
     assert dhash_from_pixels(bmp["pixels"]) == dhash_from_pixels(jpg["pixels"])
+
+
+def test_sos_component_order_honored():
+    # T.81 B.2.3: MCU interleaving follows the SOS component list, which
+    # may differ from SOF order.  Reverse the SOS entries of a solid-color
+    # 4:4:4 image WITHOUT touching entropy data: the first coded block
+    # (the Y constant) must now land on component 3, i.e. the decoder
+    # sees (Y', Cb', Cr') = (Cr, Cb, Y).  Compute the expected RGB from
+    # that permutation and require an exact match (+-1 rounding).
+    rgb = (90, 140, 200)
+    payload = bytearray(encode_jpeg(8, 8, [[rgb] * 8] * 8))
+    i = payload.index(b"\xff\xda")
+    ns = payload[i + 4]
+    assert ns == 3
+    # each SOS component entry is 2 bytes starting at i+5
+    entries = [bytes(payload[i + 5 + 2 * c : i + 7 + 2 * c]) for c in range(3)]
+    payload[i + 5 : i + 11] = b"".join(reversed(entries))
+    d = parse_jpeg(bytes(payload))
+    r, g, b = (float(c) for c in rgb)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    # swapped: Y'=cr, Cb'=cb, Cr'=y
+    yy, cbb, crr = cr, cb, y
+    exp = (
+        yy + 1.402 * (crr - 128.0),
+        yy - 0.344136 * (cbb - 128.0) - 0.714136 * (crr - 128.0),
+        yy + 1.772 * (cbb - 128.0),
+    )
+    exp = tuple(min(255, max(0, round(v))) for v in exp)
+    got = tuple(int(v) for v in d["pixels"][4, 4])
+    assert all(abs(a - b) <= 1 for a, b in zip(got, exp)), (got, exp)
+
+
+def test_sos_unknown_component_rejected():
+    payload = bytearray(encode_jpeg(8, 8, [[(1, 2, 3)] * 8] * 8))
+    i = payload.index(b"\xff\xda")
+    payload[i + 5] = 9  # component id not in SOF
+    with pytest.raises(ValueError, match="SOS components|scan omits"):
+        parse_jpeg(bytes(payload))

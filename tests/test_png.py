@@ -123,3 +123,15 @@ def test_dispatch_tags_png():
 
 def test_dispatch_garbled_png_falls_through():
     assert decode_image_payload(_MAGIC + b"\x00" * 16) is None
+
+
+def test_idat_zip_bomb_bounded():
+    # header promises 2x2 RGB (14 expected bytes) but IDAT inflates to
+    # 10 MB: the bounded decompress must reject without materializing it
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    payload = (
+        _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel data length"):
+        parse_png(payload)

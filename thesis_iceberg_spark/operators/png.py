@@ -119,16 +119,20 @@ def parse_png(payload: bytes) -> dict:
         raise ValueError("palette image missing PLTE")
     if not idat:
         raise ValueError("PNG missing IDAT")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
-
     nch = _CHANNELS[ctype_n]
     stride = width * nch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    try:
+        # bound the inflate to the geometry the header promised: a crafted
+        # IDAT must not decompress past the expected plane size (zip bomb)
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
+    if len(raw) != expected or dobj.unconsumed_tail:
         raise ValueError(
-            f"PNG pixel data length {len(raw)} != expected {(stride + 1) * height}"
+            f"PNG pixel data length {len(raw)}{'+' if dobj.unconsumed_tail else ''}"
+            f" != expected {expected}"
         )
     bpp = nch  # bytes per pixel (8-bit depth)
     out = np.zeros((height, stride), np.uint8)
