@@ -631,6 +631,10 @@ def decode_image_payload(payload: bytes | None) -> dict | None:
             from .png import parse_png
 
             return {**parse_png(payload), "decoder": "png"}
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import parse_gif
+
+            return {**parse_gif(payload), "decoder": "gif"}
     except ValueError:
         # a payload the pure-Python parsers reject (compressed/paletted/
         # 16-bit BMP, maxval > 255 PPM, progressive/arithmetic/12-bit/CMYK
