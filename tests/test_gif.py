@@ -11,11 +11,7 @@ from thesis_iceberg_spark.operators.gif import encode_gif, parse_gif
 from thesis_iceberg_spark.operators.multimodal import decode_image_payload
 
 
-def _px(arr):
-    return [
-        [tuple(int(c) for c in arr[y, x]) for x in range(arr.shape[1])]
-        for y in range(arr.shape[0])
-    ]
+from media_util import px_rows as _px  # noqa: E402
 
 
 def _indexed(seed, h, w, ncolors):

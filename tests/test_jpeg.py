@@ -17,11 +17,7 @@ from thesis_iceberg_spark.operators.multimodal import (
 )
 
 
-def _px(arr):
-    return [
-        [tuple(int(c) for c in arr[y, x]) for x in range(arr.shape[1])]
-        for y in range(arr.shape[0])
-    ]
+from media_util import px_rows as _px  # noqa: E402
 
 
 def _rng(seed=7):
@@ -205,3 +201,37 @@ def test_sos_unknown_component_rejected():
     payload[i + 5] = 9  # component id not in SOF
     with pytest.raises(ValueError, match="SOS components|scan omits"):
         parse_jpeg(bytes(payload))
+
+
+def test_single_component_scan_is_non_interleaved():
+    # T.81 A.2.3 (review r15 #1): a one-component scan stores data units in
+    # RASTER order regardless of SOF sampling factors.  jpegtran -grayscale
+    # keeps the source's 2x2 factors: patch hv 0x11 -> 0x22 on a grayscale
+    # image with distinct per-block content — pixels must be unchanged, not
+    # scrambled into 2x2 MCU tiles.
+    arr = np.zeros((16, 32, 3), int)
+    for by in range(2):
+        for bx in range(4):
+            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = 30 + 60 * (by * 4 + bx) % 226
+    payload = bytearray(encode_jpeg(32, 16, _px(arr), gray=True))
+    i = payload.index(b"\xff\xc0")
+    # SOF0 component spec: id at i+10... layout: marker(2) len(2) prec(1)
+    # H(2) W(2) ncomp(1) then [id, hv, tq]
+    assert payload[i + 11] == 0x11
+    payload[i + 11] = 0x22
+    d = parse_jpeg(bytes(payload))
+    assert np.abs(d["pixels"][:, :, 0].astype(int) - arr[:, :, 0]).max() <= 1
+
+
+def test_adobe_app14_rgb_rejected():
+    base = encode_jpeg(8, 8, [[(1, 2, 3)] * 8] * 8)
+    adobe = b"Adobe" + bytes((0, 100, 0, 0, 0, 0, 0))  # transform byte = 0
+    app14 = b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
+    payload = base[:2] + app14 + base[2:]
+    with pytest.raises(ValueError, match="RGB-coded"):
+        parse_jpeg(payload)
+    # transform=1 (YCbCr) is the JFIF default and still decodes
+    adobe_ycc = b"Adobe" + bytes((0, 100, 0, 0, 0, 0, 1))
+    app14 = b"\xff\xee" + struct.pack(">H", 2 + len(adobe_ycc)) + adobe_ycc
+    d = parse_jpeg(base[:2] + app14 + base[2:])
+    assert (d["width"], d["height"]) == (8, 8)

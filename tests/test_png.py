@@ -17,11 +17,7 @@ from thesis_iceberg_spark.operators.png import (
 )
 
 
-def _px(arr):
-    return [
-        [tuple(int(c) for c in arr[y, x]) for x in range(arr.shape[1])]
-        for y in range(arr.shape[0])
-    ]
+from media_util import px_rows as _px  # noqa: E402
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])

@@ -105,3 +105,14 @@ def test_decode_audio_end_to_end(spark):
     assert r.rms == pytest.approx(expected_rms, abs=1e-4)
     assert rows[2].decoder == "unsupported" and rows[2].sample_rate is None
     assert rows[3].decoder == "unsupported"
+
+
+def test_implausible_sample_rate_rejected():
+    # review r15 #2: a uint32 rate past int32 must degrade loudly, not
+    # wrap or kill the Arrow batch downstream
+    good = encode_wav(16000, _tone(), bits=16)
+    bad = bytearray(good)
+    i = bad.index(b"fmt ")
+    struct.pack_into("<I", bad, i + 12, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="implausible WAV sample rate"):
+        parse_wav(bytes(bad))

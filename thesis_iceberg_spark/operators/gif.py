@@ -27,7 +27,7 @@ import struct
 
 import numpy as np
 
-_MAX_PIXELS = 1 << 24  # shared guard: corrupt headers must not OOM
+from .media_limits import MAX_PIXELS as _MAX_PIXELS  # shared guard
 
 
 def _sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
@@ -205,14 +205,12 @@ def parse_gif(payload: bytes) -> dict:
     canvas[:, :] = bg
     canvas[top : top + fh, left : left + fw] = ct[idx]
     if transparent is not None:
-        alpha = np.zeros((height, width, 1), np.uint8)
-        frame_alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
-        alpha[top : top + fh, left : left + fw, 0] = frame_alpha
-        # outside the frame the canvas is background: treat as opaque
-        alpha[:top, :, 0] = 255
-        alpha[top + fh :, :, 0] = 255
-        alpha[:, :left, 0] = 255
-        alpha[:, left + fw :, 0] = 255
+        # opaque everywhere (the background canvas), transparent only where
+        # the frame's pixels carry the transparent index
+        alpha = np.full((height, width, 1), 255, np.uint8)
+        alpha[top : top + fh, left : left + fw, 0] = np.where(
+            idx == transparent, 0, 255
+        ).astype(np.uint8)
         px = np.concatenate([canvas, alpha], axis=2)
         mode = "RGBA"
     else:

@@ -359,6 +359,10 @@ def audio_spectrogram(
         np.round(np.geomspace(1, n_fft // 2, n_bands + 1)).astype(int)
     )
 
+    chunk_frames = 4096  # bound transient FFT memory: a max-length WAV at
+    # the _MAX_SAMPLES cap yields ~524k frames — materializing them all at
+    # once costs GBs (review r15 #4); per-chunk it is ~8 MB
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -371,22 +375,27 @@ def audio_spectrogram(
                     continue
                 mono = d["samples"].mean(axis=1)
                 n_frames = 1 + (mono.size - n_fft) // hop
-                idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-                spec = np.abs(np.fft.rfft(mono[idx] * window, axis=1)) ** 2
-                for f in range(n_frames):
-                    bands = [
-                        float(np.log10(max(spec[f, lo:hi].sum(), 1e-12)))
-                        for lo, hi in zip(edges[:-1], edges[1:])
-                    ]
-                    # pad to a fixed width when unique() collapsed edges
-                    bands += [float(np.log10(1e-12))] * (n_bands - len(bands))
-                    rows.append(
-                        {
-                            "media_id": media_id,
-                            "frame_idx": f,
-                            "band_energies": bands,
-                        }
+                pad = n_bands - (len(edges) - 1)  # unique() may collapse edges
+                for start in range(0, n_frames, chunk_frames):
+                    count = min(chunk_frames, n_frames - start)
+                    idx = (
+                        np.arange(n_fft)[None, :]
+                        + hop * (start + np.arange(count))[:, None]
                     )
+                    spec = np.abs(np.fft.rfft(mono[idx] * window, axis=1)) ** 2
+                    # fold bins into [lo, hi) bands in one vectorized pass
+                    folded = np.add.reduceat(spec[:, : edges[-1]], edges[:-1], axis=1)
+                    folded = np.log10(np.maximum(folded, 1e-12))
+                    floor = float(np.log10(1e-12))
+                    for f in range(count):
+                        bands = folded[f].tolist() + [floor] * pad
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": start + f,
+                                "band_energies": bands,
+                            }
+                        )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in SPECTROGRAM_SCHEMA.fields]
             )

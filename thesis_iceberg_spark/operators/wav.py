@@ -30,8 +30,7 @@ import struct
 
 import numpy as np
 
-_MAX_SAMPLES = 1 << 26  # ~67M frames (~25 min stereo 44.1k) — corrupt
-# headers at corpus scale must not allocate unbounded buffers
+from .media_limits import MAX_AUDIO_SAMPLES as _MAX_SAMPLES  # shared guard
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID suffix (fixed for PCM/float)
 _KSDATAFORMAT_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
@@ -70,6 +69,11 @@ def parse_wav(payload: bytes) -> dict:
         (tag,) = struct.unpack_from("<H", sub, 0)
     if channels == 0 or rate == 0:
         raise ValueError("zero WAV channel count or sample rate")
+    if rate > 0x7FFFFFFF:
+        # the uint32 field must survive downstream int32 columns
+        # (decode_audio's Arrow schema) — a crafted header must degrade to
+        # 'unsupported', not fail or wrap (review r15 #2)
+        raise ValueError(f"implausible WAV sample rate {rate}")
     if tag == 1:
         if bits not in (8, 16, 24, 32):
             raise ValueError(f"unsupported PCM bit depth {bits}")
