@@ -323,6 +323,83 @@ def decode_audio(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("video_codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("audio_codec", StringType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Container-level video metadata via the pure-Python ISO-BMFF box
+    parser (operators/mp4.py): duration, track count, first video/audio
+    codec fourccs and video dimensions — what corpus curation filters on
+    WITHOUT decoding a frame.  Unparseable payloads degrade to
+    decoder='unsupported' (the decode_media corrupt-row convention).
+    Narrow Arrow map — payload bytes never leave the executor."""
+    from .mp4 import parse_mp4_metadata
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = parse_mp4_metadata(bytes(payload)) if payload else None
+                except ValueError:
+                    d = None
+                if d is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "major_brand": None,
+                            "duration_ms": None,
+                            "n_tracks": None,
+                            "video_codec": None,
+                            "width": None,
+                            "height": None,
+                            "audio_codec": None,
+                            "decoder": "unsupported",
+                        }
+                    )
+                    continue
+                vid = next(
+                    (t for t in d["tracks"] if t["handler"] == "vide"), None
+                )
+                aud = next(
+                    (t for t in d["tracks"] if t["handler"] == "soun"), None
+                )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "major_brand": d["major_brand"],
+                        "duration_ms": d["duration_ms"],
+                        "n_tracks": d["n_tracks"],
+                        "video_codec": vid["codec"] if vid else None,
+                        "width": vid["width"] if vid else None,
+                        "height": vid["height"] if vid else None,
+                        "audio_codec": aud["codec"] if aud else None,
+                        "decoder": "mp4",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(extract, VIDEO_META_SCHEMA)
+    )
+
+
 SPECTROGRAM_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
