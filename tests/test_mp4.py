@@ -89,3 +89,31 @@ def test_video_metadata_end_to_end(spark):
     assert r.audio_codec == "mp4a" and r.decoder == "mp4"
     assert rows[2].decoder == "unsupported" and rows[2].duration_ms is None
     assert rows[3].decoder == "unsupported"
+
+
+def test_spec_conformant_builder_box_sizes():
+    # review r15 mp4 #2: the builder must emit SPEC layouts (v0 mvhd 108
+    # bytes, tkhd 92) so the round-trip oracle exercises real offsets
+    p = build_mp4(1000, [VID])
+    i = p.index(b"mvhd") - 4
+    assert struct.unpack_from(">I", p, i)[0] == 108
+    j = p.index(b"tkhd") - 4
+    assert struct.unpack_from(">I", p, j)[0] == 92
+
+
+def test_empty_fullbox_degrades_with_valueerror():
+    # review r15 mp4 #1: a zero-body mvhd at end of payload raised
+    # IndexError past the corrupt-row contract
+    p = build_mp4(1000, [VID])
+    bad = p[: p.index(b"moov") - 4] + struct.pack(">I", 8) + b"mvhd"
+    with pytest.raises(ValueError, match="truncated MP4 full box"):
+        parse_mp4_metadata(bad)
+
+
+def test_unknown_duration_sentinel_is_none():
+    # review r15 mp4 #3: all-ones duration (fragmented/DASH) means
+    # 'cannot be determined' — None, not 49.7 days
+    p = bytearray(build_mp4(1000, [VID]))
+    k = p.index(b"mvhd") + 4 + 4 + 12  # verflags + created/modified + ts
+    struct.pack_into(">I", p, k, 0xFFFFFFFF)
+    assert parse_mp4_metadata(bytes(p))["duration_ms"] is None

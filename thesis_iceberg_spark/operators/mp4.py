@@ -50,9 +50,25 @@ def _boxes(payload: bytes, start: int, end: int):
         pos += size
 
 
-def _fullbox(payload: bytes, body: int) -> tuple[int, int]:
-    """(version, first-field offset) of a full box."""
+def _fullbox(payload: bytes, body: int, bend: int) -> tuple[int, int]:
+    """(version, first-field offset) of a full box; rejects a body too
+    short for the 4-byte version/flags header (an empty full box at end
+    of payload would otherwise IndexError past the ValueError contract)."""
+    if bend - body < 4:
+        raise ValueError("truncated MP4 full box header")
     return payload[body], body + 4
+
+
+_UNKNOWN_DUR = {0: 0xFFFFFFFF, 1: 0xFFFFFFFFFFFFFFFF}  # per-version all-ones
+
+
+def _duration_ms(dur: int, ts: int, version: int) -> int | None:
+    """ISO 14496-12: an all-ones duration means 'cannot be determined'
+    (fragmented/DASH files carry it in mvex/sidx) — surface None, not a
+    49.7-day number a curation filter would act on."""
+    if dur == _UNKNOWN_DUR[version]:
+        return None
+    return dur * 1000 // ts
 
 
 def parse_mp4_metadata(payload: bytes) -> dict:
@@ -88,7 +104,7 @@ def parse_mp4_metadata(payload: bytes) -> dict:
             elif btype in _CONTAINERS:
                 walk(body, bend, depth + 1, track)
             elif btype == b"mvhd":
-                ver, p = _fullbox(payload, body)
+                ver, p = _fullbox(payload, body, bend)
                 if ver == 1:
                     if bend - p < 28:
                         raise ValueError("truncated mvhd v1")
@@ -99,9 +115,9 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                     ts, dur = struct.unpack_from(">II", payload, p + 8)
                 if ts == 0:
                     raise ValueError("zero mvhd timescale")
-                movie = (ts, dur)
+                movie = (ts, dur, ver)
             elif btype == b"tkhd" and track is not None:
-                ver, p = _fullbox(payload, body)
+                ver, p = _fullbox(payload, body, bend)
                 fixed = bend - 8  # width/height are the LAST 8 bytes
                 if fixed < p:
                     raise ValueError("truncated tkhd")
@@ -109,7 +125,7 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                 track["width"] = w >> 16  # 16.16 fixed point
                 track["height"] = h >> 16
             elif btype == b"mdhd" and track is not None:
-                ver, p = _fullbox(payload, body)
+                ver, p = _fullbox(payload, body, bend)
                 if ver == 1:
                     if bend - p < 28:
                         raise ValueError("truncated mdhd v1")
@@ -120,14 +136,14 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                     ts, dur = struct.unpack_from(">II", payload, p + 8)
                 if ts == 0:
                     raise ValueError("zero mdhd timescale")
-                track["duration_ms"] = dur * 1000 // ts
+                track["duration_ms"] = _duration_ms(dur, ts, ver)
             elif btype == b"hdlr" and track is not None:
-                _, p = _fullbox(payload, body)
+                _, p = _fullbox(payload, body, bend)
                 if bend - p < 8:
                     raise ValueError("truncated hdlr")
                 track["handler"] = payload[p + 4 : p + 8].decode("latin-1")
             elif btype == b"stsd" and track is not None:
-                _, p = _fullbox(payload, body)
+                _, p = _fullbox(payload, body, bend)
                 if bend - p < 12:
                     raise ValueError("truncated stsd")
                 (n_entries,) = struct.unpack_from(">I", payload, p)
@@ -139,10 +155,10 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     walk(0, len(payload), 0, None)
     if movie is None:
         raise ValueError("MP4 missing moov/mvhd")
-    ts, dur = movie
+    ts, dur, ver = movie
     return {
         "major_brand": major_brand,
-        "duration_ms": dur * 1000 // ts,
+        "duration_ms": _duration_ms(dur, ts, ver),
         "n_tracks": len(tracks),
         "tracks": tracks,
     }
@@ -180,16 +196,20 @@ def build_mp4(
             b"mvhd", 1, struct.pack(">QQIQ", 0, 0, timescale, dur), bytes(80)
         )
     else:
+        # v0 body after version/flags: created/modified/timescale/duration
+        # (16) + rate/volume/reserved/matrix/pre_defined/next_track_ID (80)
         mvhd = _full(
-            b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, dur), bytes(76)
+            b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, dur), bytes(80)
         )
     trak_boxes = []
     for t in tracks:
+        # v0 body: created/modified/track_ID/reserved/duration (20) +
+        # reserved/layer/alternate_group/volume/reserved/matrix (52) + w/h
         tkhd = _full(
             b"tkhd",
             0,
-            struct.pack(">IIII", 0, 0, 1, 0),
-            bytes(60),
+            struct.pack(">IIIII", 0, 0, 1, 0, 0),
+            bytes(52),
             struct.pack(">II", (t.get("width") or 0) << 16, (t.get("height") or 0) << 16),
         )
         tdur = (t.get("duration_ms") or 0) * timescale // 1000
