@@ -323,6 +323,66 @@ def decode_audio(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Container-level audio metadata WITHOUT decoding samples: WAV headers
+    (parse_wav with_samples=False — validates the stream, skips the PCM
+    conversion) and FLAC STREAMINFO (operators/flac.py — rate/channels/
+    bits/total straight from the mandatory first block, zero frames
+    touched).  The audio twin of video_metadata for corpus curation;
+    unparseable payloads degrade to decoder='unsupported'."""
+    from .flac import parse_flac_streaminfo
+    from .wav import parse_wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = None
+                tag = "unsupported"
+                try:
+                    if payload and payload[:4] == b"fLaC":
+                        d = parse_flac_streaminfo(bytes(payload))
+                        tag = "flac"
+                    elif payload:
+                        d = parse_wav(bytes(payload), with_samples=False)
+                        tag = "wav"
+                except ValueError:
+                    d, tag = None, "unsupported"
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": d["sample_rate"] if d else None,
+                        "channels": d["channels"] if d else None,
+                        "bits": d["bits"] if d else None,
+                        "n_samples": d["n_samples"] if d else None,
+                        "duration_ms": d["duration_ms"] if d else None,
+                        "decoder": tag,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(extract, AUDIO_META_SCHEMA)
+    )
+
+
 VIDEO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -36,9 +36,12 @@ from .media_limits import MAX_AUDIO_SAMPLES as _MAX_SAMPLES  # shared guard
 _KSDATAFORMAT_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 
-def parse_wav(payload: bytes) -> dict:
+def parse_wav(payload: bytes, *, with_samples: bool = True) -> dict:
     """Decode an uncompressed RIFF/WAVE payload without any audio library.
-    Raises ValueError on anything outside the documented scope."""
+    Raises ValueError on anything outside the documented scope.
+    ``with_samples=False`` validates and returns header metadata only
+    (``samples`` is None) — the metadata-extraction path must not pay for
+    a full PCM conversion of an arbitrarily long clip."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt = None
@@ -88,7 +91,9 @@ def parse_wav(payload: bytes) -> dict:
     n = len(data) // frame_bytes
     if n > _MAX_SAMPLES:
         raise ValueError(f"WAV too long ({n} frames)")
-    if tag == 3:
+    if not with_samples:
+        samples = None
+    elif tag == 3:
         samples = np.frombuffer(
             data, np.float32 if bits == 32 else np.float64
         ).astype(np.float64)
@@ -113,7 +118,7 @@ def parse_wav(payload: bytes) -> dict:
         "bits": int(bits),
         "n_samples": n,
         "duration_ms": n * 1000 // rate,
-        "samples": samples.reshape(n, channels),
+        "samples": None if samples is None else samples.reshape(n, channels),
     }
 
 
