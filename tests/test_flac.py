@@ -81,3 +81,24 @@ def test_audio_metadata_end_to_end(spark):
         1000,
     )
     assert rows[3].decoder == "unsupported" and rows[3].sample_rate is None
+
+
+def test_multimodal_audio_meta_matches_closed_form(spark, sf_dir):
+    # the banked registration candidate: Spark parses actual encoded
+    # bytes, the expectation is pure doc_id arithmetic (the oracle's
+    # closed form) — parity here mirrors the compare_query
+    # pre-certification at sf0.001/sf0.01
+    from thesis_iceberg_spark.queries.multimodal_q import (
+        multimodal_audio_meta_df,
+    )
+
+    rows = multimodal_audio_meta_df(spark, sf_dir).limit(200).collect()
+    assert rows
+    for r in rows:
+        i = r.doc_id
+        assert r.sample_rate == 8000 * (i % 3 + 1)
+        assert r.channels == i % 2 + 1
+        assert r.bits == (8, 16, 24, 32)[i % 4]
+        assert r.n_samples == 16 + i % 7
+        assert r.duration_ms == (16 + i % 7) * 1000 // (8000 * (i % 3 + 1))
+        assert r.decoder == ("flac" if i % 5 == 0 else "wav")

@@ -323,6 +323,47 @@ def decode_audio(media: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_audio_media(docs: DataFrame) -> DataFrame:
+    """Crafted audio-container table for the metadata path: each document
+    becomes a tiny WAV (or, every fifth doc, a FLAC STREAMINFO header)
+    whose fields are pure arithmetic on doc_id, so a SQL oracle can
+    predict audio_metadata's output exactly:
+    rate = 8000 * (doc_id%3 + 1), channels = doc_id%2 + 1,
+    bits = (8,16,24,32)[doc_id%4], n_samples = 16 + doc_id%7,
+    container = flac when doc_id%5 = 0 else wav."""
+    from .flac import build_flac_streaminfo
+    from .wav import encode_wav
+
+    import numpy as np
+
+    def craft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = 8000 * (i % 3 + 1)
+                channels = i % 2 + 1
+                bits = (8, 16, 24, 32)[i % 4]
+                n = 16 + i % 7
+                if i % 5 == 0:
+                    payloads.append(
+                        build_flac_streaminfo(rate, channels, bits, n)
+                    )
+                else:
+                    payloads.append(
+                        encode_wav(rate, np.zeros((n, channels)), bits=bits)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(craft, RAW_MEDIA_SCHEMA)
+
+
 AUDIO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

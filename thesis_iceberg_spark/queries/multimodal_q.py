@@ -217,3 +217,55 @@ FROM hx
 )
 def multimodal_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_dhash_clusters_df(spark, sf_dir)
+
+
+def multimodal_audio_meta_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sample_rate, channels, bits, n_samples, duration_ms,
+    decoder) for a crafted mixed WAV/FLAC corpus (r15, df-level;
+    registration candidate for a future round — NEW capability family
+    "container metadata" under the post-queue policy in
+    queries/__init__.py).
+
+    The dHash pattern applied to audio containers: every field of every
+    crafted payload is pure arithmetic on doc_id, so the oracle derives
+    the metadata from the CLOSED FORM while this side derives it from
+    the actual encoded bytes (encode_wav/build_flac_streaminfo ->
+    parse_wav(with_samples=False)/parse_flac_streaminfo) — a driver
+    match proves both container parsers end to end.  Scale shape: one
+    narrow Arrow map, header-only parsing (no PCM conversion), payload
+    bytes never leave the executor."""
+    from pyspark.sql import functions as F
+
+    from thesis_iceberg_spark.operators.multimodal import (
+        audio_metadata,
+        documents_as_audio_media,
+    )
+
+    media = documents_as_audio_media(load_table(spark, sf_dir, "documents"))
+    return audio_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_samples",
+        "duration_ms",
+        "decoder",
+    )
+
+
+def sql_multimodal_audio_meta() -> str:
+    """DuckDB twin of multimodal_audio_meta_df: the crafted corpus's
+    closed forms re-derived in SQL (documents_as_audio_media's doc_id
+    arithmetic)."""
+    return """
+SELECT doc_id,
+       CAST(8000 * (doc_id % 3 + 1) AS INTEGER) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+                            WHEN 2 THEN 24 ELSE 32 END AS INTEGER) AS bits,
+       CAST(16 + doc_id % 7 AS BIGINT) AS n_samples,
+       CAST((16 + doc_id % 7) * 1000 // (8000 * (doc_id % 3 + 1)) AS BIGINT)
+           AS duration_ms,
+       CASE WHEN doc_id % 5 = 0 THEN 'flac' ELSE 'wav' END AS decoder
+FROM documents
+"""
