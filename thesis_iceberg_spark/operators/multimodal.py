@@ -82,6 +82,8 @@ _MAGIC = (
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
     (b"RIFF", "riff"),  # wav/avi container
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
@@ -822,6 +824,10 @@ def decode_image_payload(payload: bytes | None) -> dict | None:
             from .gif import parse_gif
 
             return {**parse_gif(payload), "decoder": "gif"}
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import parse_tiff
+
+            return {**parse_tiff(payload), "decoder": "tiff"}
     except ValueError:
         # a payload the pure-Python parsers reject (compressed/paletted/
         # 16-bit BMP, maxval > 255 PPM, progressive/arithmetic/12-bit/CMYK
