@@ -442,56 +442,76 @@ VIDEO_META_SCHEMA = StructType(
 
 
 def video_metadata(media: DataFrame) -> DataFrame:
-    """Container-level video metadata via the pure-Python ISO-BMFF box
-    parser (operators/mp4.py): duration, track count, first video/audio
-    codec fourccs and video dimensions — what corpus curation filters on
-    WITHOUT decoding a frame.  Unparseable payloads degrade to
+    """Container-level video metadata WITHOUT decoding a frame: ISO-BMFF
+    (operators/mp4.py) and Matroska/WebM (operators/mkv.py) — duration,
+    track count, first video/audio codecs and video dimensions, the
+    fields corpus curation filters on.  ``major_brand`` carries the mp4
+    brand or the EBML DocType.  Unparseable payloads degrade to
     decoder='unsupported' (the decode_media corrupt-row convention).
     Narrow Arrow map — payload bytes never leave the executor."""
+    from .mkv import parse_mkv_metadata
     from .mp4 import parse_mp4_metadata
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = None
                 try:
-                    d = parse_mp4_metadata(bytes(payload)) if payload else None
-                except ValueError:
-                    d = None
-                if d is None:
-                    rows.append(
-                        {
-                            "media_id": media_id,
-                            "major_brand": None,
-                            "duration_ms": None,
-                            "n_tracks": None,
-                            "video_codec": None,
-                            "width": None,
-                            "height": None,
-                            "audio_codec": None,
-                            "decoder": "unsupported",
+                    if payload and bytes(payload[:4]) == b"\x1a\x45\xdf\xa3":
+                        d = parse_mkv_metadata(bytes(payload))
+                        vid = next(
+                            (t for t in d["tracks"] if t["type"] == "video"),
+                            None,
+                        )
+                        aud = next(
+                            (t for t in d["tracks"] if t["type"] == "audio"),
+                            None,
+                        )
+                        row = {
+                            "major_brand": d["doc_type"],
+                            "duration_ms": d["duration_ms"],
+                            "n_tracks": d["n_tracks"],
+                            "video_codec": vid["codec"] if vid else None,
+                            "width": vid["width"] if vid else None,
+                            "height": vid["height"] if vid else None,
+                            "audio_codec": aud["codec"] if aud else None,
+                            "decoder": "mkv",
                         }
-                    )
-                    continue
-                vid = next(
-                    (t for t in d["tracks"] if t["handler"] == "vide"), None
-                )
-                aud = next(
-                    (t for t in d["tracks"] if t["handler"] == "soun"), None
-                )
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "major_brand": d["major_brand"],
-                        "duration_ms": d["duration_ms"],
-                        "n_tracks": d["n_tracks"],
-                        "video_codec": vid["codec"] if vid else None,
-                        "width": vid["width"] if vid else None,
-                        "height": vid["height"] if vid else None,
-                        "audio_codec": aud["codec"] if aud else None,
-                        "decoder": "mp4",
+                    elif payload:
+                        d = parse_mp4_metadata(bytes(payload))
+                        vid = next(
+                            (t for t in d["tracks"] if t["handler"] == "vide"),
+                            None,
+                        )
+                        aud = next(
+                            (t for t in d["tracks"] if t["handler"] == "soun"),
+                            None,
+                        )
+                        row = {
+                            "major_brand": d["major_brand"],
+                            "duration_ms": d["duration_ms"],
+                            "n_tracks": d["n_tracks"],
+                            "video_codec": vid["codec"] if vid else None,
+                            "width": vid["width"] if vid else None,
+                            "height": vid["height"] if vid else None,
+                            "audio_codec": aud["codec"] if aud else None,
+                            "decoder": "mp4",
+                        }
+                except ValueError:
+                    row = None
+                if row is None:
+                    row = {
+                        "major_brand": None,
+                        "duration_ms": None,
+                        "n_tracks": None,
+                        "video_codec": None,
+                        "width": None,
+                        "height": None,
+                        "audio_codec": None,
+                        "decoder": "unsupported",
                     }
-                )
+                rows.append({"media_id": media_id, **row})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
             )
