@@ -101,3 +101,41 @@ def test_video_metadata_dispatches_both_containers(spark):
     )
     assert (rows[2].duration_ms, rows[2].audio_codec) == (72000, "A_OPUS")
     assert rows[3].decoder == "unsupported"
+
+
+def test_infinite_duration_rejected():
+    # review r15 mkv #1: an IEEE +inf Duration must degrade via
+    # ValueError, not OverflowError at int()
+    import struct as _s
+
+    p = bytearray(build_mkv(1000, []))
+    i = p.index(b"\x44\x89")  # Duration ID; 1-byte size follows
+    size = p[i + 2] & 0x7F
+    assert size == 8
+    p[i + 3 : i + 11] = _s.pack(">d", float("inf"))
+    with pytest.raises(ValueError, match="non-finite EBML float"):
+        parse_mkv_metadata(bytes(p))
+
+
+def test_huge_pixel_width_rejected():
+    # review r15 mkv #2: a >int32 PixelWidth must degrade, not blow up
+    # the Arrow int32 cast downstream
+    p = bytearray(build_mkv(1000, WEBM_TRACKS))
+    i = p.index(b"\xb0")  # PixelWidth ID (1 byte) inside Video
+    size = p[i + 1] & 0x7F
+    p[i + 1] = 0x80 | 5  # declare 5-byte body...
+    p[i + 2 : i + 2 + size] = b"\x04\x00\x00\x00\x00"  # 2^34
+    with pytest.raises(ValueError, match="implausible Matroska pixel width"):
+        parse_mkv_metadata(bytes(p))
+
+
+def test_live_file_with_unknown_size_cluster_parses():
+    # review r15 mkv #5: real live WebM has unknown-size Clusters after
+    # Tracks — metadata must survive, not reject
+    base = build_mkv(
+        9000, WEBM_TRACKS, unknown_segment_size=True, doc_type="webm"
+    )
+    cluster = b"\x1f\x43\xb6\x75" + b"\xff" + b"\x00" * 64  # unknown size
+    d = parse_mkv_metadata(base + cluster)
+    assert d["duration_ms"] == 9000 and d["n_tracks"] == 2
+    assert d["tracks"][0]["codec"] == "V_VP9"

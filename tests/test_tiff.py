@@ -97,3 +97,22 @@ def test_dispatch_and_sniff():
     assert (d["pixels"] == arr).all()
     # garbled TIFF falls through to unsupported
     assert decode_image_payload(b"II*\x00" + b"\xff" * 8) is None
+
+
+def test_zero_count_ifd_entry_degrades_with_valueerror():
+    # review r15 tiff #3: a zero-count ImageWidth entry stored [] and
+    # IndexError'd past the corrupt-row contract
+    payload = bytearray(encode_tiff(8, 8, [[(1, 2, 3)] * 8] * 8))
+    i = payload.index(struct.pack("<HHI", 256, 3, 1))
+    struct.pack_into("<I", payload, i + 4, 0)  # count := 0
+    with pytest.raises(ValueError, match="missing required tag 256"):
+        parse_tiff(bytes(payload))
+
+
+def test_packbits_literal_cap_straddle():
+    # review r15 tiff #4: 127 run-free bytes then a 2-byte run used to
+    # emit a 129-byte literal with header 0x80 (a spec no-op)
+    row = bytes(range(127)) + b"\x07\x07" + bytes(range(50, 90))
+    packed = _pack_packbits(row)
+    assert 0x80 not in packed[:1]  # first header is a valid literal
+    assert _unpack_packbits(packed, len(row)) == row

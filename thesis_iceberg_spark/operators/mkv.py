@@ -12,8 +12,10 @@ PixelWidth/PixelHeight, Audio SamplingFrequency/Channels).  Unknown-size
 elements (all-ones length, common for live/streamed Segments) are
 followed to the end of their enclosing scope.  Malformed varints,
 truncation, or a missing Segment/Info raise ``ValueError`` so callers
-degrade to 'unsupported'.  Clusters and everything else are skipped by
-size without being read.
+degrade to 'unsupported'.  The first Cluster (sized OR unknown-size —
+live muxers cannot seek back to patch lengths) terminates the walk:
+media data is never read, and Info/Tracks precede clusters in any mux.
+Other elements are skipped by size.
 
 ``build_mkv`` (test-support) emits valid EBML so every parsed field is
 round-trip covered, including the unknown-size Segment path.
@@ -21,9 +23,11 @@ round-trip covered, including the unknown-size Segment path.
 
 from __future__ import annotations
 
+import math
 import struct
 
-_MAGIC = b"\x1a\x45\xdf\xa3"  # EBML header element ID
+MAGIC = b"\x1a\x45\xdf\xa3"  # EBML header element ID (shared with dispatch)
+_MAGIC = MAGIC
 
 # element IDs (with marker bits, as they appear on the wire)
 _SEGMENT = 0x18538067
@@ -41,6 +45,7 @@ _AUDIO = 0xE1
 _SAMPLING = 0xB5
 _CHANNELS = 0x9F
 _DOCTYPE = 0x4282
+_CLUSTER = 0x1F43B675
 
 _CONTAINERS = {_SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _VIDEO, _AUDIO, 0x1A45DFA3}
 
@@ -92,10 +97,29 @@ def _uint(body: bytes) -> int:
 
 def _float(body: bytes) -> float:
     if len(body) == 4:
-        return struct.unpack(">f", body)[0]
-    if len(body) == 8:
-        return struct.unpack(">d", body)[0]
-    raise ValueError("bad EBML float length")
+        v = struct.unpack(">f", body)[0]
+    elif len(body) == 8:
+        v = struct.unpack(">d", body)[0]
+    else:
+        raise ValueError("bad EBML float length")
+    if not math.isfinite(v):
+        # inf/nan would raise OverflowError at int() downstream, escaping
+        # the ValueError-only corrupt-row handlers (review r15 mkv #1)
+        raise ValueError("non-finite EBML float")
+    return v
+
+
+_INT32_MAX = 0x7FFFFFFF
+
+
+def _bounded_uint(body: bytes, what: str) -> int:
+    """EBML uint bounded to int32: these feed IntegerType Arrow columns,
+    and a crafted huge value must degrade to 'unsupported', not fail the
+    batch (the WAV sample-rate lesson, review r15 #2 / mkv #2)."""
+    v = _uint(body)
+    if v > _INT32_MAX:
+        raise ValueError(f"implausible Matroska {what} {v}")
+    return v
 
 
 def parse_mkv_metadata(payload: bytes) -> dict:
@@ -121,6 +145,12 @@ def parse_mkv_metadata(payload: bytes) -> dict:
             bend = end if size is None else pos + size
             if size is not None and bend > end:
                 raise ValueError(f"EBML element 0x{eid:x} overruns scope")
+            if eid == _CLUSTER:
+                # media data begins; Info/Tracks precede clusters in any
+                # seekable-or-live mux, and live Clusters are unknown-size
+                # (a live muxer cannot seek back) — stop the walk instead
+                # of rejecting the file (review r15 mkv #5)
+                return
             if eid in _CONTAINERS:
                 t = track
                 if eid == _TRACK_ENTRY:
@@ -156,23 +186,27 @@ def parse_mkv_metadata(payload: bytes) -> dict:
                     elif eid == _CODEC_ID:
                         track["codec"] = body.split(b"\x00")[0].decode("latin-1")
                     elif eid == _PIXEL_W:
-                        track["width"] = _uint(body)
+                        track["width"] = _bounded_uint(body, "pixel width")
                     elif eid == _PIXEL_H:
-                        track["height"] = _uint(body)
+                        track["height"] = _bounded_uint(body, "pixel height")
                     elif eid == _SAMPLING:
-                        track["sample_rate"] = int(_float(body))
+                        rate = int(_float(body))
+                        if not 0 < rate <= _INT32_MAX:
+                            raise ValueError(f"implausible sampling rate {rate}")
+                        track["sample_rate"] = rate
                     elif eid == _CHANNELS:
-                        track["channels"] = _uint(body)
+                        track["channels"] = _bounded_uint(body, "channel count")
             pos = bend
 
     walk(0, len(payload), 0, None)
     if not saw_info:
         raise ValueError("Matroska missing Segment Info")
-    duration_ms = (
-        None
-        if duration_raw is None
-        else int(duration_raw * scale / 1_000_000)
-    )
+    if duration_raw is None:
+        duration_ms = None
+    else:
+        if duration_raw < 0 or duration_raw * scale / 1_000_000 > 2**62:
+            raise ValueError(f"implausible Matroska duration {duration_raw}")
+        duration_ms = int(duration_raw * scale / 1_000_000)
     return {
         "doc_type": doc_type,
         "duration_ms": duration_ms,

@@ -449,68 +449,47 @@ def video_metadata(media: DataFrame) -> DataFrame:
     brand or the EBML DocType.  Unparseable payloads degrade to
     decoder='unsupported' (the decode_media corrupt-row convention).
     Narrow Arrow map — payload bytes never leave the executor."""
+    from .mkv import MAGIC as _EBML_MAGIC
     from .mkv import parse_mkv_metadata
     from .mp4 import parse_mp4_metadata
+
+    def normalized(payload: bytes) -> tuple[str, str, dict, dict | None, dict | None]:
+        """(decoder, brand, parsed, first-video-track, first-audio-track)
+        with both parsers' track lists reduced to a common shape, so the
+        row dict below is built exactly once (review r15 mkv #6)."""
+        if payload[:4] == _EBML_MAGIC:
+            d = parse_mkv_metadata(payload)
+            vid = next((t for t in d["tracks"] if t["type"] == "video"), None)
+            aud = next((t for t in d["tracks"] if t["type"] == "audio"), None)
+            return "mkv", d["doc_type"], d, vid, aud
+        d = parse_mp4_metadata(payload)
+        vid = next((t for t in d["tracks"] if t["handler"] == "vide"), None)
+        aud = next((t for t in d["tracks"] if t["handler"] == "soun"), None)
+        return "mp4", d["major_brand"], d, vid, aud
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                row = None
                 try:
-                    if payload and bytes(payload[:4]) == b"\x1a\x45\xdf\xa3":
-                        d = parse_mkv_metadata(bytes(payload))
-                        vid = next(
-                            (t for t in d["tracks"] if t["type"] == "video"),
-                            None,
-                        )
-                        aud = next(
-                            (t for t in d["tracks"] if t["type"] == "audio"),
-                            None,
-                        )
-                        row = {
-                            "major_brand": d["doc_type"],
-                            "duration_ms": d["duration_ms"],
-                            "n_tracks": d["n_tracks"],
-                            "video_codec": vid["codec"] if vid else None,
-                            "width": vid["width"] if vid else None,
-                            "height": vid["height"] if vid else None,
-                            "audio_codec": aud["codec"] if aud else None,
-                            "decoder": "mkv",
-                        }
-                    elif payload:
-                        d = parse_mp4_metadata(bytes(payload))
-                        vid = next(
-                            (t for t in d["tracks"] if t["handler"] == "vide"),
-                            None,
-                        )
-                        aud = next(
-                            (t for t in d["tracks"] if t["handler"] == "soun"),
-                            None,
-                        )
-                        row = {
-                            "major_brand": d["major_brand"],
-                            "duration_ms": d["duration_ms"],
-                            "n_tracks": d["n_tracks"],
-                            "video_codec": vid["codec"] if vid else None,
-                            "width": vid["width"] if vid else None,
-                            "height": vid["height"] if vid else None,
-                            "audio_codec": aud["codec"] if aud else None,
-                            "decoder": "mp4",
-                        }
-                except ValueError:
-                    row = None
-                if row is None:
+                    if not payload:
+                        raise ValueError("empty payload")
+                    decoder, brand, d, vid, aud = normalized(bytes(payload))
                     row = {
-                        "major_brand": None,
-                        "duration_ms": None,
-                        "n_tracks": None,
-                        "video_codec": None,
-                        "width": None,
-                        "height": None,
-                        "audio_codec": None,
-                        "decoder": "unsupported",
+                        "major_brand": brand,
+                        "duration_ms": d["duration_ms"],
+                        "n_tracks": d["n_tracks"],
+                        "video_codec": vid["codec"] if vid else None,
+                        "width": vid["width"] if vid else None,
+                        "height": vid["height"] if vid else None,
+                        "audio_codec": aud["codec"] if aud else None,
+                        "decoder": decoder,
                     }
+                except ValueError:
+                    row = dict.fromkeys(
+                        (f.name for f in VIDEO_META_SCHEMA.fields[1:-1]), None
+                    )
+                    row["decoder"] = "unsupported"
                 rows.append({"media_id": media_id, **row})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]

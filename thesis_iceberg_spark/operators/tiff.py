@@ -79,8 +79,11 @@ def _read_ifd(payload: bytes, bo: str, offset: int) -> dict[int, list[int]]:
         base = offset + 2 + 12 * i
         tag, typ, n = struct.unpack_from(bo + "HHI", payload, base)
         size = _TYPE_SIZES.get(typ)
-        if size is None:
-            continue  # RATIONAL/ASCII etc. — nothing baseline needs
+        if size is None or n == 0:
+            # RATIONAL/ASCII etc., or a malformed zero-count entry — a
+            # stored empty list would IndexError past the ValueError
+            # contract at one() (review r15 tiff #3)
+            continue
         total = size * n
         if total <= 4:
             where = base + 8
@@ -194,11 +197,16 @@ def _pack_packbits(row: bytes) -> bytes:
             i += run
             continue
         lit_start = i
-        while i < n and (i - lit_start) < 128:
+        while i < n:
             nxt = 1
             while i + nxt < n and row[i + nxt] == row[i] and nxt < 128:
                 nxt += 1
             if nxt >= 3:
+                break
+            if (i - lit_start) + nxt > 128:
+                # a 2-byte run straddling the 128 cap would push the
+                # literal to 129 bytes -> header 0x80, a spec NO-OP that
+                # corrupts the stream (review r15 tiff #4)
                 break
             i += nxt
         out += bytes([i - lit_start - 1]) + row[lit_start:i]
