@@ -382,11 +382,14 @@ AUDIO_META_SCHEMA = StructType(
 def audio_metadata(media: DataFrame) -> DataFrame:
     """Container-level audio metadata WITHOUT decoding samples: WAV headers
     (parse_wav with_samples=False — validates the stream, skips the PCM
-    conversion) and FLAC STREAMINFO (operators/flac.py — rate/channels/
-    bits/total straight from the mandatory first block, zero frames
-    touched).  The audio twin of video_metadata for corpus curation;
-    unparseable payloads degrade to decoder='unsupported'."""
+    conversion), FLAC STREAMINFO (operators/flac.py — rate/channels/
+    bits/total straight from the mandatory first block), and Ogg
+    Opus/Vorbis (operators/ogg.py — id-header fields + page-walk
+    duration, CRC-verified, packet payloads never materialized).  The
+    audio twin of video_metadata for corpus curation; unparseable
+    payloads degrade to decoder='unsupported'."""
     from .flac import parse_flac_streaminfo
+    from .ogg import parse_ogg_metadata
     from .wav import parse_wav
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -399,6 +402,16 @@ def audio_metadata(media: DataFrame) -> DataFrame:
                     if payload and payload[:4] == b"fLaC":
                         d = parse_flac_streaminfo(bytes(payload))
                         tag = "flac"
+                    elif payload and payload[:4] == b"OggS":
+                        o = parse_ogg_metadata(bytes(payload))
+                        d = {
+                            "sample_rate": o["sample_rate"],
+                            "channels": o["channels"],
+                            "bits": None,  # lossy codecs have no PCM depth
+                            "n_samples": None,
+                            "duration_ms": o["duration_ms"],
+                        }
+                        tag = "ogg_" + o["codec"]
                     elif payload:
                         d = parse_wav(bytes(payload), with_samples=False)
                         tag = "wav"
