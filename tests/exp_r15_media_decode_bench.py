@@ -60,12 +60,15 @@ def main():
         ]
 
     pix, gif_pix = px(base), px(gif_arr)
+    from thesis_iceberg_spark.operators.tiff import encode_tiff
+
     formats = {
         "bmp": mm.encode_bmp(W, H, pix),
         "ppm": mm.encode_ppm(W, H, pix),
         "png_paeth": encode_png(W, H, pix, filter_type=4),
         "gif": encode_gif(W, H, gif_pix),
         "jpeg_q8": encode_jpeg(W, H, pix, qval=8),
+        "tiff_packbits": encode_tiff(W, H, pix, packbits=True),
     }
     print(f"payload sizes (bytes): { {k: len(v) for k, v in formats.items()} }")
     for name, payload in formats.items():
@@ -106,6 +109,24 @@ def main():
     media.count()
     t = timed(lambda: mm.video_metadata(media).count())
     print(f"mp4: {N} x 2-track video_metadata pass = {t} s ({round(N / t)} files/s)")
+    media.unpersist()
+
+    from thesis_iceberg_spark.operators.mkv import build_mkv
+
+    webm = build_mkv(
+        72000,
+        [
+            {"type": "video", "codec": "V_VP9", "width": 1280, "height": 720},
+            {"type": "audio", "codec": "A_OPUS", "sample_rate": 48000, "channels": 2},
+        ],
+    )
+    media = spark.createDataFrame(
+        [(i, "video", bytearray(webm)) for i in range(N)],
+        "media_id LONG, kind STRING, payload BINARY",
+    ).repartition(8).cache()
+    media.count()
+    t = timed(lambda: mm.video_metadata(media).count())
+    print(f"webm: {N} x 2-track video_metadata pass = {t} s ({round(N / t)} files/s)")
     media.unpersist()
 
 
