@@ -139,3 +139,28 @@ def test_live_file_with_unknown_size_cluster_parses():
     d = parse_mkv_metadata(base + cluster)
     assert d["duration_ms"] == 9000 and d["n_tracks"] == 2
     assert d["tracks"][0]["codec"] == "V_VP9"
+
+
+def test_multimodal_video_meta_matches_closed_form(spark, sf_dir):
+    # the video sibling of the banked audio-meta candidate: Spark parses
+    # actual encoded containers, the expectation is pure doc_id
+    # arithmetic (mirrors the compare_query pre-certification)
+    from thesis_iceberg_spark.queries.multimodal_q import (
+        multimodal_video_meta_df,
+    )
+
+    rows = multimodal_video_meta_df(spark, sf_dir).limit(200).collect()
+    assert rows
+    for r in rows:
+        i = r.doc_id
+        mp4 = i % 2 == 0
+        assert r.major_brand == ("isom" if mp4 else "webm")
+        assert r.duration_ms == 1000 * (i % 30 + 1)
+        assert r.n_tracks == (2 if mp4 or i % 5 == 0 else 1)
+        codecs = ("avc1", "hvc1", "av01") if mp4 else ("V_VP8", "V_VP9", "V_AV1")
+        assert r.video_codec == codecs[i % 3]
+        assert (r.width, r.height) == (320 * (i % 4 + 1), 240 * (i % 4 + 1))
+        assert r.audio_codec == (
+            "mp4a" if mp4 else ("A_OPUS" if i % 5 == 0 else None)
+        )
+        assert r.decoder == ("mp4" if mp4 else "mkv")

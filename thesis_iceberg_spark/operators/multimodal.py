@@ -366,6 +366,70 @@ def documents_as_audio_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(craft, RAW_MEDIA_SCHEMA)
 
 
+def documents_as_video_media(docs: DataFrame) -> DataFrame:
+    """Crafted video-container table for the metadata path: each document
+    becomes a tiny ISO-BMFF (even doc_id) or WebM/EBML (odd) container
+    whose fields are pure arithmetic on doc_id, so a SQL oracle can
+    predict video_metadata's output exactly:
+    duration_ms = 1000 * (doc_id % 30 + 1), width = 320 * (doc_id % 4 + 1),
+    height = 240 * (doc_id % 4 + 1), video codec cycles avc1/hvc1/av01
+    (mp4) or V_VP8/V_VP9/V_AV1 (webm) by doc_id % 3, audio track
+    present when doc_id % 2 == 0 (mp4a) / doc_id % 5 == 0 (A_OPUS)."""
+    from .mkv import build_mkv
+    from .mp4 import build_mp4
+
+    def craft(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                dur = 1000 * (i % 30 + 1)
+                w, h = 320 * (i % 4 + 1), 240 * (i % 4 + 1)
+                if i % 2 == 0:
+                    codec = ("avc1", "hvc1", "av01")[i % 3]
+                    tracks = [
+                        {
+                            "handler": "vide",
+                            "codec": codec,
+                            "width": w,
+                            "height": h,
+                            "duration_ms": dur,
+                        },
+                        {
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": dur,
+                        },
+                    ]
+                    payloads.append(build_mp4(dur, tracks))
+                else:
+                    codec = ("V_VP8", "V_VP9", "V_AV1")[i % 3]
+                    tracks = [
+                        {"type": "video", "codec": codec, "width": w, "height": h}
+                    ]
+                    if i % 5 == 0:
+                        tracks.append(
+                            {
+                                "type": "audio",
+                                "codec": "A_OPUS",
+                                "sample_rate": 48000,
+                                "channels": 2,
+                            }
+                        )
+                    payloads.append(build_mkv(dur, tracks))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(craft, RAW_MEDIA_SCHEMA)
+
+
 AUDIO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -269,3 +269,60 @@ SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN 'flac' ELSE 'wav' END AS decoder
 FROM documents
 """
+
+
+def multimodal_video_meta_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, major_brand, duration_ms, n_tracks, video_codec, width,
+    height, audio_codec, decoder) for a crafted mixed ISO-BMFF/WebM
+    corpus (r15, df-level; registration candidate — the video sibling of
+    multimodal_audio_meta in the container-metadata family).
+
+    Every field of every crafted container is pure arithmetic on
+    doc_id: the oracle derives the metadata from the CLOSED FORM while
+    this side parses the actual encoded boxes/EBML (build_mp4/build_mkv
+    -> parse_mp4_metadata/parse_mkv_metadata) — a driver match proves
+    both container parsers end to end.  Scale shape: one narrow Arrow
+    map, header-only parsing, payload bytes never leave the executor."""
+    from pyspark.sql import functions as F
+
+    from thesis_iceberg_spark.operators.multimodal import (
+        documents_as_video_media,
+        video_metadata,
+    )
+
+    media = documents_as_video_media(load_table(spark, sf_dir, "documents"))
+    return video_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "major_brand",
+        "duration_ms",
+        "n_tracks",
+        "video_codec",
+        "width",
+        "height",
+        "audio_codec",
+        "decoder",
+    )
+
+
+def sql_multimodal_video_meta() -> str:
+    """DuckDB twin of multimodal_video_meta_df: the crafted corpus's
+    closed forms (documents_as_video_media's doc_id arithmetic)."""
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END AS major_brand,
+       CAST(1000 * (doc_id % 30 + 1) AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2
+                 WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+       CASE WHEN doc_id % 2 = 0
+            THEN CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                                 ELSE 'av01' END
+            ELSE CASE doc_id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+                                 ELSE 'V_AV1' END
+       END AS video_codec,
+       CAST(320 * (doc_id % 4 + 1) AS INTEGER) AS width,
+       CAST(240 * (doc_id % 4 + 1) AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4a'
+            WHEN doc_id % 5 = 0 THEN 'A_OPUS' END AS audio_codec,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS decoder
+FROM documents
+"""
