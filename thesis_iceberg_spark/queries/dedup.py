@@ -1260,17 +1260,40 @@ def _kmeans_nprobe(k: int) -> int:
 # so fit cost is bounded by 20*k^2 distance evals per iteration.
 KMEANS_K_FINE_CAP = 65536
 KMEANS_FIT_ROWS_PER_CENTROID = 20
-# Past this k the fit switches from pyspark.ml KMeans to a local BLAS-3
-# spherical Lloyd on the (already driver-sized) fit sample: MLlib's
+# Past this k the fit uses the local BLAS-3 spherical Lloyd on the
+# (already driver-sized) fit sample instead of pyspark.ml KMeans: MLlib's
 # k-means|| init collects ~2*k*initSteps weighted candidates and runs
 # LocalKMeans on them SINGLE-THREADED on the driver — O(k^2 * d * iters)
 # work that dominates everything else by k ~ 10^4 (measured: the 1e6-row
 # rehearsal's k=15.8k fit never finished under it).  The local fit is the
 # faiss-style production shape anyway: train the quantizer on a bounded
-# sample near the driver, assign distributed.  Threshold chosen so every
-# small-corpus path (driver sf0.01/sf0.1, tests: k <= ~800) keeps the
-# pyspark.ml fit byte-identical to prior rounds.
-KMEANS_LOCAL_FIT_K_THRESHOLD = 4096
+# sample near the driver, assign distributed.
+#
+# 0 since r15 (the optimization round): the small-k regime now rides the
+# local fit too.  History: the threshold sat at 4096 because under the
+# r9/r10 sizing rule (k=128, p=3 at the driver corpora) every local init
+# measured BELOW the 0.7 candidate-recall gate (0.646-0.681) while
+# MLlib's k-means|| scraped by at 0.708 — PERFORMANCE.md round-10
+# "measured dead end".  The r11 re-sizing (KMEANS_MIN_K 128 -> 256,
+# p 3 -> 5) moved the operating point off that knife edge: re-running
+# the committed harness (tests/exp_local_fit_init.py) plus the shipped
+# random-init spherical Lloyd at k=256/p=5 over 5 seeds measures recall
+# min 0.799 at sf0.1 (0.799/0.806/0.840/0.861/0.847) and >= 0.929 at
+# sf0.001/sf0.01 — the same +0.09 floor margin as MLlib's 0.79-0.90
+# (exp_kmeans_margin_sweep).  What the swap buys, measured at sf0.1
+# (k=256, n=2000, same JVM, interleaved): pyspark.ml fit ~2.5 s of
+# distributed kmeans|| init + 20 Lloyd jobs vs ~0.15 s local BLAS — the
+# single biggest fixed cost in dedup_embedding_kmeans_pairs, and at
+# cluster scale ~25 fewer scheduler round-trips per fit.  The registered
+# query's OUTPUT (n_docs, subquadratic_ok, recall_ok) is unchanged: both
+# gates hold with margin (re-verified at all three SFs + the planted-
+# corpus pytest gates).
+KMEANS_LOCAL_FIT_K_THRESHOLD = 0
+# If the fit SAMPLE has fewer than k non-degenerate (non-zero-norm) rows
+# the spherical fit raises; up to this k the old pyspark.ml Euclidean fit
+# (which tolerates zero-norm rows) is an affordable fallback — past it,
+# fail loudly (MLlib's driver-bound init is the measured non-starter).
+KMEANS_MLLIB_FALLBACK_MAX_K = 4096
 KMEANS_LOCAL_FIT_ITERS = 10
 # Ceiling on the brute-force recall DENOMINATOR inside the registered
 # kmeans self-check (dedup_embedding_kmeans_pairs): above this many
@@ -1359,20 +1382,23 @@ def _kmeans_fit_centers(
     """Fit centroids for the kmeans-bounded candidate path on a
     deterministic bounded sample (KMEANS_FIT_ROWS_PER_CENTROID rows per
     centroid — centroid QUALITY needs ~tens of points per cluster, not
-    the corpus, so fit cost is independent of corpus size).  Small k uses
-    pyspark.ml KMeans (unchanged vs prior rounds); past
-    KMEANS_LOCAL_FIT_K_THRESHOLD the sample is collected (it is already
-    driver-sized by construction: 20*k rows * d floats, ~160 MB at the
-    1e6-corpus k=15.8k, ~1.3 GB at the budget-regime 1e8 corpus) and fit
-    with the BLAS-3 spherical Lloyd above — the faiss shape: train the
-    quantizer locally, assign distributed."""
-    from thesis_iceberg_spark.operators.ann import build_ivf_index
-
+    the corpus, so fit cost is independent of corpus size).  Every k
+    regime now uses the local BLAS-3 spherical Lloyd above (r15 opt
+    round, guide §1.2 step 1): the sample is collected (driver-sized by
+    construction: 20*k rows * d floats, ~160 MB at the 1e6-corpus
+    k=15.8k, ~1.3 GB at the budget-regime 1e8 corpus) and fit locally —
+    the faiss shape: train the quantizer locally, assign distributed.
+    Fallback: a sample with fewer than k non-degenerate (non-zero-norm)
+    rows — only reachable on zero-norm-heavy corpora — retains the old
+    pyspark.ml Euclidean fit, which tolerates them, for k small enough
+    that MLlib's single-threaded O(k^2 d) k-means|| reduction is sane."""
     fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
     fit_df = clean
     if n > fit_rows:
         fit_df = clean.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
     if k <= KMEANS_LOCAL_FIT_K_THRESHOLD:
+        from thesis_iceberg_spark.operators.ann import build_ivf_index
+
         _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
         return [[float(x) for x in c] for c in model.clusterCenters()]
     import numpy as np
@@ -1394,7 +1420,21 @@ def _kmeans_fit_centers(
         raise ValueError("fit sample has ragged vector widths")
     X = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
     X = X.reshape(-1, d) if d else X.reshape(0, 0)
-    return _fit_centroids_spherical(X, k=k, seed=seed)
+    try:
+        return _fit_centroids_spherical(X, k=k, seed=seed)
+    except ValueError:
+        if k > KMEANS_MLLIB_FALLBACK_MAX_K:
+            # past this k MLlib's init is the measured non-starter (the
+            # 1e6 rehearsal's k=15.8k fit never finished under it) — the
+            # loud spherical-fit error is the right outcome
+            raise
+        # fewer than k non-degenerate sample rows (zero-norm-heavy
+        # corpus): the Euclidean pyspark.ml fit tolerates zero-norm rows
+        # and is affordable at this k — preserve the old behavior there
+        from thesis_iceberg_spark.operators.ann import build_ivf_index
+
+        _, model = build_ivf_index(spark, fit_df, k=k, seed=seed)
+        return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def dedup_embedding_kmeans_candidates(

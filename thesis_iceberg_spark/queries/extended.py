@@ -67,23 +67,39 @@ FROM j WHERE rn = 1
     "computes the same relation (the window oracle pins tie-breaks).",
 )
 def asof_join_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-1-per-order as a MAX(struct) aggregation, not a window (r15
+    # optimization round, guide §2.3 "aggregate before you shuffle"):
+    # row_number().over(orderkey) compiled to Sort + WindowGroupLimit +
+    # Exchange + Sort + WindowGroupLimit + Window + Filter
+    # (plans/r15/asof_join_last_event_before.txt).  MAX(struct(ts,
+    # event_id, value)) under the same grouping is the identical
+    # relation — struct ordering is lexicographic on (ts, event_id),
+    # matching the window's (ts DESC, event_id DESC) top-1 (event_id is
+    # unique, so the value field never decides), and an orderless
+    # no-event order keeps its single all-NULL-fields struct.  A struct
+    # max is not hash-aggregable, so the plan is SortAggregate around
+    # the same exchange — still strictly less work than the window
+    # form: the partial agg ships <= 1 row per (order, task) like
+    # WindowGroupLimit did, but the trailing Window + rn-Filter pass is
+    # gone and both sorts order by the 3 fixed group keys instead of
+    # (order, ts DESC, event_id DESC)
+    # (plans/r15/asof_join_last_event_after.txt).  Measured
+    # (tests/exp_r15_asof_ab.py, interleaved same-JVM A/B, two runs):
+    # 0.95x/0.93x the window form locally, rows verified identical.
     o = load_table(spark, sf_dir, "orders")
     e = load_table(spark, sf_dir, "events")
     j = o.join(
         e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate), "left"
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        j.groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("last"))
         .select(
             "o_orderkey",
             "o_custkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_s"),
-            F.col("value").alias("last_value"),
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_s"),
+            F.col("last.value").alias("last_value"),
         )
     )
 
