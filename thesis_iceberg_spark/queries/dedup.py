@@ -734,6 +734,58 @@ def _dot(u, w):
     )
 
 
+def _np_brute_pairs(tbl, threshold: float = 0.45) -> list[tuple[int, int]]:
+    """(vec_a, vec_b) with vec_a < vec_b and cosine >= ``threshold`` over
+    a BOUNDED Arrow table of (vec_id, v: list<double>) — the driver-side
+    numpy twin of _brute_cosine_pairs for the kmeans self-check's recall
+    DENOMINATOR (r15 optimization round, guide §4.2: the check is <=
+    BRUTE_CHECK_CEILING=1000 vectors BY DESIGN, so its ~500k dot products
+    are one dense GEMM on the driver, not 500k interpreted HOF folds in a
+    nested-loop join — measured ~1 s -> ~ms at sf0.1).  Bounded-collect
+    contract: callers must cap the input (the self-check samples to the
+    ceiling first), the same justification as the fit-sample toArrow and
+    the quantile refinement's <= 4096-row pick.
+
+    Pair-exclusion semantics mirror the DataFrame form exactly: NULL
+    vectors emit nothing (transform(NULL) -> NULL -> NULL dot), pairs of
+    DIFFERENT widths are excluded (zip_with pads with NULL -> NULL dot),
+    zero-norm members are excluded (try_divide -> NULL < threshold).
+    Cosine VALUES may differ from the sequential fold in the last ulp
+    (GEMM summation order) — only the >= threshold COUNTS feed the
+    self-check's gate booleans, which hold with >= 0.09 margin."""
+    import numpy as np
+
+    ids_all = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("v").to_pylist()
+    by_width: dict[int, tuple[list[int], list[list[float]]]] = {}
+    for vid, v in zip(ids_all, vecs):
+        if v is None:
+            continue
+        ids, rows = by_width.setdefault(len(v), ([], []))
+        ids.append(int(vid))
+        rows.append(v)
+    out: list[tuple[int, int]] = []
+    for _w, (ids, rows) in by_width.items():
+        if len(ids) < 2:
+            continue
+        X = np.asarray(rows, dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nz = nrm > 0  # zero-norm: excluded like the NULL try_divide
+        S = X @ X.T
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(np.outer(nz, nz), S / denom, -np.inf)
+        iu = np.triu_indices(len(ids), k=1)
+        hits = C[iu] >= threshold
+        a_idx, b_idx = iu[0][hits], iu[1][hits]
+        arr = np.asarray(ids, dtype=np.int64)
+        out.extend(
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(arr[a_idx], arr[b_idx])
+        )
+    return sorted(out)
+
+
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force O(n^2) embedding-cosine near-dup pairs (threshold 0.45).
 
@@ -1686,14 +1738,20 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(BRUTE_CHECK_CEILING)
         )
         e = e.join(F.broadcast(sample_ids), "vec_id")
-    brute = (
-        _brute_cosine_pairs(spark, e)
-        .select("vec_a", "vec_b")
-        .localCheckpoint(eager=True)
-    )
+    # r15 (optimization round): the bounded (<= BRUTE_CHECK_CEILING rows)
+    # ground-truth pair list is ONE Arrow collect + a dense driver-side
+    # GEMM (_np_brute_pairs) instead of a 500k-fold nested-loop join +
+    # checkpoint + two more jobs — same exclusion semantics, counts-only
+    # consumer, ~1 s -> ~ms at sf0.1 (interleaved A/B in
+    # tests/exp_r15_kmeans_fit_ab.py covers the whole query).
+    brute_pairs = _np_brute_pairs(e.select("vec_id", "v").toArrow())
     n_cand = cand.count()
-    n_brute = brute.count()
-    n_hit = verified.join(brute, ["vec_a", "vec_b"]).count()
+    n_brute = len(brute_pairs)
+    if brute_pairs:
+        bdf = spark.createDataFrame(brute_pairs, "vec_a BIGINT, vec_b BIGINT")
+        n_hit = verified.join(F.broadcast(bdf), ["vec_a", "vec_b"]).count()
+    else:
+        n_hit = 0
     recall_ok = (n_brute == 0) or (n_hit / n_brute >= 0.7)
     # the ratio gate exists for SCALE: below KMEANS_SUBQ_TRIVIAL_N docs even an
     # all-pairs list is trivially cheap and k clamps to n, so the ratio

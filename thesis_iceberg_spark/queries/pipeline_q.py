@@ -706,11 +706,14 @@ def token_budget_select_df(
     new (64x smaller) crossing sub-bin survives to the next level.  The
     final window sort therefore touches <= max(cap, n/64^depth) rows —
     never the n/64 single-task straggler the one-level form would hand
-    a 1e11-doc corpus.  The loop is driver-side METADATA work (two
-    tiny aggregates per level over the shrinking checkpointed
-    projection), the same shape as the table layer's file planning; a
-    MAX_REFINE_DEPTH cap bounds pathological distributions, falling
-    back to sorting whatever remains (correct, just slower).
+    a 1e11-doc corpus.  The loop is driver-side METADATA work (since
+    r15: ONE <= 64-row collected per-bin aggregate per level over the
+    shrinking checkpointed projection — it carries the token mass, the
+    budget total, AND the boundary bin's refinement stats, replacing
+    the three separate actions the pre-r15 form ran per level), the
+    same shape as the table layer's file planning; a MAX_REFINE_DEPTH
+    cap bounds pathological distributions, falling back to sorting
+    whatever remains (correct, just slower).
 
     Diagnostics: pass ``refine_depth_out=[]`` and the call appends the
     refinement depth it used (call-local, safe under concurrency).
@@ -759,64 +762,88 @@ def token_budget_select_df(
             refine_depth_out.append(d)
         token_budget_select_df.last_refine_depth = d
 
-    budget_row = scored.agg(
-        F.floor(F.sum("n_tokens") * budget_frac).cast("bigint").alias("budget")
-    ).first()
-    if budget_row["budget"] is None:  # empty corpus
-        _note_depth(0)
-        return empty
-    budget = int(budget_row["budget"])
-
-    def threshold_stats(df, bucket_col, offset: int):
-        """(full_min, b_star, b_offset) for the high-bin-first cumulative
-        token mass of ``df`` grouped by ``bucket_col``, against the
-        ABSOLUTE budget given mass ``offset`` already spent above.  The
-        window runs over <= NB_QBUCKETS rows, not the corpus.  <=, not
-        <, in the boundary rule: a bin whose cum_before lands EXACTLY on
-        the budget must still be the boundary bin so zero-token docs at
-        its head (cum == budget) survive like the oracle's cum <= budget
-        rule keeps them (review r10; unreachable with the current
-        tokenizer, robust for composers).  At most ONE boundary bin:
-        the budget sits in exactly one bin's [cum_before, cum_through)
-        interval, and zero-mass bins can never satisfy
-        cum_through > budget >= cum_before."""
-        w_hist = Window.orderBy(F.col("b").desc()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        hist = (
+    def hist_stats(df, bucket_col):
+        """Per-bin stats as a COLLECTED list of <= NB_QBUCKETS rows,
+        descending by bin: (b, btok, cnt, smin, smax, imin, imax).  r15
+        optimization round (guide §1.2/§5): the threshold walk, the
+        total-mass budget, and the boundary bin's refinement stats
+        (count / score range / id range) are all derivable from this ONE
+        map-side-combined aggregate, so each level now costs a single
+        Spark job where the pre-r15 form ran three (a corpus-sum action,
+        a 64-row window+agg action, and a separate boundary-bin stats
+        action).  Driver-bounded by construction — <= 64 rows per level,
+        <= MAX_REFINE_DEPTH levels — the same bounded-collect contract
+        as the quantile refinement's <= 64-row histograms
+        (sketch._rank_values)."""
+        rows = (
             df.groupBy(bucket_col.alias("b"))
-            .agg(F.sum("n_tokens").alias("btok"))
-            .withColumn("cum_through", F.lit(offset) + F.sum("btok").over(w_hist))
-            .withColumn("cum_before", F.col("cum_through") - F.col("btok"))
+            .agg(
+                F.sum("n_tokens").alias("btok"),
+                F.count("*").alias("cnt"),
+                F.min("quality_score").alias("smin"),
+                F.max("quality_score").alias("smax"),
+                F.min("doc_id").alias("imin"),
+                F.max("doc_id").alias("imax"),
+            )
+            .collect()
         )
-        boundary = (F.col("cum_before") <= budget) & (F.col("cum_through") > budget)
-        return hist.agg(
-            F.min(F.when(F.col("cum_through") <= budget, F.col("b"))).alias(
-                "full_min"
-            ),
-            F.max(F.when(boundary, F.col("b"))).alias("b_star"),
-            F.max(F.when(boundary, F.col("cum_before"))).alias("b_offset"),
-        ).first()
+        return sorted(rows, key=lambda r: -r["b"])
+
+    def threshold_stats(rows, offset: int, budget: int):
+        """(full_min, b_star_row, b_offset) for the high-bin-first
+        cumulative token mass, against the ABSOLUTE budget given mass
+        ``offset`` already spent above — the identical rules as the
+        pre-r15 window form, walked in Python over the collected bins.
+        <=, not <, in the boundary rule: a bin whose cum_before lands
+        EXACTLY on the budget must still be the boundary bin so
+        zero-token docs at its head (cum == budget) survive like the
+        oracle's cum <= budget rule keeps them (review r10; unreachable
+        with the current tokenizer, robust for composers).  At most ONE
+        boundary bin: the budget sits in exactly one bin's
+        [cum_before, cum_through) interval, and zero-mass bins can never
+        satisfy cum_through > budget >= cum_before.  Bins whose btok is
+        NULL (all-NULL n_tokens — unreachable: every producer computes
+        n_tokens from size()/count) contribute no mass, mirroring SQL
+        SUM's NULL-skipping in the replaced window."""
+        cum = offset
+        full_min = None
+        b_star = None
+        b_offset = None
+        for r in rows:  # descending bin order
+            mass = r["btok"] or 0
+            cum_before = cum
+            cum += mass
+            if cum <= budget:
+                full_min = r["b"]  # descending walk -> ends at the MIN
+            if cum_before <= budget < cum:
+                b_star = r
+                b_offset = cum_before
+        return full_min, b_star, b_offset
 
     parts = []
-    st = threshold_stats(scored, F.col("sel_bucket"), 0)
-    if st["full_min"] is not None:
-        parts.append(scored.filter(F.col("sel_bucket") >= int(st["full_min"])))
-    if st["b_star"] is None:
+    bins = hist_stats(scored, F.col("sel_bucket"))
+    total = sum(r["btok"] for r in bins if r["btok"] is not None)
+    if not bins or all(r["btok"] is None for r in bins):  # empty corpus
+        _note_depth(0)
+        return empty
+    # identical arithmetic to the replaced F.floor(SUM * frac) action:
+    # exact bigint total (sum of per-bin exact sums), one IEEE multiply
+    import math
+
+    budget = int(math.floor(total * budget_frac))
+
+    full_min, b_star, b_offset = threshold_stats(bins, 0, budget)
+    if full_min is not None:
+        parts.append(scored.filter(F.col("sel_bucket") >= int(full_min)))
+    if b_star is None:
         _note_depth(0)
         return parts[0].select(*out_cols) if parts else empty
 
-    boundary_df = scored.filter(F.col("sel_bucket") == int(st["b_star"]))
-    offset = int(st["b_offset"])
+    boundary_df = scored.filter(F.col("sel_bucket") == int(b_star["b"]))
+    offset = int(b_offset)
     depth = 0
     while depth < MAX_REFINE_DEPTH:
-        m = boundary_df.agg(
-            F.count("*").alias("cnt"),
-            F.min("quality_score").alias("smin"),
-            F.max("quality_score").alias("smax"),
-            F.min("doc_id").alias("imin"),
-            F.max("doc_id").alias("imax"),
-        ).first()
+        m = b_star  # the boundary bin's own stats ride the hist collect
         if m["cnt"] <= boundary_sort_cap:
             break
         if m["smin"] < m["smax"]:
@@ -842,10 +869,11 @@ def token_budget_select_df(
             )
         else:  # cnt == 1 can't exceed any cap >= 1; defensive
             break
-        sst = threshold_stats(boundary_df, sub, offset)
-        if sst["full_min"] is not None:
-            parts.append(boundary_df.filter(sub >= int(sst["full_min"])))
-        if sst["b_star"] is None:
+        sub_bins = hist_stats(boundary_df, sub)
+        s_full_min, b_star, s_offset = threshold_stats(sub_bins, offset, budget)
+        if s_full_min is not None:
+            parts.append(boundary_df.filter(sub >= int(s_full_min)))
+        if b_star is None:
             boundary_df = None
             break
         # re-checkpoint the surviving crossing sub-bin (64x smaller per
@@ -854,9 +882,9 @@ def token_budget_select_df(
         # (review r10 — without this, depth-d refinement re-reads all n
         # rows d times and the "shrinking" claim is false)
         boundary_df = boundary_df.filter(
-            sub == int(sst["b_star"])
+            sub == int(b_star["b"])
         ).localCheckpoint(eager=True)
-        offset = int(sst["b_offset"])
+        offset = int(s_offset)
         depth += 1
     _note_depth(depth)
 
