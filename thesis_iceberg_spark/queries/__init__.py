@@ -105,7 +105,10 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round 15 block: queries whose CODE changed this round.
+    # Round 15 block: queries whose CODE changed this round — the build
+    # half (ADVICE fixes) AND the optimization half (OPTIMIZATION_r15.md
+    # changes #1-#5), since CORRECTNESS_r15 is the first driver check
+    # over both.
     # quantile refinement now (a) accepts integral value columns (the
     # collected refinement values are coerced with float() before the
     # driver-side row assembly — ADVICE r14 #1) and (b) unpersists its
@@ -122,13 +125,22 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # hardened by r15 review #2: memoized locations, live-pid build
     # dirs, and the mtime-refreshed current tag are all protected
     "ann_int8_range_search_stored",
-    # binning.range_bin now maps in the DOUBLE domain (r15 review #1:
-    # bigint (x-lo)*n wrapped on wide integral columns -> non-monotone
-    # bins -> silently wrong order statistics).  Bins are refinement-
-    # internal so registered OUTPUTS are unchanged, but these two ride
-    # the bin map and re-verify after the re-cut:
+    # binning.range_bin now maps in the DOUBLE domain (r15 review #1),
+    # and the optimization round collapsed the budget threshold to one
+    # collected <= 64-row histogram per level (OPTIMIZATION_r15 #4) —
+    # both riders re-verify here:
     "pipeline_token_budget_select",
     "pipeline_pretrain_corpus",
+    # optimization round #1/#5: local BLAS-3 centroid fit at every k +
+    # driver-GEMM brute recall denominator (gate booleans unchanged,
+    # re-verified at all three SFs)
+    "dedup_embedding_kmeans_pairs",
+    # optimization round #2: sketch cells derived from the exact token
+    # counts (one corpus tokenize; rows verified identical)
+    "text_countmin_topk",
+    # optimization round #3: top-1 window -> MAX(struct) aggregation
+    # (rows verified identical)
+    "asof_join_last_event",
     # NOT listed: the four r15 registrations (events_session_stats,
     # pipeline_shard_shuffle, triangle_near_dup,
     # multimodal_dhash_clusters — VERDICT r14 #1) enter the window via
