@@ -1941,7 +1941,17 @@ def semdedup_keepers(
     if keeper == "min_id":
         return labels.select("vec_id", F.col("label").alias("canonical_vec_id"))
     emb = _emb_norms(load_table(spark, sf_dir, "embeddings"))
-    members = labels.join(emb, "vec_id")  # (vec_id, label, v, nm)
+    # (vec_id, label, v, nm), staged ONCE (r15 optimization round, guide
+    # §2.4/§1.2): members feeds FOUR consumers (the width probe below,
+    # the per-cluster width aggregate, the centroid aggregate, and the
+    # member-cosine join) — uncheckpointed, the final plan re-ran the
+    # corpus scan + label join once PER BRANCH (three embeddings scans
+    # in plans/r15/dedup_semdedup_centroid_far_before.txt, plus the
+    # probe action's).  Clustered members are << corpus at any
+    # realistic duplicate rate, so the staged frame is small; after the
+    # checkpoint the corpus is scanned exactly once
+    # (..._after.txt: zero parquet scans in the final plan).
+    members = labels.join(emb, "vec_id").localCheckpoint(eager=True)
     # Centroid width is PER CLUSTER, not a corpus-global constant (ADVICE
     # r7, medium): two vectors of the same NON-modal width have a
     # perfectly well-defined cosine (zip_with pads nothing when lengths
