@@ -105,46 +105,22 @@ _PRIORITY_CAP = 16  # window is 50; >=34 slots must remain for rotation —
 # the four ANN queries late in the round)
 
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round 15 block: queries whose CODE changed this round — the build
-    # half (ADVICE fixes) AND the optimization half (OPTIMIZATION_r15.md
-    # changes #1-#5), since CORRECTNESS_r15 is the first driver check
-    # over both.
-    # quantile refinement now (a) accepts integral value columns (the
-    # collected refinement values are coerced with float() before the
-    # driver-side row assembly — ADVICE r14 #1) and (b) unpersists its
-    # per-level localCheckpoint frames once their ranks resolve
-    # (ADVICE r14 #3); results identical by construction, re-verified.
-    "quantile_sampled",
-    # hll_distinct's quantile sibling shares _rank_values' checkpoint
-    # lifecycle only via sketch.py module edits — listed while the
-    # module changed this round (cheap re-verify).
-    "hll_distinct",
-    # the /tmp quantized-table artifact store now opportunistically
-    # prunes stale tag/build dirs older than 1 day on entry
-    # (ADVICE r14 #2; reuse semantics unchanged, re-verified anyway) —
-    # hardened by r15 review #2: memoized locations, live-pid build
-    # dirs, and the mtime-refreshed current tag are all protected
-    "ann_int8_range_search_stored",
-    # binning.range_bin now maps in the DOUBLE domain (r15 review #1),
-    # and the optimization round collapsed the budget threshold to one
-    # collected <= 64-row histogram per level (OPTIMIZATION_r15 #4) —
-    # both riders re-verify here:
-    "pipeline_token_budget_select",
-    "pipeline_pretrain_corpus",
-    # optimization round #1/#5: local BLAS-3 centroid fit at every k +
-    # driver-GEMM brute recall denominator (gate booleans unchanged,
-    # re-verified at all three SFs)
+    # Round 16 block (optimization round 2 of 2): queries whose CODE
+    # changed this round, plus the one r15 change the r15 window missed.
+    # r15 change #6 (semdedup members-frame staging, commit bc031ea)
+    # landed AFTER the r15 priority-block update, so its post-change
+    # output was covered only by gate_sim/pytest — VERDICT r15 #2 asks
+    # for the driver-oracle row this round closes: (also rides this
+    # round's LSH-kernel / bucket-candidate / CC changes below)
+    "dedup_semdedup_centroid_far",
+    # r16 optimization changes: batched LSH signature kernel +
+    # groupBy-generated bucket candidates (replacing the count-window +
+    # merge self-join) + connected_components' fused per-round
+    # signature action — every registered consumer of those paths:
+    "dedup_embedding_lsh_pairs",
     "dedup_embedding_kmeans_pairs",
-    # optimization round #2: sketch cells derived from the exact token
-    # counts (one corpus tokenize; rows verified identical)
-    "text_countmin_topk",
-    # optimization round #3: top-1 window -> MAX(struct) aggregation
-    # (rows verified identical)
-    "asof_join_last_event",
-    # NOT listed: the four r15 registrations (events_session_stats,
-    # pipeline_shard_shuffle, triangle_near_dup,
-    # multimodal_dhash_clusters — VERDICT r14 #1) enter the window via
-    # the never-checked-first fallback.
+    "dedup_embedding_cluster_canonical",
+    "dedup_cluster_canonical",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

@@ -230,6 +230,19 @@ def _capped_shingles(
     kept = sh.join(F.broadcast(hot), "s", "left_anti")
     if hash_keys:
         kept = kept.select("doc_id", F.unhex(F.md5("s")).alias("s"))
+    # NOT staged partitioned-by-s (r16 optimization round, measured dead
+    # end — tests/exp_r16_shingle_part_ab.py): a repartition("s") before
+    # this checkpoint would let the downstream s-keyed joins (Jaccard
+    # self-join, containment join) reuse the staged partitioning via the
+    # LogicalRDD's outputPartitioning, but at the measured sizes every
+    # one of those joins plans as a BroadcastHashJoin (the checkpoint's
+    # stats are visible), so there is NO s-keyed exchange to remove —
+    # the staging exchange is pure added cost (A/B 1.145x, rows
+    # identical, 0 s-exchanges in both forms' final plans).  At corpus
+    # sizes where both join sides exceed the broadcast threshold the
+    # repartition-before-checkpoint posture becomes the right one; that
+    # is a persist(DISK)/staging-table layout decision at 100 TB, not a
+    # local-plan one.
     return kept.localCheckpoint(eager=True)
 
 
@@ -1097,21 +1110,31 @@ def _bucket_candidates(buckets: DataFrame, overflow_hint: str) -> DataFrame:
     """Distinct (vec_a, vec_b) pairs from a (vec_id, bucket) table, with
     the per-bucket overflow guard (VERDICT r4 #1): a pathologically skewed
     bucket would square into a quadratic candidate set — raise INSIDE the
-    executor instead.  The count-window partitions by bucket, the very key
-    the candidate join shuffles on, so no extra pass, and it never fires
-    below BUCKET_CAP members per bucket.
+    executor instead.
 
-    Merge hint on the self-join: the bucket table scales with the corpus,
-    but its mapInPandas source has no stats, so Catalyst would size it off
-    the tiny scan and BROADCAST one side — which dies at real corpus
-    sizes; the window above already partitioned by bucket, so the merge
-    join reuses that exchange.  Shared by the LSH and kmeans candidate
-    paths (identical skew/blow-up semantics by construction)."""
-    from pyspark.sql.window import Window
-
-    wb = Window.partitionBy("bucket")
-    guarded = buckets.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
-        F.when(F.col("bsz") <= BUCKET_CAP, F.lit(True)).otherwise(
+    Shape (r16 optimization round, guide §2.3 "aggregate before you
+    shuffle"): ONE groupBy(bucket) collects each bucket's sorted member
+    list — (vec_id, bucket) rows are unique by construction (a vector
+    emits each key at most once), so the list is a distinct-id set — and
+    the i<j pairs are generated NARROWLY from the array (posexplode +
+    slice), never a join.  The r15 form paid a count-window (sort by
+    bucket) plus a merge self-join (two more sorts) over the same
+    exchange; this is the same single bucket-keyed exchange with the
+    window and join machinery deleted — measured 0.96x on the candidate
+    step locally (the win is the deleted sorts/join at scale, plus it
+    retires the broadcast-misplanning hazard the old merge hints worked
+    around), identical pair sets (tests/exp_r16_bucketcand_ab.py).
+    Per-task memory stays bounded: a member list is <= BUCKET_CAP ids
+    (the guard raises before pair generation, same semantics as r15),
+    and each exploded member row yields <= BUCKET_CAP struct rows —
+    nothing materializes the full C(m,2) pair set at once.  Shared by
+    the LSH and kmeans candidate paths (identical skew/blow-up
+    semantics by construction)."""
+    grouped = buckets.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("members")
+    )
+    guarded = grouped.filter(
+        F.when(F.size("members") <= BUCKET_CAP, F.lit(True)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("bucket overflow (> "),
@@ -1122,12 +1145,22 @@ def _bucket_candidates(buckets: DataFrame, overflow_hint: str) -> DataFrame:
                 )
             )
         )
-    ).drop("bsz")
+    ).filter(F.size("members") >= 2)
     return (
-        guarded.alias("x").hint("merge")
-        .join(guarded.alias("y").hint("merge"), "bucket")  # equi — never cartesian
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        guarded.select(
+            "members", F.posexplode("members").alias("i", "vec_a")
+        )
+        .select(
+            "vec_a",
+            # members is ASC-sorted: the (strictly) later elements are
+            # exactly the vec_b > vec_a partners; slice is 1-based, so a
+            # 0-based member i's successors start at i + 2
+            F.explode(
+                F.slice(
+                    "members", F.col("i") + F.lit(2), F.size("members")
+                )
+            ).alias("vec_b"),
+        )
         .distinct()  # a pair may collide in several shared buckets
     )
 
@@ -1173,9 +1206,11 @@ def _embedding_lsh_candidates(
         )
 
         def fold(sel: "np.ndarray") -> "np.ndarray":
-            keys = sel[:, 0].copy()
-            for j in range(1, sel.shape[1]):
-                keys = keys * 128 + sel[:, j]
+            # (..., k) int64 tuples -> (...,) base-128 folded keys; works
+            # on the per-row (C, k) and the batched (m, C, k) shapes alike
+            keys = sel[..., 0].copy()
+            for j in range(1, sel.shape[-1]):
+                keys = keys * 128 + sel[..., j]
             return keys
 
         def tuples_of(
@@ -1192,30 +1227,82 @@ def _embedding_lsh_candidates(
             sel = np.array(list(combinations(ds.tolist(), k)), dtype=np.int64)
             return fold(sel)
 
+        # r16 optimization round (guide §4.2 "hand whole batches to
+        # vectorized native libraries"): the per-VECTOR Python loop
+        # (lexsort + fancy-index + fold per row) was the measured ~0.9 s
+        # single largest component of this pass at sf0.1 — dominated by
+        # per-row interpreter overhead, not arithmetic.  Rows sharing a
+        # width >= sig_dims (the corpus norm: clean_embeddings guarantees
+        # a modal width) now go through ONE batched numpy pipeline per
+        # width group: a stable argsort on -|A| reproduces
+        # lexsort((arange, -abs)) exactly (stable sort keeps position
+        # order on |val| ties), and the key fold runs over the whole
+        # (rows x C(width, arity) x arity) selection at once.  Row-chunked
+        # so the key matrix stays bounded at high-arity rungs.  Short
+        # (< sig_dims) vectors keep the exact per-row fallback; NULLs
+        # still emit nothing.  Identical (vec_id, bucket) rows by
+        # construction (asserted in tests/exp_r16_lsh_sig_ab.py).
+        n_keys_per_row = len(main_idx) + (len(anch_idx) if anchor else 0)
+        chunk_rows = max(1, (4 << 20) // max(n_keys_per_row, 1))
+
         for pdf in batches:
+            vecs = pdf["v"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
             ids, bks = [], []
-            for vec_id, v in zip(pdf["vec_id"].to_numpy(), pdf["v"]):
+            by_len: dict[int, list[int]] = {}
+            for i, v in enumerate(vecs):
                 if v is None:
                     continue  # NULL embedding: no signature rows, like
                     # the replaced posexplode(NULL) form and the oracle
-                a = np.asarray(v, dtype=np.float64)
-                # rank by |val| desc, position asc (stable, tie-safe)
-                order = np.lexsort((np.arange(len(a)), -np.abs(a)))[:sig_dims]
-                d = order * 2 + (a[order] < 0)  # signed-dim ids, rank order
-                keys = tuples_of(d, arity, sig_dims, main_idx)
-                if anchor:
-                    # anchor tuples draw ONLY from the top-`anchor` ranks
-                    keys = np.concatenate(
-                        [
-                            keys,
-                            tuples_of(d[:anchor], arity - 1, anchor, anch_idx)
-                            + offset,
+                by_len.setdefault(len(v), []).append(i)
+            for L, idxs in sorted(by_len.items()):
+                if L < sig_dims:
+                    # short vectors: the exact per-row enumeration path
+                    for i in idxs:
+                        a = np.asarray(vecs[i], dtype=np.float64)
+                        order = np.lexsort((np.arange(len(a)), -np.abs(a)))[
+                            :sig_dims
                         ]
-                    )
-                if not len(keys):
+                        d = order * 2 + (a[order] < 0)
+                        keys = tuples_of(d, arity, sig_dims, main_idx)
+                        if anchor:
+                            keys = np.concatenate(
+                                [
+                                    keys,
+                                    tuples_of(d[:anchor], arity - 1, anchor, anch_idx)
+                                    + offset,
+                                ]
+                            )
+                        if not len(keys):
+                            continue
+                        ids.append(np.full(len(keys), int(vids[i]), dtype=np.int64))
+                        bks.append(keys)
                     continue
-                ids.append(np.full(len(keys), int(vec_id), dtype=np.int64))
-                bks.append(keys)
+                rows = np.asarray(idxs, dtype=np.int64)
+                for lo in range(0, len(rows), chunk_rows):
+                    sub = rows[lo : lo + chunk_rows]
+                    A = np.stack(
+                        [np.asarray(vecs[i], dtype=np.float64) for i in sub]
+                    )
+                    # rank by |val| desc, position asc: stable argsort on
+                    # -|val| == lexsort((arange, -abs)) per row
+                    order = np.argsort(-np.abs(A), axis=1, kind="stable")[
+                        :, :sig_dims
+                    ]
+                    signs = np.take_along_axis(A, order, axis=1) < 0
+                    d2 = order * 2 + signs  # signed-dim ids, rank order
+                    keys = fold(np.sort(d2, axis=1)[:, main_idx])  # (m, C1)
+                    if anchor:
+                        akeys = (
+                            fold(np.sort(d2[:, :anchor], axis=1)[:, anch_idx])
+                            + offset
+                        )
+                        keys = np.concatenate([keys, akeys], axis=1)
+                    m, nk = keys.shape
+                    ids.append(
+                        np.repeat(vids[sub].astype(np.int64), nk)
+                    )
+                    bks.append(keys.reshape(-1))
             yield pd.DataFrame(
                 {
                     "vec_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64),
@@ -2097,11 +2184,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # all_nodes is consumed exactly ONCE (the roots anti-join after
+    # convergence) and derives from the already-checkpointed initial
+    # edges, so checkpointing it bought nothing — the r15 eager
+    # checkpoint here was one full wasted job per invocation (r16
+    # optimization round, guide §1.2/§5 fewer driver actions).
     all_nodes = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     prev_sig = None
     converged = False
@@ -2133,7 +2224,16 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             .select(F.col("v").alias("a"), F.col("mn").alias("b"))
             .unionAll(smins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)  # cut the iterative lineage
+            # LAZY checkpoint, materialized by the signature action just
+            # below (r16 optimization round, guide §1.2/§5): the r15 form
+            # ran TWO driver actions per round — the eager-checkpoint
+            # job, then the signature job over the cached result.  The
+            # signature aggregate computes every partition of this frame
+            # (a full-scan agg), so it is the materializing action and
+            # the lineage cut lands exactly as before — one Spark job per
+            # contraction round instead of two.  Measured: identical
+            # labels, fewer jobs (tests/exp_r16_cc_ab.py).
+            .localCheckpoint(eager=False)
         )
         # bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
         sig = edges.agg(
