@@ -83,14 +83,19 @@ def test_lsh_join_not_cartesian(spark, sf_dir):
 
 
 def test_embedding_lsh_join_not_cartesian(spark, sf_dir):
-    # candidate generation must be an equi-join on bucket; the only
-    # nested-loop allowed is the 8-row broadcast centroid fan-out
+    # candidate generation must never go cartesian.  r16: it is no
+    # longer a join at all — one bucket-keyed aggregation collects each
+    # bucket's sorted member list and the i<j pairs are generated
+    # NARROWLY from the array (posexplode + slice), so the pin is the
+    # bucket-keyed exchange + the generator, with no join able to
+    # blow up on the candidate path
     from thesis_iceberg_spark.plans import formatted_plan
 
     df = _q("dedup_embedding_lsh_pairs", spark, sf_dir)
     assert_no_cartesian(df)
     plan = formatted_plan(df)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "collect_list" in plan  # the per-bucket member aggregation
+    assert "Generate" in plan  # narrow pair generation, not a self-join
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
@@ -148,9 +153,10 @@ def test_repetition_signals_plan_shape(spark, sf_dir):
 
 def test_kmeans_candidate_join_not_cartesian(spark, sf_dir):
     # the 1e8+ scale path (round 7): assignment is a shuffle-free Arrow
-    # mapInPandas and candidate generation must stay an equi-join on the
-    # kmeans bucket id — never a cartesian, never a broadcast of the
-    # corpus-sized bucket table
+    # mapInPandas and candidate generation must never go cartesian (and
+    # never broadcast the corpus-sized bucket table).  r16: candidates
+    # come from the bucket-keyed member aggregation + narrow pair
+    # generation (no join on the candidate path at all) — pin that shape
     from thesis_iceberg_spark.plans import formatted_plan
     from thesis_iceberg_spark.queries.dedup import (
         dedup_embedding_kmeans_candidates,
@@ -162,7 +168,8 @@ def test_kmeans_candidate_join_not_cartesian(spark, sf_dir):
     )
     assert_no_cartesian(df)
     plan = formatted_plan(df)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "collect_list" in plan  # the per-bucket member aggregation
+    assert "Generate" in plan  # narrow pair generation, not a self-join
 
 
 # --- hint-gate subtree scoping on crafted plan text (review r10 ADVICE) -----

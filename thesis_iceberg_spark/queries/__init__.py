@@ -121,6 +121,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_kmeans_pairs",
     "dedup_embedding_cluster_canonical",
     "dedup_cluster_canonical",
+    # r16: per-vector centroid assignment as MAX(struct) aggregation
+    # (window deleted; both value-oracled) and the IVF index build's
+    # local Euclidean Lloyd fit (gate booleans unchanged, 34 -> 4 jobs):
+    "ann_batch_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

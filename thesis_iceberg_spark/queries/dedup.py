@@ -1515,8 +1515,24 @@ def _fit_centroids_spherical(X, k: int, seed: int, iters: int = KMEANS_LOCAL_FIT
     return [[float(x) for x in row] for row in C]
 
 
+# Hard ceiling on the kmeans fit-sample COLLECT's bytes (r16, VERDICT
+# r15 #2 "what's wrong"): the local-fit sample is driver-sized by
+# construction (20*k rows x d floats), but "by construction" is an
+# argument, not a guard — a mis-sized k (or a composer feeding an
+# unexpectedly wide embedding column) must fail FAST with the sizing in
+# the message, not OOM the driver mid-collect.  2 GiB covers the
+# budget-regime ~1.3 GB sample the r15 notes sized, with headroom.
+# Same fail-loud pattern as BRUTE_CHECK_CEILING / BLOOM_MAX_FILTER_BYTES.
+KMEANS_FIT_SAMPLE_MAX_BYTES = 2 * 1024**3
+
+
 def _kmeans_fit_centers(
-    spark: SparkSession, clean: DataFrame, k: int, n: int, seed: int
+    spark: SparkSession,
+    clean: DataFrame,
+    k: int,
+    n: int,
+    seed: int,
+    dim: int = 0,
 ) -> list:
     """Fit centroids for the kmeans-bounded candidate path on a
     deterministic bounded sample (KMEANS_FIT_ROWS_PER_CENTROID rows per
@@ -1532,6 +1548,21 @@ def _kmeans_fit_centers(
     pyspark.ml Euclidean fit, which tolerates them, for k small enough
     that MLlib's single-threaded O(k^2 d) k-means|| reduction is sane."""
     fit_rows = KMEANS_FIT_ROWS_PER_CENTROID * k
+    # explicit driver-memory guard BEFORE any job runs (dim: the modal
+    # embedding width the caller already computed via clean_embeddings;
+    # 4 bytes/coord — the sample is collected as float32 — and the 1.05
+    # sampling margin): loud error with the sizing, never a driver OOM
+    est_bytes = int(min(fit_rows, n) * max(dim, 0) * 4 * 1.05)
+    if est_bytes > KMEANS_FIT_SAMPLE_MAX_BYTES:
+        raise ValueError(
+            f"kmeans fit sample would collect ~{est_bytes / 1e9:.1f} GB "
+            f"({min(fit_rows, n)} rows x {dim} dims) on the driver, over "
+            f"the {KMEANS_FIT_SAMPLE_MAX_BYTES / 1e9:.1f} GB "
+            "KMEANS_FIT_SAMPLE_MAX_BYTES budget — k is mis-sized for "
+            "this corpus (or the embedding width is unexpected); lower "
+            "k / KMEANS_FIT_ROWS_PER_CENTROID, or raise the ceiling if "
+            "the driver genuinely has the memory"
+        )
     fit_df = clean
     if n > fit_rows:
         fit_df = clean.sample(fraction=min(1.0, 1.05 * fit_rows / n), seed=seed)
@@ -1616,7 +1647,7 @@ def dedup_embedding_kmeans_candidates(
     k = min(k, n)  # KMeans needs k <= clean points
     if nprobe is None:
         nprobe = _kmeans_nprobe(k)
-    centers = _kmeans_fit_centers(spark, clean, k=k, n=n, seed=seed)
+    centers = _kmeans_fit_centers(spark, clean, k=k, n=n, seed=seed, dim=_dim)
 
     assign_udf = _kmeans_assign_kernel(centers, nprobe)
 

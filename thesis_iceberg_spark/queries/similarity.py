@@ -102,6 +102,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_nearest_centroid(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, label, v, bucket): every vector of ``e`` assigned to its
+    max-cosine centroid from the tiny broadcast ``cent`` (cid, cv) —
+    ties to the LOWEST cid, NULL cosines (zero-norm rows) last.
+
+    Top-1-per-vector as MAX(struct(cos_c, -cid, label, v)) under a
+    groupBy(vec_id), not a row_number window (r16 optimization round;
+    the extended.py:69 asof shape).  Equivalence to the window's
+    (cos_c DESC, cid ASC) rn=1: struct comparison is lexicographic and
+    (cos_c, -cid) is a total order within a vector (cid unique), so the
+    payload fields never decide; Spark orders a NULL struct field below
+    non-NULL, matching the window's DESC NULLS LAST; all-NULL-cosine
+    vectors fall through to max(-cid) = min cid, the window tie-break.
+    Shared by ann_ivf_topk and ann_batch_topk (identical assignment
+    semantics by construction; both value-oracled)."""
+    top = F.max(
+        F.struct(
+            _cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+            (-F.col("cid")).alias("ncid"),
+            F.col("label").alias("label"),
+            F.col("v").alias("v"),
+        )
+    ).alias("top")
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(top)
+        .select(
+            "vec_id",
+            F.col("top.label").alias("label"),
+            F.col("top.v").alias("v"),
+            (-F.col("top.ncid")).alias("bucket"),
+        )
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -136,32 +172,26 @@ ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
     "the corpus (partition pruning) instead of all of it.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = _vecs(spark, sf_dir)
     cent = (
         e.orderBy("vec_id")
         .limit(N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    # assign every vector to its nearest (max-cosine) centroid: broadcast the
-    # tiny centroid table against the corpus, rank per vector
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "cid",
-            _cosine(F.col("v"), F.col("cv")).alias("cos_c"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "label", "v", F.col("cid").alias("bucket"))
-    )
+    # assign every vector to its nearest (max-cosine) centroid: broadcast
+    # the tiny centroid table against the corpus, then take the per-vector
+    # top-1 as a MAX(struct) aggregation, not a row_number window (r16
+    # optimization round — the extended.py:69 asof shape, guide §2.3/§2.4):
+    # struct ordering is lexicographic on (cos_c, -cid), which is exactly
+    # the window's (cos_c DESC, cid ASC) top-1 — cid is unique within a
+    # vector so the ordering is total and the label/v payload fields are
+    # never compared; a NULL cos_c (zero-norm vector or centroid,
+    # try_divide) sorts below every non-NULL struct, matching the
+    # window's DESC NULLS LAST, and an all-NULL-cosine vector falls to
+    # max(-cid) = min cid, the window's tie-break.  The plan drops the
+    # Window + rn-filter pass for a partial-aggregating SortAggregate
+    # (<= 1 row per vector per task crosses the exchange).
+    assigned = _assign_nearest_centroid(e, cent)
     q = e.orderBy("vec_id").limit(1).select(F.col("v").alias("qv"), F.col("vec_id").alias("qid"))
     probe = (
         cent.crossJoin(F.broadcast(q))
@@ -295,17 +325,9 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_CENTROIDS)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "label", "v", "cid",
-            _cosine(F.col("v"), F.col("cv")).alias("cos_c"),
-        )
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "label", "v", F.col("cid").alias("bucket"))
-    )
+    # per-vector top-1 centroid as a MAX(struct) aggregation — see
+    # _assign_nearest_centroid for the window-equivalence argument
+    assigned = _assign_nearest_centroid(e, cent)
     q = (
         e.orderBy("vec_id")
         .limit(N_BATCH_Q)
