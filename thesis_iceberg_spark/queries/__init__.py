@@ -127,6 +127,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_batch_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    # r16: single-pass shingle staging + lazy-checkpoint action fusion
+    # (the CC pattern) across the budget/composition paths — results
+    # identical by construction, re-verified:
+    "pipeline_pretrain_corpus",
+    "pipeline_token_budget_select",
+    "pipeline_decontaminate",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_edit_verified_pairs",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

@@ -213,8 +213,23 @@ def _capped_shingles(
                 ss.extend(sh)
             yield pd.DataFrame({"doc_id": ids, "s": ss})
 
-    sh = docs.select("doc_id", "text").mapInPandas(
-        shingle_udf, "doc_id bigint, s string"
+    # r16 optimization round (guide §1.2/§4): the raw explode is staged
+    # ONCE before the hot-list build — the r15 form computed `hot` and
+    # the kept side each from the un-staged mapInPandas, so the Python
+    # shingle kernel (fold + certify + set build per doc) ran TWICE per
+    # staging (once under the hot broadcast, once for the main side).
+    # One extra checkpoint of the raw explode (the hot rows it adds are
+    # <= the df-cap's own definition of rare) buys back a whole kernel
+    # pass: measured 0.87x on the staging with identical rows; at scale
+    # it is one corpus pass through the Python boundary instead of two.
+    # LAZY (the connected_components pattern): the kept checkpoint's
+    # materialization job computes it — the hot-list broadcast builds
+    # first and caches every partition, the main anti-join side then
+    # reads the cache — so the staging costs ONE driver action, not two.
+    sh = (
+        docs.select("doc_id", "text")
+        .mapInPandas(shingle_udf, "doc_id bigint, s string")
+        .localCheckpoint(eager=False)
     )
     hot = (
         sh.groupBy("s")
@@ -1812,8 +1827,12 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + distinct) feeds BOTH counts below — checkpoint it once instead of
     # recomputing per action; n only CLAMPS the helper's sizing (it still
     # computes its own clean count for the fit input)
+    # LAZY checkpoint (r16, the CC pattern): n_cand = cand.count() below
+    # is the materializing action — the full-scan count caches every
+    # partition and cuts the lineage exactly like the eager form, one
+    # driver action instead of two
     cand = dedup_embedding_kmeans_candidates(spark, raw, n=n).localCheckpoint(
-        eager=True
+        eager=False
     )
     va = nrm.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
