@@ -135,6 +135,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pipeline_decontaminate",
     "dedup_ngram_jaccard_pairs",
     "dedup_edit_verified_pairs",
+    "search_bm25_topk",
+    "pipeline_shard_shuffle",
 )
 
 assert len(DRIVER_WINDOW_PRIORITY) <= _PRIORITY_CAP, (

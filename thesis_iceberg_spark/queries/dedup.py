@@ -2088,7 +2088,10 @@ def semdedup_keepers(
     # realistic duplicate rate, so the staged frame is small; after the
     # checkpoint the corpus is scanned exactly once
     # (..._after.txt: zero parquet scans in the final plan).
-    members = labels.join(emb, "vec_id").localCheckpoint(eager=True)
+    # LAZY checkpoint (r16, the CC pattern): the mx width probe just
+    # below is the single materializing full-scan action; the other
+    # three consumers read the cache in later jobs
+    members = labels.join(emb, "vec_id").localCheckpoint(eager=False)
     # Centroid width is PER CLUSTER, not a corpus-global constant (ADVICE
     # r7, medium): two vectors of the same NON-modal width have a
     # perfectly well-defined cosine (zip_with pads nothing when lengths

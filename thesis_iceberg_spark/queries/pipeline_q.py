@@ -1627,7 +1627,11 @@ def shard_shuffle_df(
             (u % n_shards).alias("shard_id"),
             F.floor(u / F.lit(shift)).cast("bigint").alias("bucket"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY (r16): the offsets broadcast's count aggregation is the
+        # only reader before the result stage (the join probe side reads
+        # d with no intermediate shuffle), so the first job both computes
+        # and caches it — zero extra driver actions for the staging
+        .localCheckpoint(eager=False)
     )
     counts = d.groupBy("shard_id", "bucket").agg(F.count("*").alias("c"))
     w_off = (
