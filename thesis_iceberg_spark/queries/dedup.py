@@ -222,14 +222,13 @@ def _capped_shingles(
     # <= the df-cap's own definition of rare) buys back a whole kernel
     # pass: measured 0.87x on the staging with identical rows; at scale
     # it is one corpus pass through the Python boundary instead of two.
-    # LAZY (the connected_components pattern): the kept checkpoint's
-    # materialization job computes it — the hot-list broadcast builds
-    # first and caches every partition, the main anti-join side then
-    # reads the cache — so the staging costs ONE driver action, not two.
+    # EAGER, not lazy — see the connected_components round checkpoint
+    # for the measured r16 dead end (lazy fusion reintroduces the r3
+    # accumulator error).
     sh = (
         docs.select("doc_id", "text")
         .mapInPandas(shingle_udf, "doc_id bigint, s string")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     hot = (
         sh.groupBy("s")
@@ -1827,12 +1826,8 @@ def dedup_embedding_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + distinct) feeds BOTH counts below — checkpoint it once instead of
     # recomputing per action; n only CLAMPS the helper's sizing (it still
     # computes its own clean count for the fit input)
-    # LAZY checkpoint (r16, the CC pattern): n_cand = cand.count() below
-    # is the materializing action — the full-scan count caches every
-    # partition and cuts the lineage exactly like the eager form, one
-    # driver action instead of two
     cand = dedup_embedding_kmeans_candidates(spark, raw, n=n).localCheckpoint(
-        eager=False
+        eager=True
     )
     va = nrm.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nm").alias("na")
@@ -2088,10 +2083,7 @@ def semdedup_keepers(
     # realistic duplicate rate, so the staged frame is small; after the
     # checkpoint the corpus is scanned exactly once
     # (..._after.txt: zero parquet scans in the final plan).
-    # LAZY checkpoint (r16, the CC pattern): the mx width probe just
-    # below is the single materializing full-scan action; the other
-    # three consumers read the cache in later jobs
-    members = labels.join(emb, "vec_id").localCheckpoint(eager=False)
+    members = labels.join(emb, "vec_id").localCheckpoint(eager=True)
     # Centroid width is PER CLUSTER, not a corpus-global constant (ADVICE
     # r7, medium): two vectors of the same NON-modal width have a
     # perfectly well-defined cosine (zip_with pads nothing when lengths
@@ -2277,16 +2269,23 @@ def connected_components(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             .select(F.col("v").alias("a"), F.col("mn").alias("b"))
             .unionAll(smins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
             .distinct()
-            # LAZY checkpoint, materialized by the signature action just
-            # below (r16 optimization round, guide §1.2/§5): the r15 form
-            # ran TWO driver actions per round — the eager-checkpoint
-            # job, then the signature job over the cached result.  The
-            # signature aggregate computes every partition of this frame
-            # (a full-scan agg), so it is the materializing action and
-            # the lineage cut lands exactly as before — one Spark job per
-            # contraction round instead of two.  Measured: identical
-            # labels, fewer jobs (tests/exp_r16_cc_ab.py).
-            .localCheckpoint(eager=False)
+            # EAGER — the lazy-fusion dead end, measured twice now
+            # (r16): making this lazy and letting the signature
+            # aggregate below materialize it saves one Spark job per
+            # round (29 -> 25 jobs, 0.91x, labels identical —
+            # tests/exp_r16_cc_ab.py), but a full-bench run under the
+            # fleet-wide lazy variant reproduced the ROUND-3 accumulator
+            # failure ("Failed to update accumulator ... non-existent
+            # accumulator"): a lazily checkpointed RDD's originating
+            # plan — and its weakly-referenced SQL-metric accumulators —
+            # can be GC'd on the driver before the delayed
+            # materialization runs, so its tasks report into cleared
+            # accumulators.  Benign for results, loud in the bench
+            # stderr, and nondeterministic — exactly the bench-trust
+            # failure r3 fixed by going eager.  Eager materializes while
+            # the originating plan is still strongly referenced, closing
+            # the window.
+            .localCheckpoint(eager=True)
         )
         # bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
         sig = edges.agg(

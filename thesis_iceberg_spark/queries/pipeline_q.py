@@ -746,10 +746,7 @@ def token_budget_select_df(
                 F.lit(NB_QBUCKETS - 1).cast("bigint"),
             ).alias("sel_bucket"),
         )
-        # LAZY checkpoint (r16, the CC pattern): the level-0 hist_stats
-        # collect just below is the materializing full-scan action —
-        # same lineage cut, one driver action instead of two
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     out_cols = [
         F.col("doc_id"),
@@ -883,12 +880,10 @@ def token_budget_select_df(
         # level) so the NEXT level's aggregates scan the shrunken subset,
         # not the full projection through a deepening filter chain
         # (review r10 — without this, depth-d refinement re-reads all n
-        # rows d times and the "shrinking" claim is false).  LAZY (r16):
-        # the next level's hist_stats collect — or, on loop exit, the
-        # final window branch — is the single materializing consumer
+        # rows d times and the "shrinking" claim is false)
         boundary_df = boundary_df.filter(
             sub == int(b_star["b"])
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         offset = int(s_offset)
         depth += 1
     _note_depth(depth)
@@ -1349,11 +1344,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             # consumers never deserialize it
             _norm().alias("norm_text"),
         )
-        # LAZY checkpoint (r16, the CC pattern): the count() just below
-        # is the materializing action — a full-scan count caches every
-        # partition and cuts the lineage exactly like the eager form,
-        # so pass A costs ONE driver action, not two
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n = feats.count()
     # ---- pass B: the shared shingle explode = the second text scan -----
@@ -1444,12 +1435,8 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (Jaccard shingle self-join, decontamination containment join) —
         # without this they re-execute for token_budget's internal
         # checkpoint AND each of the two consumers of `kept` below
-        # (review r11: the dominant O(candidate-pairs) work ran 3x).
-        # LAZY (r16, the CC pattern): the single sequential first reader
-        # is token_budget's scored-histogram job, which full-scans this
-        # frame exactly once and caches it; `kept` below then reads the
-        # cache — one driver action saved, identical lineage cut
-        .localCheckpoint(eager=False)
+        # (review r11: the dominant O(candidate-pairs) work ran 3x)
+        .localCheckpoint(eager=True)
     )
     # ---- token-budget selection on the pre-scored frame (no text) ------
     sel = token_budget_select_df(gated, pre_scored=True).select(
@@ -1627,11 +1614,7 @@ def shard_shuffle_df(
             (u % n_shards).alias("shard_id"),
             F.floor(u / F.lit(shift)).cast("bigint").alias("bucket"),
         )
-        # LAZY (r16): the offsets broadcast's count aggregation is the
-        # only reader before the result stage (the join probe side reads
-        # d with no intermediate shuffle), so the first job both computes
-        # and caches it — zero extra driver actions for the staging
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     counts = d.groupBy("shard_id", "bucket").agg(F.count("*").alias("c"))
     w_off = (

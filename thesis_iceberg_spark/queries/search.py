@@ -103,11 +103,7 @@ def bm25_topk_df(
         *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     ).filter(F.col("dl") > 0)
     if materialize:
-        # LAZY (r16): the broadcast stats build is the only reader before
-        # the result stage (the scored probe side consumes per_doc with no
-        # intermediate shuffle, so it cannot start before the broadcast
-        # lands) — the staging costs zero extra driver actions
-        per_doc = per_doc.localCheckpoint(eager=False)
+        per_doc = per_doc.localCheckpoint(eager=True)
     # ONE row of corpus stats: N, avgdl, df per term — map-side combined
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
