@@ -1,11 +1,18 @@
-"""Interleaved A/B: connected_components with the fused per-round
-signature action (r16 — lazy checkpoint materialized by the signature
-aggregate, no all_nodes checkpoint) vs the r15 form (eager checkpoint
-job + separate signature job per round, eager all_nodes).
+"""Interleaved A/B: the shipped connected_components (r16 — no
+all_nodes checkpoint) vs the r15 form (eager all_nodes checkpoint).
 
 Asserts identical (node, label) rows on the real near-dup pair input,
 counts Spark jobs per invocation via job groups, and times both forms
 interleaved in one JVM.
+
+History: the r16 round ALSO measured a lazy per-round checkpoint here
+(signature aggregate as the materializing action — 29 -> 25 jobs,
+0.91x, labels identical under this harness), but that variant was
+REVERTED after a full bench run reproduced the round-3 accumulator
+error (see the comment at the round checkpoint in dedup.py and
+OPTIMIZATION_r16.md #8); the shipped form keeps eager round
+checkpoints, so re-running this script today measures only the
+all_nodes-removal delta (one job).
 
 Usage: PYTHONPATH=/root/repo python tests/exp_r16_cc_ab.py
 """
